@@ -1,0 +1,53 @@
+"""ondine_spark — a PySpark-native batch LLM data-processing engine.
+
+Brand-new implementation of the capabilities of ptimizeroracle/ondine
+(structural analysis in SURVEY.md), re-expressed Spark-first: DataFrames +
+Catalyst for the data plane, Arrow-batched UDFs for LLM calls, parquet
+tables for the durable response cache, Structured Streaming for chunked
+execution.
+"""
+
+from ondine_spark.api import enrich
+from ondine_spark.core.specs import (
+    DatasetSpec,
+    ErrorPolicy,
+    LLMSpec,
+    MergeStrategy,
+    OutputSpec,
+    PipelineSpec,
+    ProcessingSpec,
+    PromptSpec,
+    ResponseFormat,
+)
+from ondine_spark.llm.client import (
+    DeterministicMockClient,
+    FatalLLMError,
+    LLMResult,
+    TransientLLMError,
+    mock_client_factory,
+)
+from ondine_spark.plans.builder import PipelineBuilder
+from ondine_spark.plans.pipeline import ExecutionResult, Pipeline
+
+__all__ = [
+    "enrich",
+    "PipelineBuilder",
+    "Pipeline",
+    "ExecutionResult",
+    "PipelineSpec",
+    "DatasetSpec",
+    "PromptSpec",
+    "LLMSpec",
+    "ProcessingSpec",
+    "OutputSpec",
+    "ErrorPolicy",
+    "MergeStrategy",
+    "ResponseFormat",
+    "DeterministicMockClient",
+    "mock_client_factory",
+    "LLMResult",
+    "TransientLLMError",
+    "FatalLLMError",
+]
+
+__version__ = "0.1.0"

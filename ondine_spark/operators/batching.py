@@ -1,0 +1,237 @@
+"""N:1 mega-prompt batching (A1) and 1:N disaggregation (A2).
+
+The reference's headline optimization: group N prompts into one JSON-array
+"mega-prompt" → 1 API call answers N rows (15×-100× fewer calls; reference:
+ondine/stages/batch_aggregator_stage.py:56-209 and
+ondine/strategies/json_batch_strategy.py:35-240).
+
+Spark-first design:
+- Global contiguous row sequence via the two-pass offset trick (per-partition
+  counts collected to the driver — tiny — then a mapInPandas assigns
+  ``offset[pid] + local_pos``). This keeps API calls EXACTLY
+  ceil(N/batch_size) (BASELINE.md target) without a single-partition window,
+  and scales: no shuffle, one cheap count job.
+- The mega-prompt text is built entirely JVM-side: ``collect_list(struct)``
+  → ``array_sort`` → ``to_json`` → ``concat`` (whole-stage codegen).
+- Disaggregation ports the reference's fallback-heavy parser (markdown
+  fences, id- vs position-based matching, partial-parse padding) into one
+  Arrow-batched pandas UDF → ``explode`` → per-row responses.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ondine_spark.sources.readers import ROW_ID
+
+BATCH_ID = "_batch_id"
+
+
+def with_global_index(df: DataFrame, out_col: str = "_seq") -> DataFrame:
+    """Assign a 0-based contiguous global index without a global shuffle.
+
+    Two passes over the scan: (1) count rows per partition (driver collects
+    numPartitions integers), (2) mapInPandas adds offset + local position.
+    Index is contiguous and unique; ordering is partition order, which is
+    deterministic for a fixed input + partitioning within a run (batch
+    grouping only needs intra-run determinism — cross-run identity is
+    ``_row_id``'s job).
+    """
+    pid_df = df.withColumn("_pid", F.spark_partition_id())
+    counts = dict(
+        pid_df.groupBy("_pid").count().collect()
+    )  # {partition_id: rows} — numPartitions entries, trivially small
+    offsets = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+
+    schema = T.StructType(list(pid_df.schema.fields) + [T.StructField(out_col, T.LongType())])
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        local = 0
+        for pdf in batches:
+            base = offsets.get(int(pdf["_pid"].iloc[0]), 0) if len(pdf) else 0
+            pdf[out_col] = range(base + local, base + local + len(pdf))
+            local += len(pdf)
+            yield pdf
+
+    return pid_df.mapInPandas(assign, schema=schema).drop("_pid")
+
+
+def _mega_prompt_expr(items_json, n):
+    """JVM concat reproducing the reference's batch prompt format
+    (json_batch_strategy.py:80-99) — braces and wording kept identical so a
+    deterministic mock client (and the oracle) can recognize it."""
+    n_str = n.cast("string")
+    return F.concat(
+        F.lit("Process these "), n_str,
+        F.lit(" items and return a JSON array.\n\nINPUT:\n"),
+        items_json,
+        F.lit(
+            "\n\nCRITICAL OUTPUT REQUIREMENTS:\n"
+            "1. Return a JSON array with "
+        ),
+        n_str,
+        F.lit(
+            " objects\n"
+            '2. Each object must have "id" (number) and "result" (string, '
+            "object, or number) fields\n"
+            "3. IDs must match the input IDs (1 to "
+        ),
+        n_str,
+        F.lit(
+            ")\n"
+            "4. Return ONLY the JSON array, no explanations or markdown\n\n"
+            "OUTPUT FORMAT:\n"
+            "[\n"
+            '  {"id": 1, "result": "your result here"},\n'
+            '  {"id": 2, "result": {"nested": "json object"}},\n'
+            "  ...\n"
+            '  {"id": '
+        ),
+        n_str,
+        F.lit(', "result": "your result here"}\n]\n\nJSON Array:'),
+    )
+
+
+def aggregate_batches(
+    df: DataFrame, batch_size: int, prompt_col: str = "prompt"
+) -> DataFrame:
+    """A1: rows → one row per batch with ``prompt`` = mega-prompt and
+    ``_row_ids`` = array of member row ids (position-aligned with batch ids
+    1..n)."""
+    if batch_size <= 1:
+        raise ValueError("batch_size must be > 1 for aggregation")
+    seq = with_global_index(df)
+    seq = seq.withColumn(BATCH_ID, (F.col("_seq") / batch_size).cast("long"))
+    items = (
+        seq.groupBy(BATCH_ID)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_seq"), F.col(ROW_ID), F.col(prompt_col).alias("p")))
+            ).alias("_items")
+        )
+    )
+    ids_json = F.to_json(
+        F.transform(
+            "_items",
+            lambda x, i: F.struct(
+                (i + 1).cast("int").alias("id"), x["p"].alias("input")
+            ),
+        )
+    )
+    n = F.size("_items")
+    return items.select(
+        F.col(BATCH_ID),
+        F.expr(f"transform(_items, x -> x.{ROW_ID})").alias("_row_ids"),
+        _mega_prompt_expr(ids_json, n).alias(prompt_col),
+    )
+
+
+# ------------------------------------------------------------ A2: parse back
+
+_ARRAY_RE = re.compile(r"\[(?:[^[\]]|\[(?:[^[\]]|\[[^\[\]]*\])*\])*\]", re.DOTALL)
+_OBJ_RE = re.compile(r"\{[^{}]*(?:\{[^{}]*\}[^{}]*)*\}", re.DOTALL)
+
+
+def parse_batch_response(response: str, expected: int) -> list:
+    """Port of the reference's batch response parser
+    (json_batch_strategy.py:101-240): regex-extract the JSON array (fence
+    tolerant), unwrap ``{"items": [...]}``, match by id when the id looks
+    like a 1-based batch index else by position, pad missing ids with None
+    (the reference pads with the string "null" then parses it to None).
+    Returns a list of ``expected`` result strings (or None)."""
+    out: list = [None] * expected
+    if not response:
+        return out
+    m = _ARRAY_RE.search(response)
+    text = m.group(0) if m else None
+    if text is None:
+        m = _OBJ_RE.search(response)
+        if m:
+            text = f"[{m.group(0)}]"
+    if text is None:
+        return out
+    try:
+        data = json.loads(text)
+    except json.JSONDecodeError:
+        return out
+    if isinstance(data, dict) and "items" in data:
+        data = data["items"]
+    if not isinstance(data, list):
+        return out
+    for idx, item in enumerate(data):
+        if not isinstance(item, dict):
+            if idx < expected:
+                out[idx] = _result_str(item)
+            continue
+        rid = item.get("id")
+        has_batch_id = (
+            rid is not None
+            and str(rid).isdigit()
+            and 1 <= int(rid) <= expected
+        )
+        if has_batch_id and "result" in item:
+            out[int(rid) - 1] = _result_str(item["result"])
+        elif has_batch_id:
+            rest = {k: v for k, v in item.items() if k != "id"}
+            out[int(rid) - 1] = _result_str(rest if rest else None)
+        else:
+            if idx < expected:
+                out[idx] = _result_str(item["result"] if "result" in item else item)
+    return out
+
+
+def _result_str(v) -> str | None:
+    if v is None:
+        return None
+    if isinstance(v, str):
+        return v
+    return json.dumps(v, separators=(",", ":"))
+
+
+def disaggregate_batches(batch_df: DataFrame) -> DataFrame:
+    """A2: one batch row (``_row_ids``, ``response_text``, token/cost cols)
+    → per-row frame (``_row_id``, ``response_text``) with the batch's
+    tokens/cost attributed to its first row (run totals stay exact, like the
+    reference attributing cost per API call)."""
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def parse(resp: pd.Series, n: pd.Series) -> pd.Series:
+        return pd.Series(
+            [parse_batch_response(r, int(k)) for r, k in zip(resp, n)]
+        )
+
+    n = F.size("_row_ids")
+    parsed = batch_df.withColumn("_results", parse(F.col("response_text"), n))
+    exploded = parsed.select(
+        F.col(BATCH_ID),
+        F.col("error"),
+        F.col("tokens_in"),
+        F.col("tokens_out"),
+        F.col("cost"),
+        F.col("latency_ms"),
+        F.col("resp_model"),
+        F.posexplode(F.arrays_zip("_row_ids", "_results")).alias("_pos", "_z"),
+    )
+    zcols = exploded.select("_z.*").columns  # arrays_zip field names
+    return exploded.select(
+        F.col(BATCH_ID),
+        F.col(f"_z.{zcols[0]}").alias(ROW_ID),
+        F.col(f"_z.{zcols[1]}").alias("response_text"),
+        F.when(F.col("_pos") == 0, F.col("tokens_in")).otherwise(F.lit(0)).alias("tokens_in"),
+        F.when(F.col("_pos") == 0, F.col("tokens_out")).otherwise(F.lit(0)).alias("tokens_out"),
+        F.when(F.col("_pos") == 0, F.col("cost")).otherwise(F.lit(None).cast("decimal(38,18)")).alias("cost"),
+        F.col("latency_ms"),
+        F.col("resp_model"),
+        F.col("error"),
+    )

@@ -1,0 +1,118 @@
+"""Run-level aggregates: quality report (A3), cost/token totals (A4),
+no-output guard (O10), failed-row selection (P6).
+
+Reference: ondine/core/models.py:262-355 (QualityReport),
+ondine/api/pipeline.py:1685-1823. Plain Spark aggregates — one pass, all
+map-side combinable.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from decimal import Decimal
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ondine_spark.core.specs import SKIPPED
+
+
+@dataclass
+class QualityReport:
+    total_rows: int
+    valid_rows: int
+    null_cells: int
+    empty_cells: int
+    skipped_cells: int
+    success_rate: float
+
+    @property
+    def quality_score(self) -> str:
+        if self.success_rate >= 0.99:
+            return "excellent"
+        if self.success_rate >= 0.95:
+            return "good"
+        if self.success_rate >= 0.80:
+            return "fair"
+        return "poor"
+
+
+@dataclass
+class RunStats:
+    rows: int
+    total_cost: Decimal
+    tokens_in: int
+    tokens_out: int
+    api_calls: int | None = None
+
+
+def _cell_is_empty(c):
+    col = F.col(c).cast("string")
+    return col.isNull() | (F.trim(col) == "") | (col == SKIPPED)
+
+
+def quality_report(df: DataFrame, output_cols: list[str]) -> QualityReport:
+    """One aggregate pass over the result frame."""
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in output_cols:
+        col = F.col(c).cast("string")
+        aggs.append(F.sum(F.when(col.isNull(), 1).otherwise(0)).alias(f"null_{c}"))
+        aggs.append(
+            F.sum(F.when(col.isNotNull() & (F.trim(col) == ""), 1).otherwise(0)).alias(
+                f"empty_{c}"
+            )
+        )
+        aggs.append(F.sum(F.when(col == SKIPPED, 1).otherwise(0)).alias(f"skip_{c}"))
+    all_valid = reduce(
+        lambda a, b: a & b, [~_cell_is_empty(c) for c in output_cols]
+    )
+    aggs.append(F.sum(F.when(all_valid, 1).otherwise(0)).alias("valid"))
+    row = df.agg(*aggs).collect()[0]
+    n = row["n"]
+    return QualityReport(
+        total_rows=n,
+        valid_rows=row["valid"],
+        null_cells=sum(row[f"null_{c}"] for c in output_cols),
+        empty_cells=sum(row[f"empty_{c}"] for c in output_cols),
+        skipped_cells=sum(row[f"skip_{c}"] for c in output_cols),
+        success_rate=(row["valid"] / n) if n else 0.0,
+    )
+
+
+def run_stats(df: DataFrame) -> RunStats:
+    """A4: cost/token totals. Cost stays Decimal end-to-end."""
+    cols = set(df.columns)
+    aggs = [F.count(F.lit(1)).alias("n")]
+    if "cost" in cols:
+        aggs.append(F.sum("cost").alias("cost"))
+    if "tokens_in" in cols:
+        aggs.append(F.sum("tokens_in").alias("tin"))
+        aggs.append(F.sum("tokens_out").alias("tout"))
+    row = df.agg(*aggs).collect()[0]
+    d = row.asDict()
+    return RunStats(
+        rows=d["n"],
+        total_cost=Decimal(d.get("cost") or 0),
+        tokens_in=int(d.get("tin") or 0),
+        tokens_out=int(d.get("tout") or 0),
+    )
+
+
+def failed_rows(df: DataFrame, output_cols: list[str]) -> DataFrame:
+    """P6: rows where ALL output cells are null/empty/skipped
+    (reference: ondine/api/pipeline.py:1794-1823) — the auto-retry set."""
+    cond = reduce(lambda a, b: a & b, [_cell_is_empty(c) for c in output_cols])
+    return df.filter(cond)
+
+
+def assert_some_output(report: QualityReport, stats: RunStats) -> None:
+    """O10 no-output guard (reference: ondine/api/pipeline.py:1685-1739)."""
+    if report.valid_rows == 0 and (
+        report.skipped_cells > 0 or stats.tokens_out == 0
+    ):
+        raise RuntimeError(
+            "pipeline produced no valid outputs "
+            f"({report.total_rows} rows, {report.skipped_cells} skipped cells, "
+            f"{stats.tokens_out} output tokens)"
+        )

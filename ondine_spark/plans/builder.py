@@ -1,0 +1,184 @@
+"""PipelineBuilder — fluent construction of a PipelineSpec.
+
+Mirrors the reference's builder surface
+(reference: ondine/api/pipeline_builder.py:81-1760) with the subset of
+methods that have engine meaning on Spark; config-only methods map 1:1 onto
+spec fields.
+"""
+
+from __future__ import annotations
+
+from decimal import Decimal
+from typing import Any, Callable
+
+from pyspark.sql import SparkSession
+
+from ondine_spark.core.specs import (
+    DatasetSpec,
+    ErrorPolicy,
+    LLMSpec,
+    MergeStrategy,
+    OutputSpec,
+    PipelineSpec,
+    ProcessingSpec,
+    PromptSpec,
+    ResponseFormat,
+)
+
+
+class PipelineBuilder:
+    def __init__(self, spark: SparkSession | None = None):
+        self._spec = PipelineSpec()
+        self._spark = spark
+
+    # ------------------------------------------------------------- sources
+    def from_csv(self, path: str, input_columns: list[str], *, delimiter=",",
+                 encoding="utf-8", id_column=None) -> "PipelineBuilder":
+        d = self._spec.dataset
+        d.source, d.format, d.input_columns = path, "csv", list(input_columns)
+        d.delimiter, d.encoding, d.id_column = delimiter, encoding, id_column
+        return self
+
+    def from_parquet(self, path: str, input_columns: list[str], *, id_column=None):
+        d = self._spec.dataset
+        d.source, d.format, d.input_columns = path, "parquet", list(input_columns)
+        d.id_column = id_column
+        return self
+
+    def from_json(self, path: str, input_columns: list[str], *, id_column=None):
+        d = self._spec.dataset
+        d.source, d.format, d.input_columns = path, "json", list(input_columns)
+        d.id_column = id_column
+        return self
+
+    def from_excel(self, path: str, input_columns: list[str], *, sheet_name=0,
+                   id_column=None):
+        d = self._spec.dataset
+        d.source, d.format, d.input_columns = path, "excel", list(input_columns)
+        d.sheet_name, d.id_column = sheet_name, id_column
+        return self
+
+    def from_dataframe(self, df: Any, input_columns: list[str] | None = None, *,
+                       id_column=None):
+        d = self._spec.dataset
+        d.source = df
+        d.input_columns = list(input_columns) if input_columns else []
+        d.id_column = id_column
+        return self
+
+    def with_filters(self, filters: dict[str, Any]):
+        self._spec.dataset.filters = dict(filters)
+        return self
+
+    # -------------------------------------------------------------- prompt
+    def with_prompt(self, template: str, output_columns: list[str]):
+        self._spec.prompt.template = template
+        self._spec.dataset.output_columns = list(output_columns)
+        if len(output_columns) > 1 and self._spec.prompt.response_format == ResponseFormat.RAW:
+            # reference auto-selects the JSON parser for multi-column output
+            # (ondine/api/quick.py)
+            self._spec.prompt.response_format = ResponseFormat.JSON
+        if not self._spec.dataset.input_columns:
+            from ondine_spark.core.specs import template_placeholders
+
+            self._spec.dataset.input_columns = template_placeholders(template)
+        return self
+
+    def with_system_prompt(self, system: str):
+        self._spec.prompt.system_message = system
+        return self
+
+    def with_few_shot_examples(self, examples: list[dict]):
+        self._spec.prompt.few_shot_examples = list(examples)
+        return self
+
+    def with_jinja2(self, enabled: bool = True):
+        self._spec.prompt.use_jinja2 = enabled
+        return self
+
+    def with_batch_size(self, n: int):
+        self._spec.prompt.batch_size = n
+        return self
+
+    def with_parser(self, response_format: str | ResponseFormat,
+                    regex_patterns: dict[str, str] | None = None):
+        self._spec.prompt.response_format = ResponseFormat(response_format)
+        self._spec.prompt.regex_patterns = regex_patterns
+        return self
+
+    # ----------------------------------------------------------------- llm
+    def with_llm(self, model: str, *, input_cost_per_1k=None, output_cost_per_1k=None):
+        self._spec.llm.model = model
+        if input_cost_per_1k is not None:
+            self._spec.llm.input_cost_per_1k = Decimal(str(input_cost_per_1k))
+        if output_cost_per_1k is not None:
+            self._spec.llm.output_cost_per_1k = Decimal(str(output_cost_per_1k))
+        return self
+
+    def with_custom_llm_client(self, factory: Callable[[], Any]):
+        """U3: user client factory, built once per executor worker."""
+        self._spec.llm.client_factory = factory
+        return self
+
+    # ------------------------------------------------------------- control
+    def with_concurrency(self, n: int):
+        self._spec.processing.concurrency = n
+        return self
+
+    def with_max_retries(self, n: int):
+        self._spec.processing.max_retries = n
+        return self
+
+    def with_rate_limit(self, rpm: int):
+        self._spec.processing.rate_limit_rpm = rpm
+        return self
+
+    def with_error_policy(self, policy: str | ErrorPolicy, default_value=None):
+        self._spec.processing.error_policy = ErrorPolicy(policy)
+        self._spec.processing.default_value = default_value
+        return self
+
+    def with_max_budget(self, budget) -> "PipelineBuilder":
+        self._spec.processing.max_budget = Decimal(str(budget))
+        return self
+
+    def with_checkpoint_dir(self, path: str, session_id: str | None = None):
+        self._spec.processing.checkpoint_dir = path
+        self._spec.processing.session_id = session_id or "default"
+        return self
+
+    def with_preprocessing(self, max_length: int = 500):
+        self._spec.processing.preprocess = True
+        self._spec.processing.preprocess_max_length = max_length
+        return self
+
+    def with_auto_retry(self, max_retries: int = 3):
+        self._spec.processing.auto_retry_failed = True
+        self._spec.processing.max_auto_retries = max_retries
+        return self
+
+    # -------------------------------------------------------------- output
+    def with_output(self, path: str, *, format=None, merge_strategy="replace",
+                    mode="overwrite"):
+        self._spec.output = OutputSpec(
+            path=path, format=format,
+            merge_strategy=MergeStrategy(merge_strategy), mode=mode,
+        )
+        return self
+
+    def to_csv(self, path: str):
+        return self.with_output(path, format="csv")
+
+    def to_parquet(self, path: str):
+        return self.with_output(path, format="parquet")
+
+    # --------------------------------------------------------------- build
+    def build(self):
+        from ondine_spark.plans.pipeline import Pipeline
+
+        self._spec.validate()
+        return Pipeline(self._spec, self._spark)
+
+    @property
+    def spec(self) -> PipelineSpec:
+        return self._spec

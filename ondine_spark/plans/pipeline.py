@@ -1,0 +1,243 @@
+"""Pipeline: compiles a PipelineSpec into a lazy DataFrame plan.
+
+The reference hand-orders an imperative stage list
+(reference: ondine/api/pipeline.py:626-927). Here the spec compiles to ONE
+declarative DataFrame chain and Catalyst owns physical planning — column
+pruning, filter pushdown into the scan, and whole-stage codegen around the
+two Python hops (LLM invoke; JSON parse). Stage order preserved:
+
+  load → preprocess? → resume-filter? → prompt → [aggregate → invoke →
+  disaggregate | invoke] → parse → merge → write?
+
+Unbatched runs never join: output columns are computed in place on the
+input frame. Batched runs join the disaggregated responses back on
+``_row_id`` (the result side is the same cardinality, hash join on a
+compact key).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ondine_spark.core.specs import (
+    ErrorPolicy,
+    MergeStrategy,
+    PipelineSpec,
+    ResponseFormat,
+)
+from ondine_spark.functions.parsing import apply_parser
+from ondine_spark.functions.preprocessing import preprocess_udf
+from ondine_spark.functions.templates import prompt_column
+from ondine_spark.llm.invoke import invoke_llm
+from ondine_spark.operators.batching import aggregate_batches, disaggregate_batches
+from ondine_spark.operators.merge import merge_results, patch_retried_rows
+from ondine_spark.operators.quality import (
+    QualityReport,
+    RunStats,
+    assert_some_output,
+    failed_rows,
+    quality_report,
+    run_stats,
+)
+from ondine_spark.sources.readers import ROW_ID, infer_format, load_dataset
+
+RESPONSE_META = ["response_text", "tokens_in", "tokens_out", "resp_model",
+                 "cost", "latency_ms", "error"]
+
+
+@dataclass
+class ExecutionResult:
+    """Result facade (reference shape: ondine/core/models.py:143-230)."""
+
+    data: DataFrame
+    stats: RunStats
+    quality: QualityReport
+    api_calls: int | None = None
+    errors: list = field(default_factory=list)
+
+    def to_pandas(self):
+        return self.data.toPandas()
+
+
+class Pipeline:
+    def __init__(self, spec: PipelineSpec, spark: SparkSession | None = None):
+        self.spec = spec
+        self.spark = spark or SparkSession.getActiveSession() or _default_session()
+        self._call_counter = None
+
+    # ---------------------------------------------------------------- plan
+
+    def input_frame(self) -> DataFrame:
+        df = load_dataset(self.spark, self.spec.dataset)
+        if self.spec.processing.preprocess:
+            clean = preprocess_udf(self.spec.processing.preprocess_max_length)
+            for c in self.spec.dataset.input_columns:
+                df = df.withColumn(c, clean(F.col(c).cast("string")))
+        return df
+
+    def response_frame(self, df: DataFrame | None = None) -> DataFrame:
+        """Input rows → rows + response columns (pre-parse)."""
+        spec = self.spec
+        if df is None:
+            df = self.input_frame()
+        if spec.processing.session_id and spec.processing.checkpoint_dir:
+            from ondine_spark.sources.cache import resume_filter
+
+            df, cached = resume_filter(
+                df, spec.processing.checkpoint_dir, spec.processing.session_id
+            )
+            self._cached_responses = cached
+        else:
+            self._cached_responses = None
+
+        df = df.withColumn(
+            "prompt",
+            prompt_column(
+                spec.prompt.template,
+                spec.prompt.use_jinja2,
+                spec.prompt.few_shot_examples,
+            ),
+        )
+        self._call_counter = self.spark.sparkContext.accumulator(0)
+        if spec.prompt.batch_size > 1:
+            batches = aggregate_batches(df, spec.prompt.batch_size)
+            invoked = invoke_llm(
+                batches, spec.llm, spec.processing,
+                system_message=spec.prompt.system_message,
+                call_counter=self._call_counter,
+            )
+            responses = disaggregate_batches(invoked)
+            keep = [c for c in df.columns if c != "prompt"]
+            out = df.select(*keep).join(responses, on=ROW_ID, how="left")
+        else:
+            out = invoke_llm(
+                df, spec.llm, spec.processing,
+                system_message=spec.prompt.system_message,
+                call_counter=self._call_counter,
+            ).drop("prompt")
+        if self._cached_responses is not None:
+            out = out.unionByName(self._cached_responses, allowMissingColumns=True)
+        return out
+
+    def result_frame(self, df: DataFrame | None = None) -> DataFrame:
+        """Full plan: responses parsed into output columns, meta dropped."""
+        spec = self.spec
+        responses = self.response_frame(df)
+        parsed = apply_parser(
+            responses,
+            spec.dataset.output_columns,
+            spec.prompt.response_format.value
+            if isinstance(spec.prompt.response_format, ResponseFormat)
+            else spec.prompt.response_format,
+            spec.prompt.regex_patterns,
+        )
+        return parsed
+
+    # ------------------------------------------------------------- execute
+
+    def execute(self) -> ExecutionResult:
+        spec = self.spec
+        spec.validate()
+        result = self.result_frame()
+
+        if spec.processing.session_id and spec.processing.checkpoint_dir:
+            from ondine_spark.sources.cache import write_responses
+
+            write_responses(
+                result, spec.processing.checkpoint_dir, spec.processing.session_id
+            )
+
+        out_cols = spec.dataset.output_columns
+        if spec.processing.auto_retry_failed:
+            result = self._auto_retry(result, out_cols)
+
+        result = result.drop(*[c for c in RESPONSE_META if c != "cost"] )
+        # persist before the multiple aggregate passes + user consumption
+        result = result.persist()
+        stats = run_stats(result)
+        report = quality_report(result, out_cols)
+        assert_some_output(report, stats)
+        if spec.processing.max_budget is not None and stats.total_cost > spec.processing.max_budget:
+            # batch-mode budget is enforced pre-run via estimate and
+            # post-run here; hard mid-run stop happens at micro-batch
+            # boundaries in the streaming runner (SURVEY.md §4 hard-part 2).
+            self.errors = [f"budget exceeded: {stats.total_cost}"]
+        final = result.drop("cost")
+
+        if spec.output and spec.output.path:
+            write_output(final.drop(ROW_ID), spec.output)
+        return ExecutionResult(
+            data=final,
+            stats=stats,
+            quality=report,
+            api_calls=self._call_counter.value if self._call_counter else None,
+        )
+
+    def _auto_retry(self, result: DataFrame, out_cols: list[str]) -> DataFrame:
+        """O9: re-run the plan for rows whose every output cell failed
+        (≤ max_auto_retries rounds; reference: ondine/api/pipeline.py:1741-1879)."""
+        for _ in range(self.spec.processing.max_auto_retries):
+            failed = failed_rows(result, out_cols)
+            failed_inputs = failed.select(
+                *[c for c in failed.columns if c not in out_cols and c not in RESPONSE_META]
+            )
+            if not failed_inputs.take(1):
+                break
+            retried = self.result_frame(failed_inputs)
+            result = patch_retried_rows(
+                result, retried.select(ROW_ID, *out_cols), out_cols
+            )
+        return result
+
+    def estimate_cost(self, sample: int = 10) -> dict:
+        """O12: sample → invoke → scale ×(N/sample)
+        (reference: ondine/api/pipeline.py:224-269)."""
+        df = self.input_frame().persist()
+        n = df.count()
+        head = df.limit(sample)
+        sampled = self.response_frame(head)
+        s = run_stats(sampled)
+        k = max(1, s.rows)
+        df.unpersist()
+        return {
+            "rows": n,
+            "estimated_cost": s.total_cost / k * n,
+            "estimated_tokens_in": s.tokens_in * n // k,
+            "estimated_tokens_out": s.tokens_out * n // k,
+            "confidence": "sample-based",
+        }
+
+
+def write_output(df: DataFrame, output) -> None:
+    """S8 result sink: format by suffix; Spark's commit protocol already
+    gives atomic visibility (reference flag: specifications.py:533-541)."""
+    fmt = infer_format(output.path, output.format)
+    writer = df.write.mode(output.mode)
+    if fmt == "csv":
+        writer.option("header", "true").csv(output.path)
+    elif fmt == "parquet":
+        writer.parquet(output.path)
+    elif fmt == "json":
+        writer.json(output.path)
+    else:
+        raise ValueError(f"unsupported output format: {fmt}")
+
+
+def _default_session() -> SparkSession:
+    import os
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("ondine_spark")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .getOrCreate()
+    )

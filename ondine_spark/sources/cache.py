@@ -1,0 +1,75 @@
+"""Durable response cache + resume (O7 / J5 / P5).
+
+The reference persists every completed row to SQLite and resumes by
+replaying the cache and skipping cached rows
+(reference: ondine/adapters/response_cache.py, ondine/api/pipeline.py:1128-1202).
+
+Spark-first: the cache is an append-only parquet table partitioned by
+``session_id``; resume is a broadcast-able LEFT ANTI join on ``_row_id``
+(zero LLM re-invocations for cached rows — the BASELINE crash test).
+Durability granularity is the task/micro-batch, Spark's atomic commit unit
+(the reference accepts the same trade in its own streaming mode,
+SURVEY.md §2.11 T5); the streaming runner keeps micro-batches small so an
+interrupted run loses at most one micro-batch of *work*, never *data*.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ondine_spark.sources.readers import ROW_ID
+
+CACHE_COLS = ["response_text", "tokens_in", "tokens_out", "resp_model",
+              "cost", "latency_ms", "error"]
+
+
+def _cache_path(checkpoint_dir: str) -> str:
+    return os.path.join(checkpoint_dir, "responses")
+
+
+def read_cache(spark, checkpoint_dir: str, session_id: str) -> DataFrame | None:
+    path = _cache_path(checkpoint_dir)
+    try:
+        df = spark.read.parquet(path)
+    except Exception:
+        return None
+    return (
+        df.filter(F.col("session_id") == session_id)
+        .drop("session_id")
+        .dropDuplicates([ROW_ID])
+    )
+
+
+def resume_filter(
+    df: DataFrame, checkpoint_dir: str, session_id: str
+) -> tuple[DataFrame, DataFrame | None]:
+    """Split input into (rows still to process, cached response rows).
+
+    The cached side carries the input columns too (replayed from the cache
+    table) so it can union with freshly-invoked rows downstream.
+    """
+    cached = read_cache(df.sparkSession, checkpoint_dir, session_id)
+    if cached is None:
+        return df, None
+    cached_ids = cached.select(ROW_ID).distinct()
+    todo = df.join(F.broadcast(cached_ids), on=ROW_ID, how="left_anti")
+    # reattach input columns to cached responses by joining back to input
+    replay = df.join(cached, on=ROW_ID, how="inner")
+    return todo, replay
+
+
+def write_responses(
+    result: DataFrame, checkpoint_dir: str, session_id: str
+) -> None:
+    """Append this run's responses for ``session_id``. Idempotent per row:
+    readers de-dup on ``_row_id`` keeping the first seen."""
+    cols = [ROW_ID] + [c for c in CACHE_COLS if c in result.columns]
+    out = result.select(*cols).withColumn("session_id", F.lit(session_id))
+    (
+        out.write.mode("append")
+        .partitionBy("session_id")
+        .parquet(_cache_path(checkpoint_dir))
+    )

@@ -1,0 +1,113 @@
+"""End-to-end spine: scan → prompt → mock LLM → parse → merge.
+
+Mirrors the reference's mocked-LLM use-case tests
+(reference: tests/verification/test_verify_use_cases.py).
+"""
+
+import math
+from decimal import Decimal
+
+import pytest
+
+from ondine_spark import PipelineBuilder, mock_client_factory
+from ondine_spark.core.specs import SKIPPED
+
+
+REVIEWS = [
+    {"review_id": f"r{i}", "review": text}
+    for i, text in enumerate(
+        [
+            "This product is great and works well",
+            "Terrible quality, broke after a day",
+            "It is okay, nothing special",
+            "Excellent build, love it",
+            "Bad experience with poor support",
+            "Average product for the price",
+        ]
+    )
+]
+
+
+def _pipeline(spark, **kw):
+    b = (
+        PipelineBuilder(spark)
+        .from_dataframe(spark.createDataFrame(REVIEWS), ["review"], id_column="review_id")
+        .with_prompt("Classify the sentiment of this review: {review}", ["sentiment"])
+        .with_custom_llm_client(mock_client_factory())
+    )
+    for k, v in kw.items():
+        getattr(b, f"with_{k}")(v)
+    return b.build()
+
+
+EXPECTED = ["positive", "negative", "neutral", "positive", "negative", "neutral"]
+
+
+def test_unbatched_end_to_end(spark):
+    res = _pipeline(spark).execute()
+    rows = {r["review_id"]: r["sentiment"] for r in res.data.collect()}
+    assert [rows[f"r{i}"] for i in range(6)] == EXPECTED
+    assert res.api_calls == 6
+    assert res.stats.total_cost > Decimal("0")
+    assert res.quality.valid_rows == 6
+    assert res.quality.success_rate == 1.0
+
+
+def test_batched_matches_unbatched(spark):
+    res = _pipeline(spark, batch_size=4).execute()
+    rows = {r["review_id"]: r["sentiment"] for r in res.data.collect()}
+    assert [rows[f"r{i}"] for i in range(6)] == EXPECTED
+    assert res.api_calls == math.ceil(6 / 4)
+
+
+def test_error_policy_skip(spark):
+    factory = mock_client_factory(fail_every=2, fail_times=10)
+    b = (
+        PipelineBuilder(spark)
+        .from_dataframe(spark.createDataFrame(REVIEWS), ["review"], id_column="review_id")
+        .with_prompt("Classify: {review}", ["sentiment"])
+        .with_custom_llm_client(factory)
+        .with_max_retries(0)
+        .with_error_policy("skip")
+    )
+    res = b.build().execute()
+    vals = [r["sentiment"] for r in res.data.collect()]
+    assert None in vals  # skipped rows parse to null
+    assert res.quality.valid_rows < 6
+
+
+def test_retry_recovers(spark):
+    # every 3rd call fails once, then succeeds on retry
+    factory = mock_client_factory(fail_every=3, fail_times=1)
+    b = (
+        PipelineBuilder(spark)
+        .from_dataframe(spark.createDataFrame(REVIEWS), ["review"], id_column="review_id")
+        .with_prompt("Classify: {review}", ["sentiment"])
+        .with_custom_llm_client(factory)
+        .with_max_retries(3)
+    )
+    b.spec.processing.retry_base_delay = 0.01
+    res = b.build().execute()
+    assert res.quality.valid_rows == 6
+
+
+def test_multi_column_json_output(spark):
+    factory = mock_client_factory(json_fields=("sentiment", "n_words"))
+    b = (
+        PipelineBuilder(spark)
+        .from_dataframe(spark.createDataFrame(REVIEWS), ["review"], id_column="review_id")
+        .with_prompt("Classify: {review}", ["sentiment", "n_words"])
+        .with_custom_llm_client(factory)
+    )
+    res = b.build().execute()
+    row = {r["review_id"]: r for r in res.data.collect()}
+    assert row["r0"]["sentiment"] == "positive"
+    assert row["r0"]["n_words"] is not None
+
+
+def test_estimate_cost(spark):
+    p = _pipeline(spark)
+    est = p.estimate_cost(sample=3)
+    assert est["rows"] == 6
+    assert est["estimated_cost"] > Decimal("0")
+    assert est["confidence"] == "sample-based"

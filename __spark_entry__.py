@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes one entry per implemented operator from SURVEY.md §2
+(plus the training-data-pipeline operators); ``oracle_sql()`` gives the
+DuckDB-runnable ANSI-SQL equivalent for every deterministic operator. The
+deterministic mock LLM client's rule semantics are SQL-expressible by
+design, so the full pipeline spine (scan → prompt → LLM → parse → merge)
+is oracle-checked end-to-end, not just the relational fragments.
 """
 
 from __future__ import annotations
@@ -12,27 +13,648 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# --------------------------------------------------------------------------
+# shared fixtures: the deterministic mock "LLM" rules — first matching
+# keyword (case-insensitive substring of the prompt) wins; CASE order in the
+# oracle mirrors rule order.
+RULES = (("window", "analytics"), ("join", "relational"), ("stream", "streaming"))
+DEFAULT_LABEL = "other"
+TEMPLATE = "Classify this document: {text}"
+
+_CASE = (
+    "CASE "
+    + " ".join(
+        f"WHEN contains(lower(text), '{kw}') THEN '{label}'" for kw, label in RULES
+    )
+    + f" ELSE '{DEFAULT_LABEL}' END"
+)
+
+# whitespace token count of a string, Python str.split() parity
+_TOKS = "len(regexp_extract_all({col}, '\\S+'))"
+# 60-bit md5 prefix as BIGINT — portable hash contract (see
+# ondine_spark/functions/similarity.py:md5_long)
+_MD5L = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _mock_factory():
+    from ondine_spark import DeterministicMockClient
+
+    return DeterministicMockClient(rules=RULES, default=DEFAULT_LABEL)
+
+
+def _mock_json_factory():
+    from ondine_spark import DeterministicMockClient
+
+    return DeterministicMockClient(
+        rules=RULES, default=DEFAULT_LABEL, json_fields=("label", "n_words")
+    )
+
+
+def _enrich_pipeline(spark, sf_dir, batch_size=1, json_fields=False):
+    from ondine_spark import PipelineBuilder
+
+    factory = _mock_json_factory if json_fields else _mock_factory
+    out_cols = ["label", "n_words"] if json_fields else ["sentiment"]
+    b = (
+        PipelineBuilder(spark)
+        .from_dataframe(_docs(spark, sf_dir), ["text"], id_column="doc_id")
+        .with_prompt(TEMPLATE, out_cols)
+        .with_custom_llm_client(factory)
+        .with_concurrency(16)
+    )
+    if batch_size > 1:
+        b.with_batch_size(batch_size)
+    return b.build()
+
+
+def _enrich_result(spark, sf_dir, batch_size=1, json_fields=False):
+    p = _enrich_pipeline(spark, sf_dir, batch_size, json_fields)
+    out = ["label", "n_words"] if json_fields else ["sentiment"]
+    return p.result_frame().select("doc_id", *out)
+
+
+# --------------------------------------------------------------------------
+# queries
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the batched enrichment spine at sf0.001 — scan → prompt →
+    N:1 mega-batched mock-LLM calls → disaggregate → parse → merge."""
+    return _enrich_result(spark, "/root/testdata/sf0.001", batch_size=25)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from ondine_spark.functions.templates import render_format_template
+    from ondine_spark.functions.preprocessing import preprocess_udf
+    from ondine_spark.functions.similarity import cosine
+    from ondine_spark.operators import text_analysis as ta
+    from ondine_spark.operators.dedup import (
+        exact_dedup,
+        minhash_signature,
+        ngram_jaccard_pairs,
+        simhash_pairs,
+    )
+    from ondine_spark.operators.merge import merge_results
+    from ondine_spark.operators.similarity_search import brute_force_topk
+    from ondine_spark.core.specs import MergeStrategy
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # ---- pipeline spine (LLM path under deterministic mock client) ------
+
+    def q_enrich_sentiment(spark, sf_dir):
+        return _enrich_result(spark, sf_dir, batch_size=1)
+
+    def q_enrich_batched(spark, sf_dir):
+        return _enrich_result(spark, sf_dir, batch_size=25)
+
+    def q_enrich_json_multicol(spark, sf_dir):
+        return _enrich_result(spark, sf_dir, batch_size=1, json_fields=True)
+
+    def q_enrich_cost_agg(spark, sf_dir):
+        p = _enrich_pipeline(spark, sf_dir, batch_size=1)
+        resp = p.result_frame()
+        return resp.groupBy("sentiment").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("tokens_in").alias("tokens_in_total"),
+            F.sum("tokens_out").alias("tokens_out_total"),
+            F.sum("cost").cast("double").alias("cost_total"),
+        )
+
+    def q_prompt_render(spark, sf_dir):
+        return _docs(spark, sf_dir).select(
+            "doc_id",
+            render_format_template("Summarize: {text} [lang={lang}]").alias("prompt"),
+        )
+
+    def q_preprocess_truncate(spark, sf_dir):
+        clean = preprocess_udf(max_length=200)
+        return _docs(spark, sf_dir).select(
+            "doc_id", clean(F.col("text")).alias("clean_text")
+        )
+
+    # ---- merge / resume / contradiction (J1/J5/A6) -----------------------
+
+    def q_merge_update(spark, sf_dir):
+        docs = _docs(spark, sf_dir)
+        from ondine_spark.sources.readers import ROW_ID
+
+        original = docs.select(
+            F.col("doc_id").cast("string").alias(ROW_ID),
+            "doc_id",
+            F.when(F.col("doc_id") % 3 == 0, F.lit(None)).otherwise(F.col("lang")).alias("lang"),
+        )
+        results = docs.select(
+            F.col("doc_id").cast("string").alias(ROW_ID), F.lit("xx").alias("lang")
+        )
+        merged = merge_results(original, results, ["lang"], MergeStrategy.UPDATE)
+        return merged.select("doc_id", "lang")
+
+    def q_resume_anti_join(spark, sf_dir):
+        docs = _docs(spark, sf_dir)
+        cached_ids = docs.filter(F.col("doc_id") % 5 == 0).select("doc_id")
+        todo = docs.join(F.broadcast(cached_ids), on="doc_id", how="left_anti")
+        return todo.select("doc_id", "lang")
+
+    def q_contradiction_groups(spark, sf_dir):
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        return orders.groupBy("o_custkey").agg(
+            F.size(F.collect_set("o_orderstatus")).alias("n_status"),
+            (F.size(F.collect_set("o_orderstatus")) > 1).alias("contradiction"),
+        )
+
+    # ---- text analysis ----------------------------------------------------
+
+    def q_text_stats(spark, sf_dir):
+        t = F.col("text")
+        return _docs(spark, sf_dir).select(
+            "doc_id",
+            ta.token_count_ws(t).alias("tok_ws"),
+            ta.token_count_bpe(t).alias("tok_bpe"),
+            ta.estimate_llm_tokens(t).alias("est_llm_tokens"),
+            ta.stopword_hits(t).alias("sw_hits"),
+            ta.quality_score(t).alias("quality"),
+        )
+
+    def q_lang_id(spark, sf_dir):
+        return _docs(spark, sf_dir).select(
+            "doc_id", ta.lang_id(F.col("text")).alias("lang_pred")
+        )
+
+    def q_fingerprints(spark, sf_dir):
+        t = F.col("text")
+        return _docs(spark, sf_dir).select(
+            "doc_id",
+            ta.fingerprint_exact(t).alias("fp_exact"),
+            ta.fingerprint_rolling(t, 8).alias("fp_roll"),
+        )
+
+    # ---- dedup ------------------------------------------------------------
+
+    def q_dedup_exact(spark, sf_dir):
+        docs = _docs(spark, sf_dir).withColumn(
+            "bucket", F.floor(F.col("n_chars") / 100)
+        )
+        return exact_dedup(docs, ["lang", "bucket"], "doc_id").select(
+            "doc_id", "lang", "bucket"
+        )
+
+    def q_jaccard_pairs(spark, sf_dir):
+        return ngram_jaccard_pairs(
+            _docs(spark, sf_dir), "doc_id", "text", n=3, threshold=0.05,
+            max_shingle_freq=None,
+        )
+
+    def q_minhash_sigs(spark, sf_dir):
+        sig = minhash_signature(_docs(spark, sf_dir), "doc_id", "text", num_hashes=8)
+        return sig.select(
+            F.col("_id").alias("doc_id"),
+            *[F.col("sig")[i].alias(f"h{i}") for i in range(8)],
+        )
+
+    def q_simhash_pairs(spark, sf_dir):
+        return simhash_pairs(_docs(spark, sf_dir), "doc_id", "text", max_hamming=3)
+
+    # ---- embedding similarity ----------------------------------------------
+
+    def _emb(spark, sf_dir):
+        e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        return e.select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+            "label",
+        )
+
+    def q_embedding_topk(spark, sf_dir):
+        emb = _emb(spark, sf_dir)
+        queries_df = emb.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        res = brute_force_topk(emb, queries_df, k=5)
+        return res.select(
+            "query_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim_r"), "rank"
+        )
+
+    def q_embedding_sim_pairs(spark, sf_dir):
+        emb = _emb(spark, sf_dir)
+        a = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("_va"))
+        b = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("_vb"))
+        pairs = (
+            a.crossJoin(b)
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b", cosine(F.col("_va"), F.col("_vb")).alias("cos_sim"))
+            .filter(F.col("cos_sim") >= 0.5)
+        )
+        return pairs.select("a", "b", F.round("cos_sim", 6).alias("cos_sim_r"))
+
+    # ---- relational / window / streaming-parity ops ------------------------
+
+    def _events(spark, sf_dir):
+        # the events table stores TIMESTAMP(NANOS) which Spark's parquet
+        # reader rejects by default; read nanos as long and convert.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+    def q_filter_select_events(spark, sf_dir):
+        ev = _events(spark, sf_dir)
+        return ev.filter(
+            (F.col("event_type") == "purchase") & (F.col("value") > 50)
+        ).select("event_id", "user_id", "value")
+
+    def q_topk_orders(spark, sf_dir):
+        from pyspark.sql import Window
+
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        return (
+            orders.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 20)
+            .select("o_orderkey", "o_totalprice", "rank")
+        )
+
+    def q_rrf_fusion(spark, sf_dir):
+        from pyspark.sql import Window
+
+        cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        w1 = Window.orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+        w2 = Window.orderBy(F.asc("c_name"), F.asc("c_custkey"))
+        r1 = cust.select("c_custkey", F.row_number().over(w1).alias("r")).limit(100)
+        r2 = cust.select("c_custkey", F.row_number().over(w2).alias("r")).limit(100)
+        fused = (
+            r1.unionByName(r2)
+            .groupBy("c_custkey")
+            .agg(F.sum(1.0 / (60.0 + F.col("r"))).alias("rrf_score"))
+        )
+        w = Window.orderBy(F.desc("rrf_score"), F.asc("c_custkey"))
+        return (
+            fused.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 10)
+            .select("c_custkey", F.round("rrf_score", 9).alias("rrf_score_r"), "rank")
+        )
+
+    def q_window_chunking(spark, sf_dir):
+        from pyspark.sql import Window
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        w = Window.orderBy("l_orderkey", "l_linenumber")
+        chunked = li.withColumn(
+            "batch_id", F.floor((F.row_number().over(w) - 1) / 1000)
+        )
+        return chunked.groupBy("batch_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double").alias("sum_qty"),
+        )
+
+    def q_events_hourly(spark, sf_dir):
+        ev = _events(spark, sf_dir)
+        return ev.groupBy(
+            F.date_trunc("hour", "ts").alias("ts_hour"), "event_type"
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+
+    def q_revenue_by_nation(spark, sf_dir):
+        cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+            "decimal(18,6)"
+        )
+        return (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(cust, orders.o_custkey == cust.c_custkey)
+            .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+            .groupBy("n_name")
+            .agg(
+                F.sum(rev).cast("double").alias("revenue"),
+                F.count(F.lit(1)).alias("n_items"),
+            )
+        )
+
+    return {
+        "enrich_sentiment": q_enrich_sentiment,
+        "enrich_batched": q_enrich_batched,
+        "enrich_json_multicol": q_enrich_json_multicol,
+        "enrich_cost_agg": q_enrich_cost_agg,
+        "prompt_render": q_prompt_render,
+        "preprocess_truncate": q_preprocess_truncate,
+        "merge_update": q_merge_update,
+        "resume_anti_join": q_resume_anti_join,
+        "contradiction_groups": q_contradiction_groups,
+        "text_stats": q_text_stats,
+        "lang_id": q_lang_id,
+        "fingerprints": q_fingerprints,
+        "dedup_exact": q_dedup_exact,
+        "jaccard_pairs": q_jaccard_pairs,
+        "minhash_sigs": q_minhash_sigs,
+        "simhash_pairs": q_simhash_pairs,
+        "embedding_topk": q_embedding_topk,
+        "embedding_sim_pairs": q_embedding_sim_pairs,
+        "filter_select_events": q_filter_select_events,
+        "topk_orders": q_topk_orders,
+        "rrf_fusion": q_rrf_fusion,
+        "window_chunking": q_window_chunking,
+        "events_hourly": q_events_hourly,
+        "revenue_by_nation": q_revenue_by_nation,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    toks_text = _TOKS.format(col="text")
+
+    enrich = f"SELECT doc_id, {_CASE} AS sentiment FROM documents"
+
+    sql: dict[str, str] = {
+        "enrich_sentiment": enrich,
+        "enrich_batched": enrich,
+        "enrich_json_multicol": (
+            f"SELECT doc_id, {_CASE} AS label, "
+            f"(3 + {toks_text})::VARCHAR AS n_words FROM documents"
+        ),
+        "enrich_cost_agg": f"""
+            WITH resp AS (
+              SELECT {_CASE} AS sentiment,
+                     3 + {toks_text} AS tin,
+                     1 AS tout
+              FROM documents
+            )
+            SELECT sentiment, count(*) AS n,
+                   sum(tin)::BIGINT AS tokens_in_total,
+                   sum(tout)::BIGINT AS tokens_out_total,
+                   sum(tin * 5 + tout * 15)::DOUBLE / 1e7 AS cost_total
+            FROM resp GROUP BY sentiment
+        """,
+        "prompt_render": (
+            "SELECT doc_id, 'Summarize: ' || coalesce(text,'') || ' [lang=' || "
+            "coalesce(lang,'') || ']' AS prompt FROM documents"
+        ),
+        "preprocess_truncate": """
+            WITH t AS (
+              SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS s
+              FROM documents
+            ), pos AS (
+              SELECT doc_id, s,
+                     CASE WHEN length(s) <= 200 THEN NULL
+                          WHEN strpos(reverse(substr(s, 1, 197)), ' ') = 0 THEN 0
+                          ELSE 197 - strpos(reverse(substr(s, 1, 197)), ' ')
+                     END AS last_space  -- 0-based index of last space in s[:197]
+              FROM t
+            )
+            SELECT doc_id,
+                   CASE WHEN last_space IS NULL THEN s
+                        WHEN last_space > 140
+                          THEN rtrim(substr(s, 1, last_space)) || '...'
+                        ELSE rtrim(substr(s, 1, 197)) || '...'
+                   END AS clean_text
+            FROM pos
+        """,
+        "merge_update": (
+            "SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN 'xx' ELSE lang END AS lang "
+            "FROM documents"
+        ),
+        "resume_anti_join": (
+            "SELECT doc_id, lang FROM documents WHERE doc_id % 5 <> 0"
+        ),
+        "contradiction_groups": """
+            SELECT o_custkey,
+                   count(DISTINCT o_orderstatus)::INT AS n_status,
+                   count(DISTINCT o_orderstatus) > 1 AS contradiction
+            FROM orders GROUP BY o_custkey
+        """,
+        "text_stats": f"""
+            WITH t AS (
+              SELECT doc_id, text,
+                     regexp_extract_all(lower(text), '\\S+') AS toks
+              FROM documents
+            )
+            SELECT doc_id,
+                   len(toks)::INT AS tok_ws,
+                   len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\\s]'))::INT AS tok_bpe,
+                   ceil(len(toks) * 1.3)::INT AS est_llm_tokens,
+                   len(list_filter(toks, x -> x IN ('the','a','an','and','or','of','to','in','is','it','for','on','with','as','at','by','from','that','this')))::INT AS sw_hits,
+                   0.4 * least(length(text)::DOUBLE / 1000.0, 1.0)
+                   + 0.3 * least((CASE WHEN len(toks) = 0 THEN 0.0
+                        ELSE len(list_filter(toks, x -> x IN ('the','a','an','and','or','of','to','in','is','it','for','on','with','as','at','by','from','that','this')))::DOUBLE / len(toks)::DOUBLE END) / 0.05, 1.0)
+                   + 0.3 * (1.0 - least((CASE WHEN length(text) = 0 THEN 0.0
+                        ELSE length(regexp_replace(text, '[^.,;:!?''"()\\-]', '', 'g'))::DOUBLE / length(text)::DOUBLE END) * 10.0, 1.0))
+                   AS quality
+            FROM t
+        """,
+        "lang_id": _lang_id_sql(),
+        "fingerprints": f"""
+            SELECT doc_id,
+                   md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp_exact,
+                   list_min(list_transform(
+                     generate_series(1, length(text) - 7),
+                     i -> {_MD5L.format(x="substr(lower(text), i, 8)")})) AS fp_roll
+            FROM documents
+        """,
+        "dedup_exact": """
+            SELECT doc_id, lang, bucket FROM (
+              SELECT doc_id, lang, (n_chars // 100) AS bucket,
+                     min(doc_id) OVER (PARTITION BY lang, (n_chars // 100)) AS keep
+              FROM documents
+            ) WHERE doc_id = keep
+        """,
+        "jaccard_pairs": _jaccard_sql(threshold=0.05),
+        "minhash_sigs": _minhash_sql(num_hashes=8),
+        "simhash_pairs": _simhash_pairs_sql(max_hamming=3),
+        "embedding_topk": """
+            WITH emb AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ), q AS (
+              SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < 10
+            ), scored AS (
+              SELECT q.query_id, emb.vec_id,
+                     list_sum(list_transform(generate_series(1, len(emb.v)), i -> emb.v[i] * q.qv[i]))
+                     / (sqrt(list_sum(list_transform(emb.v, x -> x * x)))
+                        * sqrt(list_sum(list_transform(q.qv, x -> x * x)))) AS cos_sim
+              FROM emb CROSS JOIN q
+            )
+            SELECT query_id, vec_id, round(cos_sim, 6) AS cos_sim_r,
+                   row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC)::INT AS rank
+            FROM scored
+            QUALIFY rank <= 5
+        """,
+        "embedding_sim_pairs": """
+            WITH emb AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            )
+            SELECT a.vec_id AS a, b.vec_id AS b,
+                   round(
+                     list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i]))
+                     / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+                        * sqrt(list_sum(list_transform(b.v, x -> x * x)))), 6) AS cos_sim_r
+            FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+            WHERE list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i]))
+                  / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+                     * sqrt(list_sum(list_transform(b.v, x -> x * x)))) >= 0.5
+        """,
+        "filter_select_events": (
+            "SELECT event_id, user_id, value FROM events "
+            "WHERE event_type = 'purchase' AND value > 50"
+        ),
+        "topk_orders": """
+            SELECT o_orderkey, o_totalprice,
+                   row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey ASC)::INT AS rank
+            FROM orders QUALIFY rank <= 20
+        """,
+        "rrf_fusion": """
+            WITH r1 AS (
+              SELECT c_custkey, row_number() OVER (ORDER BY c_acctbal DESC, c_custkey ASC) AS r
+              FROM customer QUALIFY r <= 100
+            ), r2 AS (
+              SELECT c_custkey, row_number() OVER (ORDER BY c_name ASC, c_custkey ASC) AS r
+              FROM customer QUALIFY r <= 100
+            ), fused AS (
+              SELECT c_custkey, sum(1.0 / (60.0 + r)) AS rrf_score
+              FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2)
+              GROUP BY c_custkey
+            )
+            SELECT c_custkey, round(rrf_score, 9) AS rrf_score_r,
+                   row_number() OVER (ORDER BY rrf_score DESC, c_custkey ASC)::INT AS rank
+            FROM fused QUALIFY rank <= 10
+        """,
+        "window_chunking": """
+            WITH c AS (
+              SELECT (row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1) // 1000 AS batch_id,
+                     l_quantity
+              FROM lineitem
+            )
+            SELECT batch_id, count(*) AS n,
+                   (sum(l_quantity::DECIMAL(18,6)))::DOUBLE AS sum_qty
+            FROM c GROUP BY batch_id
+        """,
+        "events_hourly": """
+            SELECT date_trunc('hour', ts) AS ts_hour, event_type,
+                   count(*) AS n,
+                   (sum(value::DECIMAL(18,6)))::DOUBLE AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "revenue_by_nation": """
+            SELECT n_name,
+                   (sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,6)))::DOUBLE AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+    }
+    return sql
+
+
+# --------------------------------------------------------------------------
+# generated oracle SQL for the hash-based operators
+
+
+def _lang_id_sql() -> str:
+    from ondine_spark.operators.text_analysis import LANG_MARKERS
+
+    score_cols = []
+    for lang, markers in LANG_MARKERS.items():
+        lst = ", ".join(f"'{m}'" for m in markers)
+        score_cols.append(
+            f"len(list_filter(toks, x -> x IN ({lst}))) AS s_{lang}"
+        )
+    langs = list(LANG_MARKERS)
+    greatest = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    case = "CASE WHEN " + greatest + " < 1 THEN 'unknown' "
+    for lang in langs:
+        case += f"WHEN s_{lang} = {greatest} THEN '{lang}' "
+    case += "END"
+    return f"""
+        WITH t AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS toks
+          FROM documents
+        ), s AS (
+          SELECT doc_id, {", ".join(score_cols)} FROM t
+        )
+        SELECT doc_id, {case} AS lang_pred FROM s
     """
-    return {}
+
+
+def _jaccard_sql(threshold: float) -> str:
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS w
+          FROM documents
+        ), grams AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                   generate_series(1, greatest(len(w) - 2, 0)),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+          FROM toks
+        ), sizes AS (
+          SELECT doc_id, len(g) AS sz FROM grams
+        ), posting AS (
+          SELECT doc_id, unnest(g) AS shingle FROM grams
+        ), common AS (
+          SELECT p1.doc_id AS a, p2.doc_id AS b, count(*) AS c
+          FROM posting p1 JOIN posting p2 USING (shingle)
+          WHERE p1.doc_id < p2.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT a, b, c::DOUBLE / (sa.sz + sb.sz - c)::DOUBLE AS jaccard
+        FROM common
+        JOIN sizes sa ON sa.doc_id = a
+        JOIN sizes sb ON sb.doc_id = b
+        WHERE c::DOUBLE / (sa.sz + sb.sz - c)::DOUBLE >= {threshold}
+    """
+
+
+def _minhash_sql(num_hashes: int) -> str:
+    h = _MD5L.format(x=f"shingle || '#' || i")
+    mins = ", ".join(
+        f"min(CASE WHEN i = {i} THEN h END) AS h{i}" for i in range(num_hashes)
+    )
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS w
+          FROM documents
+        ), grams AS (
+          SELECT doc_id,
+                 unnest(list_transform(
+                   generate_series(1, greatest(len(w) - 2, 0)),
+                   j -> w[j] || ' ' || w[j+1] || ' ' || w[j+2])) AS shingle
+          FROM toks
+        ), hashed AS (
+          SELECT doc_id, i, {h} AS h
+          FROM grams CROSS JOIN range({num_hashes}) r(i)
+        )
+        SELECT doc_id, {mins} FROM hashed GROUP BY doc_id
+    """
+
+
+def _simhash_pairs_sql(max_hamming: int) -> str:
+    tok_hash = _MD5L.format(x="t")
+    return f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(list_distinct(regexp_extract_all(lower(text), '\\S+'))) AS t
+          FROM documents
+        ), hashed AS (
+          SELECT doc_id, {tok_hash} AS h FROM toks
+        ), votes AS (
+          SELECT doc_id, j,
+                 sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+          FROM hashed CROSS JOIN range(60) r(j)
+          GROUP BY doc_id, j
+        ), sigs AS (
+          SELECT doc_id,
+                 sum(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS sig
+          FROM votes GROUP BY doc_id
+        )
+        SELECT s1.doc_id AS a, s2.doc_id AS b,
+               bit_count(xor(s1.sig, s2.sig))::INT AS hamming
+        FROM sigs s1 JOIN sigs s2 ON s1.doc_id < s2.doc_id
+        WHERE bit_count(xor(s1.sig, s2.sig)) <= {max_hamming}
+    """

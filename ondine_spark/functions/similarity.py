@@ -1,0 +1,140 @@
+"""Similarity primitives: cosine, TF-IDF pair similarity, Jaccard, portable
+hashing.
+
+F10/F11 of the reference (TF-IDF 2-doc cosine for grounding:
+ondine/context/text.py:33-72 and crates/ondine-core/src/text/mod.rs; dense
+cosine: crates/ondine-core/src/evidence/store.rs:654-674), plus the
+shingle/hash primitives the dedup operators build on.
+
+All column functions here are pure JVM expressions (higher-order array
+functions — whole-stage codegen, no Python). ``md5_long`` is deliberately
+reproducible in ANSI SQL (``('0x'||substr(md5(x),1,15))::BIGINT`` in DuckDB)
+so every hash-based operator stays oracle-checkable.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import Counter
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ------------------------------------------------------------ dense vectors
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two array<float/double> columns (JVM, no Python)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity; 0.0 when either norm is zero (reference
+    semantics: evidence/store.rs:654-674 returns 0 for zero vectors)."""
+    d = dot(a, b)
+    na, nb = norm(a), norm(b)
+    return F.when((na == 0) | (nb == 0), F.lit(0.0)).otherwise(d / (na * nb))
+
+
+# --------------------------------------------------------------- token sets
+
+def tokens(col: Column) -> Column:
+    """Lowercased whitespace tokens (Python str.split parity: split on runs
+    of whitespace, no empty tokens)."""
+    t = F.split(F.trim(F.lower(col)), r"\s+")
+    return F.filter(t, lambda x: x != "")
+
+
+def word_ngrams(col: Column, n: int) -> Column:
+    """Distinct word n-gram shingles of a text column (array<string>).
+
+    Built by zipping the token array with its own shifted slices — O(L·n)
+    rather than the naive per-position slice (O(L²)); the shingle explode is
+    the hot loop of every dedup operator."""
+    toks = tokens(col)
+    if n == 1:
+        return F.array_distinct(toks)
+    grams = toks
+    for k in range(1, n):
+        shifted = F.slice(toks, k + 1, F.greatest(F.size(toks) - k, F.lit(0)))
+        grams = F.zip_with(
+            grams,
+            shifted,
+            lambda x, y: F.when(
+                x.isNull() | y.isNull(), F.lit(None)
+            ).otherwise(F.concat(x, F.lit(" "), y)),
+        )
+    return F.array_distinct(F.filter(grams, lambda g: g.isNotNull()))
+
+
+def char_ngrams(col: Column, n: int) -> Column:
+    """Distinct character n-gram shingles (for fingerprinting/minhash over
+    short texts)."""
+    s = F.lower(col)
+    idx = F.sequence(F.lit(1), F.greatest(F.length(s) - n + 1, F.lit(0)))
+    grams = F.transform(idx, lambda i: F.substring(s, i, F.lit(n)))
+    return F.array_distinct(F.filter(grams, lambda g: F.length(g) == n))
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Jaccard similarity of two array columns treated as sets."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union == 0, F.lit(0.0)).otherwise(
+        inter.cast("double") / union.cast("double")
+    )
+
+
+# ----------------------------------------------------------- portable hashes
+
+def md5_long(col: Column) -> Column:
+    """First 60 bits of md5 as a non-negative bigint. Identical in DuckDB:
+    ``('0x' || substr(md5(x),1,15))::BIGINT`` — the portability contract
+    that keeps MinHash/fingerprint operators oracle-checkable."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def seeded_md5_long(col: Column, seed: int) -> Column:
+    return md5_long(F.concat(col, F.lit(f"#{seed}")))
+
+
+# ------------------------------------------------- TF-IDF pair cosine (F10)
+
+_WORD_RE = re.compile(r"[a-z0-9]+")
+
+
+def _tf(text: str) -> Counter:
+    return Counter(_WORD_RE.findall(text.lower()))
+
+
+def tfidf_pair_cosine(a: str, b: str) -> float:
+    """Exact port of the reference's 2-document TF-IDF cosine used for
+    grounding (ondine/context/text.py:33-72): corpus = the two texts,
+    smoothed idf = ln(N/df) + 1 with N=2, cosine over the union vocabulary.
+    Pure Python — called inside pandas UDFs (grounding V1)."""
+    ta, tb = _tf(a), _tf(b)
+    if not ta or not tb:
+        return 0.0
+    vocab = set(ta) | set(tb)
+    dots = na = nb = 0.0
+    for w in vocab:
+        df_w = (w in ta) + (w in tb)
+        idf = math.log(2.0 / df_w) + 1.0
+        wa = ta.get(w, 0) * idf
+        wb = tb.get(w, 0) * idf
+        dots += wa * wb
+        na += wa * wa
+        nb += wb * wb
+    if na == 0 or nb == 0:
+        return 0.0
+    return dots / math.sqrt(na * nb)

@@ -1,0 +1,323 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond the reference surface (SURVEY.md §7 phase 6): exact, n-gram Jaccard,
+MinHash+LSH, SimHash, and embedding-cosine near-dup — the standard corpus
+cleaning toolkit, each designed for 100 TB scale:
+
+- exact: hash-groupBy, fully map-side combinable.
+- n-gram Jaccard: inverted-index join on shingles (never a cross join);
+  frequent-shingle cap bounds the candidate blowup on hot shingles.
+- MinHash+LSH: signature → bands → bucket self-join. Hashes are md5-based
+  (portable — the DuckDB oracle replays them exactly).
+- SimHash: 64-bit signature; Hamming-≤k pairs found by the 4-block
+  pigeonhole trick (block-equality join), not pairwise comparison.
+- embedding near-dup: random-hyperplane LSH buckets → cosine verify.
+
+All shuffles are on compact keys (hashes/buckets); every operator ends in
+a pair list or a keep-set join, both broadcast-able when small.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ondine_spark.core.partitioning import spread_small
+from ondine_spark.functions.similarity import (
+    char_ngrams,
+    cosine,
+    jaccard,
+    md5_long,
+    seeded_md5_long,
+    word_ngrams,
+)
+
+# ---------------------------------------------------------------- exact (D1)
+
+def exact_dedup(
+    df: DataFrame, key_cols: list[str], order_col: str, keep: str = "min"
+) -> DataFrame:
+    """Keep one row per key (min/max of ``order_col`` — deterministic).
+    groupBy+join rather than a window: the aggregate is map-side
+    combinable, so the shuffle carries one row per key, not per input row.
+    """
+    agg = F.min(order_col) if keep == "min" else F.max(order_col)
+    keep_ids = df.groupBy(*key_cols).agg(agg.alias(order_col))
+    return df.join(keep_ids, on=key_cols + [order_col], how="left_semi")
+
+
+def normalized_text(col):
+    """Canonical text for exact dedup: lowercase, collapse whitespace."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+# ------------------------------------------------- n-gram Jaccard pairs (D2)
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_freq: int | None = 1000,
+) -> DataFrame:
+    """All pairs (a < b) with word-n-gram Jaccard ≥ threshold.
+
+    Inverted-index plan: explode distinct shingles → (optionally drop
+    shingles appearing in > max_shingle_freq docs — stop-shingles produce
+    quadratic candidates and almost never decide a pair) → self-join on
+    shingle → count common shingles per pair → Jaccard from set sizes.
+    Output: a, b, jaccard.
+    """
+    df = spread_small(df)
+    grams = df.select(
+        F.col(id_col).alias("_id"), word_ngrams(F.col(text_col), n).alias("_g")
+    ).withColumn("_size", F.size("_g"))
+    # single-scan plan: the doc's set size travels WITH each posting row, so
+    # pair generation needs no joins back to the input — the shingle explode
+    # (the expensive pass) runs exactly once, and the only wide exchanges
+    # are on compact keys (shingle, then the (a,b) pair).
+    posting = grams.select(
+        F.struct(F.col("_id"), F.col("_size")).alias("_doc"),
+        F.explode("_g").alias("_shingle"),
+    )
+    members = posting.groupBy("_shingle").agg(
+        F.sort_array(F.collect_list("_doc")).alias("_docs")
+    )
+    if max_shingle_freq is not None:
+        # stop-shingles produce quadratic candidates and almost never decide
+        # a pair; capping them bounds the pair blowup (approximation knob)
+        members = members.filter(F.size("_docs") <= max_shingle_freq)
+    pairs = F.flatten(
+        F.transform(
+            "_docs",
+            lambda x, i: F.transform(
+                F.slice(
+                    F.col("_docs"), i + 2, F.greatest(F.size("_docs") - i - 1, F.lit(0))
+                ),
+                lambda y: F.struct(
+                    x["_id"].alias("a"), x["_size"].alias("_sa"),
+                    y["_id"].alias("b"), y["_size"].alias("_sb"),
+                ),
+            ),
+        )
+    )
+    common = (
+        members.select(F.explode(pairs).alias("_p"))
+        .select("_p.a", "_p._sa", "_p.b", "_p._sb")
+        .groupBy("a", "b")
+        .agg(
+            F.count("*").alias("_common"),
+            F.first("_sa").alias("_sa"),
+            F.first("_sb").alias("_sb"),
+        )
+    )
+    return (
+        common.withColumn(
+            "jaccard",
+            F.col("_common")
+            / (F.col("_sa") + F.col("_sb") - F.col("_common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+# ------------------------------------------------------- MinHash + LSH (D3)
+
+def minhash_signature(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 32, ngram: int = 3
+) -> DataFrame:
+    """Per-doc MinHash signature: sig[i] = min over shingles of
+    md5_long(shingle # i). Portable hashing keeps this oracle-checkable.
+    Output: id, sig array<bigint> (empty-shingle docs get null sig)."""
+    grams = spread_small(df).select(
+        F.col(id_col).alias("_id"), F.explode(word_ngrams(F.col(text_col), ngram)).alias("_s")
+    )
+    mins = [
+        F.min(seeded_md5_long(F.col("_s"), i)).alias(f"_h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = grams.groupBy("_id").agg(*mins)
+    return sig.select(
+        "_id", F.array(*[f"_h{i}" for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    ngram: int = 3,
+    threshold: float | None = None,
+) -> DataFrame:
+    """Candidate near-dup pairs via LSH banding; optionally verify with the
+    MinHash Jaccard estimate (matching rows of the signature).
+
+    bands must divide num_hashes; rows-per-band r = num_hashes/bands gives
+    the usual S-curve (collision prob = 1-(1-s^r)^b).
+    Output: a, b, est_jaccard (signature agreement rate).
+    """
+    if num_hashes % bands:
+        raise ValueError("bands must divide num_hashes")
+    r = num_hashes // bands
+    sig = minhash_signature(df, id_col, text_col, num_hashes, ngram)
+    band_rows = sig.select(
+        "_id",
+        "sig",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.concat_ws(",", *[F.col("sig")[i * r + j].cast("string") for j in range(r)]).alias("key"),
+                )
+                for i in range(bands)
+            ])
+        ).alias("bk"),
+    ).select("_id", "sig", "bk.band", "bk.key")
+    a = band_rows.select(F.col("_id").alias("a"), F.col("sig").alias("_siga"), "band", "key")
+    b = band_rows.select(F.col("_id").alias("b"), F.col("sig").alias("_sigb"), "band", "key")
+    cand = (
+        a.join(b, on=["band", "key"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "_siga", "_sigb")
+        .dropDuplicates(["a", "b"])
+    )
+    est = F.size(
+        F.filter(
+            F.zip_with("_siga", "_sigb", lambda x, y: x == y),
+            lambda m: m,
+        )
+    ).cast("double") / F.lit(float(num_hashes))
+    out = cand.withColumn("est_jaccard", est).select("a", "b", "est_jaccard")
+    if threshold is not None:
+        out = out.filter(F.col("est_jaccard") >= threshold)
+    return out
+
+
+# ------------------------------------------------------------- SimHash (D4)
+
+def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash over word tokens: bit j of the signature is the sign
+    of sum over tokens of (bit j of md5_long(token) ? +1 : -1).
+
+    Computed JVM-side: per-doc token explode → per-(doc, bit) majority vote
+    via bit extraction with shiftright/and. Output: id, simhash (bigint;
+    bit 63 unused to stay non-negative)."""
+    toks = spread_small(df).select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.array_distinct(
+            F.filter(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda x: x != "")
+        )).alias("_t"),
+    ).withColumn("_h", md5_long(F.col("_t")))
+    votes = toks.groupBy("_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("_h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"_v{j}")
+            for j in range(60)
+        ]
+    )
+    sig = None
+    for j in range(60):
+        bit = F.when(F.col(f"_v{j}") > 0, F.lit(2**j).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        sig = bit if sig is None else sig + bit
+    return votes.select("_id", sig.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Pairs with Hamming distance ≤ max_hamming between 60-bit SimHashes.
+
+    Pigeonhole: split the signature into max_hamming+1 blocks; any pair
+    within distance k agrees on ≥1 block → equality join per block, then
+    exact popcount verify. No pairwise scan."""
+    nblocks = max_hamming + 1
+    width = 60 // nblocks
+    sig = simhash64(df, id_col, text_col)
+    blocks = sig.select(
+        "_id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("blk"),
+                    F.shiftright(F.col("simhash"), i * width)
+                    .bitwiseAND(F.lit((1 << width) - 1))
+                    .alias("key"),
+                )
+                for i in range(nblocks)
+            ])
+        ).alias("bk"),
+    ).select("_id", "simhash", "bk.blk", "bk.key")
+    a = blocks.select(F.col("_id").alias("a"), F.col("simhash").alias("_ha"), "blk", "key")
+    b = blocks.select(F.col("_id").alias("b"), F.col("simhash").alias("_hb"), "blk", "key")
+    cand = (
+        a.join(b, on=["blk", "key"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "_ha", "_hb")
+        .dropDuplicates(["a", "b"])
+    )
+    xor = F.col("_ha").bitwiseXOR(F.col("_hb"))
+    dist = F.bit_count(xor)
+    return (
+        cand.withColumn("hamming", dist)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )
+
+
+# ------------------------------------------- embedding cosine near-dup (D5)
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    num_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine ≥ threshold.
+
+    Scale path: random-hyperplane LSH — sign-pattern bucket key from
+    ``num_planes`` deterministic hyperplanes (md5-derived pseudo-random
+    components, no RNG state to ship) → self-join within bucket → exact
+    cosine verify. High-cosine pairs agree on most sign bits; with 8 planes
+    a ≥0.95 pair lands in the same bucket with high probability. For exact
+    recall use brute_force (similarity_search module) on the suspect set.
+    """
+    dim = len(df.select(vec_col).first()[0])
+    # deterministic hyperplanes: component p[i][d] in [-1,1) from md5
+    planes = [
+        [
+            (int.from_bytes(
+                __import__("hashlib").md5(f"{seed}:{i}:{d}".encode()).digest()[:4],
+                "big",
+            ) / 2**31 - 1.0)
+            for d in range(dim)
+        ]
+        for i in range(num_planes)
+    ]
+    vec = F.col(vec_col)
+    bits = [
+        F.when(
+            sum(vec[d] * planes[i][d] for d in range(dim)) >= 0, F.lit("1")
+        ).otherwise(F.lit("0"))
+        for i in range(num_planes)
+    ]
+    keyed = df.select(
+        F.col(id_col).alias("_id"), vec.alias("_v"), F.concat(*bits).alias("_bucket")
+    )
+    a = keyed.select(F.col("_id").alias("a"), F.col("_v").alias("_va"), "_bucket")
+    b = keyed.select(F.col("_id").alias("b"), F.col("_v").alias("_vb"), "_bucket")
+    cand = a.join(b, on="_bucket").filter(F.col("a") < F.col("b"))
+    sim = cosine(F.col("_va"), F.col("_vb"))
+    return (
+        cand.withColumn("cos_sim", sim)
+        .filter(F.col("cos_sim") >= threshold)
+        .select("a", "b", "cos_sim")
+        .dropDuplicates(["a", "b"])
+    )

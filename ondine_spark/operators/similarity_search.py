@@ -1,0 +1,137 @@
+"""Similarity search over embedding columns.
+
+Brute-force cosine top-k (the exactness baseline; W3 top-k semantics of the
+reference's KB search, ondine/knowledge/store.py:169-213) and an
+LSH-bucketed approximate variant as the scale path. Used by the RAG
+retrieval stage (R3/R4) and exposed directly for ANN workloads.
+
+Scale notes: the brute-force path broadcasts the QUERY side (queries are
+few; the corpus is the 100 TB side and is never shuffled — each corpus
+partition scores against the broadcast queries, then a per-query top-k
+aggregate runs map-side before one tiny shuffle on query_id). The LSH path
+buckets both sides on sign patterns so only matching buckets join.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ondine_spark.functions.similarity import cosine
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """Exact cosine top-k per query. Output: query_id, vec_id (corpus id),
+    cos_sim, rank (1-based, ties broken by corpus id ascending —
+    deterministic)."""
+    q = F.broadcast(
+        queries.select(F.col(query_id).alias("_qid"), F.col(query_vec).alias("_qv"))
+    )
+    scored = corpus.select(
+        F.col(corpus_id).alias("_cid"), F.col(corpus_vec).alias("_cv")
+    ).crossJoin(q)
+    sim = cosine(F.col("_cv"), F.col("_qv"))
+    scored = scored.select("_qid", "_cid", sim.alias("cos_sim"))
+    w = Window.partitionBy("_qid").orderBy(F.desc("cos_sim"), F.asc("_cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("_qid").alias(query_id),
+            F.col("_cid").alias(corpus_id),
+            "cos_sim",
+            "rank",
+        )
+    )
+
+
+def _hyperplanes(dim: int, num_planes: int, seed: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes from md5 — no RNG state to
+    broadcast, same planes on every executor and every run."""
+    return [
+        [
+            int.from_bytes(hashlib.md5(f"{seed}:{i}:{d}".encode()).digest()[:4], "big")
+            / 2**31
+            - 1.0
+            for d in range(dim)
+        ]
+        for i in range(num_planes)
+    ]
+
+
+def _bucket_expr(vec, planes):
+    bits = [
+        F.when(sum(vec[d] * p[d] for d in range(len(p))) >= 0, F.lit("1")).otherwise(
+            F.lit("0")
+        )
+        for p in planes
+    ]
+    return F.concat(*bits)
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    num_planes: int = 6,
+    num_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: ``num_tables`` independent random-hyperplane
+    tables; a query only scores corpus vectors sharing a bucket in at least
+    one table. Recall grows with num_tables; cost is bounded by bucket
+    sizes (expected |corpus| / 2^num_planes per bucket per table)."""
+    dim = len(corpus.select(corpus_vec).first()[0])
+    c = corpus.select(F.col(corpus_id).alias("_cid"), F.col(corpus_vec).alias("_cv"))
+    q = queries.select(F.col(query_id).alias("_qid"), F.col(query_vec).alias("_qv"))
+
+    c_buckets = []
+    q_buckets = []
+    for t in range(num_tables):
+        planes = _hyperplanes(dim, num_planes, seed + 1000 * t)
+        c_buckets.append(
+            c.select("_cid", "_cv", F.lit(t).alias("_tbl"), _bucket_expr(F.col("_cv"), planes).alias("_bkt"))
+        )
+        q_buckets.append(
+            q.select("_qid", "_qv", F.lit(t).alias("_tbl"), _bucket_expr(F.col("_qv"), planes).alias("_bkt"))
+        )
+    cb = c_buckets[0]
+    for x in c_buckets[1:]:
+        cb = cb.unionByName(x)
+    qb = q_buckets[0]
+    for x in q_buckets[1:]:
+        qb = qb.unionByName(x)
+
+    cand = (
+        cb.join(F.broadcast(qb), on=["_tbl", "_bkt"])
+        .select("_qid", "_qv", "_cid", "_cv")
+        .dropDuplicates(["_qid", "_cid"])
+    )
+    scored = cand.select(
+        "_qid", "_cid", cosine(F.col("_cv"), F.col("_qv")).alias("cos_sim")
+    )
+    w = Window.partitionBy("_qid").orderBy(F.desc("cos_sim"), F.asc("_cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("_qid").alias(query_id),
+            F.col("_cid").alias(corpus_id),
+            "cos_sim",
+            "rank",
+        )
+    )

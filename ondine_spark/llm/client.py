@@ -86,6 +86,8 @@ class DeterministicMockClient:
     # failure injection knobs (for retry / error-policy / budget tests)
     fail_every: int = 0  # raise on every Nth call (1-based counter)
     fail_times: int = 0  # then succeed after this many failures per prompt
+    crash_on: str | None = None  # raise FatalLLMError when prompt contains this
+    count_file: str | None = None  # append one line per call (cross-run counting)
     latency_s: float = 0.0
     _calls: int = field(default=0, repr=False)
     _fail_counts: dict = field(default_factory=dict, repr=False)
@@ -108,6 +110,11 @@ class DeterministicMockClient:
 
     def complete(self, prompt: str, system: str | None = None) -> LLMResult:
         self._calls += 1
+        if self.count_file:
+            with open(self.count_file, "a") as f:
+                f.write("1\n")
+        if self.crash_on and self.crash_on in prompt:
+            raise FatalLLMError(f"injected crash on marker {self.crash_on!r}")
         if self.latency_s:
             time.sleep(self.latency_s)
         if self.fail_every and self._calls % self.fail_every == 0:

@@ -79,12 +79,12 @@ class Pipeline:
                 df = df.withColumn(c, clean(F.col(c).cast("string")))
         return df
 
-    def response_frame(self, df: DataFrame | None = None) -> DataFrame:
+    def response_frame(self, df: DataFrame | None = None, resume: bool = True) -> DataFrame:
         """Input rows → rows + response columns (pre-parse)."""
         spec = self.spec
         if df is None:
             df = self.input_frame()
-        if spec.processing.session_id and spec.processing.checkpoint_dir:
+        if resume and spec.processing.session_id and spec.processing.checkpoint_dir:
             from ondine_spark.sources.cache import resume_filter
 
             df, cached = resume_filter(
@@ -142,22 +142,29 @@ class Pipeline:
     def execute(self) -> ExecutionResult:
         spec = self.spec
         spec.validate()
+        # The result feeds several actions (durable cache write, quality/cost
+        # aggregates, the user's own consumption) — without pinning it each
+        # action would re-invoke the LLM.
         result = self.result_frame()
-
         if spec.processing.session_id and spec.processing.checkpoint_dir:
+            # localCheckpoint, not persist: with resume active the lineage
+            # reads the cache parquet dir, and write_responses appends to that
+            # same dir — the post-write refreshByPath would invalidate a
+            # persisted plan and re-invoke the LLM on the next action.
+            result = result.localCheckpoint(eager=True)
             from ondine_spark.sources.cache import write_responses
 
             write_responses(
                 result, spec.processing.checkpoint_dir, spec.processing.session_id
             )
+        else:
+            result = result.persist()
 
         out_cols = spec.dataset.output_columns
         if spec.processing.auto_retry_failed:
             result = self._auto_retry(result, out_cols)
 
         result = result.drop(*[c for c in RESPONSE_META if c != "cost"] )
-        # persist before the multiple aggregate passes + user consumption
-        result = result.persist()
         stats = run_stats(result)
         report = quality_report(result, out_cols)
         assert_some_output(report, stats)

@@ -1,0 +1,198 @@
+"""Chunked / streaming execution (T1-T5).
+
+The reference's "streaming" is chunked micro-batch over a static source
+with bounded memory, per-chunk durability, and cumulative budget
+enforcement (reference: ondine/api/pipeline.py:1326-1497). Two Spark-first
+forms:
+
+- ``execute_chunked``: deterministic chunk ids over the static input
+  (global-index / chunk_size), driver loop per chunk: invoke → append to
+  the durable response cache → budget check. Crash kills at most the
+  in-flight chunk's WORK; committed chunks are never re-invoked on resume
+  (left-anti join against the cache). This is the crash-test path
+  (BASELINE.md: 0 rows lost, 0 re-invocations of cached rows).
+- ``run_file_stream``: Structured Streaming file source + ``foreachBatch``
+  running the same plan per micro-batch with Spark's own checkpointing —
+  the scale path for continuously-arriving data (strictly better than the
+  reference's no-resume streaming, SURVEY.md §2.11 T5).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from decimal import Decimal
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ondine_spark.operators.batching import with_global_index
+from ondine_spark.plans.pipeline import Pipeline, RESPONSE_META
+from ondine_spark.sources.cache import read_cache, write_responses
+from ondine_spark.sources.readers import ROW_ID
+
+
+class BudgetExceededError(RuntimeError):
+    pass
+
+
+@dataclass
+class ChunkResult:
+    chunk_id: int
+    rows: int
+    cost: Decimal
+    cumulative_cost: Decimal
+
+
+@dataclass
+class StreamSummary:
+    chunks: list[ChunkResult] = field(default_factory=list)
+    total_rows: int = 0
+    total_cost: Decimal = Decimal(0)
+    resumed_rows: int = 0
+
+
+def execute_chunked(
+    pipeline: Pipeline,
+    chunk_size: int = 10_000,
+    checkpoint_dir: str | None = None,
+    session_id: str | None = None,
+) -> StreamSummary:
+    """Run the pipeline chunk-by-chunk with per-chunk durable commits.
+
+    Memory bound ≈ chunk_size × row size per executor slice (T4). Budget is
+    enforced cumulatively BETWEEN chunks — the reference's own granularity
+    in streaming mode (O6; ondine/api/pipeline.py:1460-1462) — and includes
+    cost already in the cache when resuming.
+    """
+    spec = pipeline.spec
+    ckpt = checkpoint_dir or spec.processing.checkpoint_dir
+    sid = session_id or spec.processing.session_id or "default"
+    if ckpt is None:
+        raise ValueError("execute_chunked requires a checkpoint_dir")
+    spark = pipeline.spark
+
+    df = pipeline.input_frame()
+    cached = read_cache(spark, ckpt, sid)
+    summary = StreamSummary()
+    spent = Decimal(0)
+    if cached is not None:
+        todo = df.join(
+            F.broadcast(cached.select(ROW_ID)), on=ROW_ID, how="left_anti"
+        )
+        agg = cached.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("cost").alias("c")
+        ).collect()[0]
+        summary.resumed_rows = agg["n"]
+        spent = Decimal(agg["c"] or 0)
+    else:
+        todo = df
+
+    chunked = with_global_index(todo, "_seq").withColumn(
+        "_chunk", (F.col("_seq") / chunk_size).cast("long")
+    )
+    # localCheckpoint (eager), NOT persist: chunked's lineage reads the cache
+    # parquet dir via the resume anti-join, and every write_responses below
+    # appends to that dir → Spark's post-write refreshByPath would invalidate
+    # a merely-persisted plan and silently recompute it against the grown
+    # cache with stale offsets (rows vanish mid-loop). Checkpointing truncates
+    # the lineage so the chunk assignment is frozen for the whole run.
+    chunked = chunked.localCheckpoint(eager=True)
+    try:
+        n_chunks = (chunked.agg(F.max("_chunk")).collect()[0][0] or -1) + 1
+        budget = spec.processing.max_budget
+        for cid in range(int(n_chunks)):
+            if budget is not None and spent >= budget:
+                raise BudgetExceededError(
+                    f"budget {budget} exhausted after {spent} "
+                    f"({len(summary.chunks)} chunks committed)"
+                )
+            chunk = chunked.filter(F.col("_chunk") == cid).drop("_seq", "_chunk")
+            # persist: the chunk is consumed by two actions (durable write +
+            # stats aggregate) — without it the second action would re-invoke
+            # the LLM for every row
+            responses = pipeline.response_frame(chunk, resume=False).persist()
+            # commit this chunk's responses durably BEFORE touching the next
+            write_responses(responses, ckpt, sid)
+            agg = responses.agg(
+                F.count(F.lit(1)).alias("n"), F.sum("cost").alias("c")
+            ).collect()[0]
+            responses.unpersist()
+            cost = Decimal(agg["c"] or 0)
+            spent += cost
+            summary.chunks.append(
+                ChunkResult(cid, agg["n"], cost, spent)
+            )
+            summary.total_rows += agg["n"]
+    finally:
+        chunked.unpersist()
+    summary.total_cost = spent
+    return summary
+
+
+def chunked_result_frame(pipeline: Pipeline, checkpoint_dir: str, session_id: str) -> DataFrame:
+    """Assemble the final parsed result from the durable cache (after
+    execute_chunked): input ⋈ cached responses → parser → output columns."""
+    from ondine_spark.functions.parsing import apply_parser
+
+    spec = pipeline.spec
+    df = pipeline.input_frame()
+    cached = read_cache(pipeline.spark, checkpoint_dir, session_id)
+    if cached is None:
+        raise ValueError("no cached responses for session")
+    joined = df.join(cached, on=ROW_ID, how="left")
+    parsed = apply_parser(
+        joined,
+        spec.dataset.output_columns,
+        spec.prompt.response_format.value,
+        spec.prompt.regex_patterns,
+    )
+    return parsed.drop(*[c for c in RESPONSE_META if c != "cost"])
+
+
+def run_file_stream(
+    pipeline: Pipeline,
+    input_path: str,
+    input_format: str,
+    output_path: str,
+    checkpoint_location: str,
+    schema=None,
+    max_files_per_trigger: int = 1,
+    output_format: str = "parquet",
+    await_termination: bool = True,
+    timeout_s: float | None = None,
+):
+    """Structured Streaming: watch ``input_path`` for new files, run the
+    enrichment plan per micro-batch, append results to ``output_path``.
+    Backpressure via maxFilesPerTrigger (the reference's
+    max_pending_chunks analog); exactly-once via checkpointLocation."""
+    spark = pipeline.spark
+    spec = pipeline.spec
+    reader = spark.readStream.format(input_format).option(
+        "maxFilesPerTrigger", max_files_per_trigger
+    )
+    if schema is not None:
+        reader = reader.schema(schema)
+    if input_format == "csv":
+        reader = reader.option("header", "true")
+    stream = reader.load(input_path)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        from ondine_spark.sources.readers import with_row_id
+
+        keyed = with_row_id(batch_df, spec.dataset.id_column)
+        result = pipeline.result_frame(keyed)
+        out = result.drop(*[c for c in RESPONSE_META])
+        out.write.mode("append").format(output_format).save(output_path)
+
+    query = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_location)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if await_termination:
+        query.awaitTermination(timeout_s)
+    return query

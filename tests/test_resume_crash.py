@@ -1,0 +1,122 @@
+"""Crash-safety / resume / budget tests (BASELINE.md targets:
+rows lost on crash = 0; resume re-invokes 0 cached rows; budget stop).
+
+Mirrors the reference's crash benchmark (os._exit at 60%,
+reference: benchmarks/RESULTS.md:38-52) at chunk granularity: a fatal
+client error aborts the run mid-stream; committed chunks survive; resume
+completes the rest without re-invoking any cached row.
+"""
+
+import os
+from decimal import Decimal
+
+import pytest
+
+from ondine_spark import PipelineBuilder, mock_client_factory
+from ondine_spark.streaming.runner import (
+    BudgetExceededError,
+    chunked_result_frame,
+    execute_chunked,
+)
+
+
+def _rows(n):
+    labels = ["great", "terrible", "okay"]
+    return [
+        {"id": f"k{i:04d}", "review": f"row {i} is {labels[i % 3]}"}
+        for i in range(n)
+    ]
+
+
+def _builder(spark, tmp, factory):
+    return (
+        PipelineBuilder(spark)
+        .from_dataframe(spark.createDataFrame(_rows(100)), ["review"], id_column="id")
+        .with_prompt("Classify: {review}", ["sentiment"])
+        .with_custom_llm_client(factory)
+        .with_checkpoint_dir(str(tmp), "sess1")
+        .with_error_policy("fail")
+        .with_max_retries(0)
+    )
+
+
+def _count_calls(path):
+    if not os.path.exists(path):
+        return 0
+    with open(path) as f:
+        return sum(1 for _ in f)
+
+
+def test_crash_resume_zero_reinvocations(spark, tmp_path):
+    calls = str(tmp_path / "calls.txt")
+    # run 1: client crashes on a row that lands in a later chunk
+    crash_factory = mock_client_factory(count_file=calls, crash_on="row 57")
+    p = _builder(spark, tmp_path / "ckpt", crash_factory).build()
+    with pytest.raises(Exception):
+        execute_chunked(p, chunk_size=20)
+    calls_before = _count_calls(calls)
+    assert 40 <= calls_before < 100  # chunks 0-1 committed, crash in chunk 2
+
+    # run 2: healthy client, same session → only missing rows invoked
+    ok_factory = mock_client_factory(count_file=calls)
+    p2 = _builder(spark, tmp_path / "ckpt", ok_factory).build()
+    summary = execute_chunked(p2, chunk_size=20)
+    assert summary.resumed_rows == 40  # committed chunks replayed, not re-run
+    assert summary.total_rows == 60
+    total_calls = _count_calls(calls)
+    # every row invoked at most once across both runs, plus the in-flight
+    # crashed chunk's partial work (those rows were never committed)
+    assert total_calls <= 100 + 20
+
+    # final assembled result is complete and correct
+    result = chunked_result_frame(p2, str(tmp_path / "ckpt"), "sess1")
+    rows = {r["id"]: r["sentiment"] for r in result.collect()}
+    assert len(rows) == 100
+    assert rows["k0000"] == "positive"
+    assert rows["k0001"] == "negative"
+    assert rows["k0002"] == "neutral"
+    assert None not in rows.values()  # 0 rows lost
+
+
+def test_resume_full_cache_zero_calls(spark, tmp_path):
+    calls = str(tmp_path / "calls.txt")
+    factory = mock_client_factory(count_file=calls)
+    p = _builder(spark, tmp_path / "ckpt", factory).build()
+    execute_chunked(p, chunk_size=50)
+    n1 = _count_calls(calls)
+    assert n1 == 100
+    # second run: everything cached → zero LLM invocations
+    summary = execute_chunked(p, chunk_size=50)
+    assert _count_calls(calls) == n1
+    assert summary.resumed_rows == 100
+    assert summary.total_rows == 0
+
+
+def test_budget_stops_between_chunks(spark, tmp_path):
+    factory = mock_client_factory()
+    b = _builder(spark, tmp_path / "ckpt", factory)
+    b.with_max_budget("0.00001")  # exhausted after the first chunk
+    p = b.build()
+    with pytest.raises(BudgetExceededError):
+        execute_chunked(p, chunk_size=10)
+    # durable cache holds the committed chunks only
+    from ondine_spark.sources.cache import read_cache
+
+    cached = read_cache(spark, str(tmp_path / "ckpt"), "sess1")
+    n = cached.count()
+    assert 0 < n < 100
+    assert n % 10 == 0  # whole chunks only
+
+
+def test_batch_mode_resume_via_execute(spark, tmp_path):
+    """Resume also works through the plain batch Pipeline.execute path."""
+    calls = str(tmp_path / "calls.txt")
+    factory = mock_client_factory(count_file=calls)
+    p = _builder(spark, tmp_path / "ckpt", factory).build()
+    res1 = p.execute()
+    assert res1.quality.valid_rows == 100
+    n1 = _count_calls(calls)
+    assert n1 == 100
+    res2 = p.execute()
+    assert res2.quality.valid_rows == 100
+    assert _count_calls(calls) == n1  # all rows served from cache

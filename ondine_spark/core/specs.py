@@ -139,6 +139,39 @@ class OutputSpec:
 
 
 @dataclass
+class ContextSpec:
+    """Knowledge-base retrieval + anti-hallucination verification knobs.
+
+    Reference: with_knowledge_base / with_context_store / with_grounding /
+    with_contradiction_detection / with_confidence_scoring
+    (ondine/api/pipeline_builder.py) and the verification wiring
+    (ondine/api/pipeline.py:694-751, 873-893, 929-1107).
+    """
+
+    # per-row KB retrieval (R3): prepend top-k chunk context to prompts
+    kb_path: str | None = None
+    kb_query_columns: list[str] = field(default_factory=list)
+    kb_top_k: int = 3
+    kb_min_score: float = 0.0
+    # evidence priming (R4) from a ClaimStore
+    evidence_path: str | None = None
+    evidence_query_columns: list[str] = field(default_factory=list)
+    evidence_top_k: int = 3
+    evidence_min_score: float = 0.0
+    # verification (V1-V4)
+    grounding_enabled: bool = False
+    grounding_source_column: str | None = None  # default: _kb_context/_evidence_context
+    grounding_threshold: float = 0.3
+    grounding_on_fail: str = "flag"  # flag|discard
+    store_claims: bool = False
+    contradiction_key_columns: list[str] = field(default_factory=list)
+    contradiction_value_columns: list[str] = field(default_factory=list)
+    contradiction_tolerance: float | None = None
+    confidence_enabled: bool = False
+    confidence_mode: str = "default"  # default|sigmoid|grounding_only
+
+
+@dataclass
 class PipelineSpec:
     """The full declarative pipeline — the engine's 'query'."""
 
@@ -146,6 +179,7 @@ class PipelineSpec:
     prompt: PromptSpec = field(default_factory=PromptSpec)
     llm: LLMSpec = field(default_factory=LLMSpec)
     processing: ProcessingSpec = field(default_factory=ProcessingSpec)
+    context: ContextSpec = field(default_factory=ContextSpec)
     output: OutputSpec | None = None
 
     def validate(self) -> None:

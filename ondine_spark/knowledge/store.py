@@ -1,0 +1,321 @@
+"""KnowledgeStore (R1/R2): ingest → chunk → index → hybrid search.
+
+Reference (ondine/knowledge/store.py:132-213 + the Rust store,
+crates/ondine-core/src/evidence/store.rs:260-335,524-702): documents are
+chunked, stored in SQLite with an FTS5 keyword index and an embedding BLOB
+table; search runs dense cosine + FTS5 keyword in parallel, fuses with
+reciprocal-rank fusion (k=60), dedups by chunk keeping max score, reranks,
+and returns top-k.
+
+Spark-first redesign:
+- chunks + indexes are DataFrames persisted as parquet; the keyword and
+  dense indexes are INVERTED-INDEX frames (term → chunk postings), so a
+  query is a broadcast join against postings — no crossJoin, no per-row
+  Python, scales to 100 TB corpora by partitioning on term.
+- keyword scoring is textbook BM25 (k1=1.2, b=0.75) — a documented
+  divergence from SQLite FTS5's internal rank (SURVEY.md §7 hard-part 5);
+  ranking overlap, not score equality, is the parity contract.
+- dense scoring is TF cosine over md5-hashed char-ngram buckets — exact,
+  deterministic, ANSI-SQL-reproducible (the oracle can recompute every
+  score bit-for-bit; no model downloads).
+- RRF, dedup-max-score, and top-k are plain window/agg ops (W3/W4).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ondine_spark.functions.similarity import tokens
+from ondine_spark.knowledge.chunker import fixed_chunks, semantic_chunks
+from ondine_spark.knowledge.embedders import ngram_buckets
+
+RRF_K = 60  # reference constant: evidence/store.rs:672-702
+
+
+def rrf_fuse(
+    ranked_lists: list[DataFrame], id_col: str = "chunk_id", k: int = RRF_K
+) -> DataFrame:
+    """W4: reciprocal-rank fusion. Each input frame must carry ``id_col``
+    and ``rank`` (1-based). Returns (id_col, rrf_score) sorted desc."""
+    scored = [
+        df.select(id_col, (1.0 / (k + F.col("rank"))).alias("_rrf"))
+        for df in ranked_lists
+    ]
+    unioned = scored[0]
+    for s in scored[1:]:
+        unioned = unioned.unionByName(s)
+    return (
+        unioned.groupBy(id_col)
+        .agg(F.sum("_rrf").alias("rrf_score"))
+        .orderBy(F.desc("rrf_score"), id_col)
+    )
+
+
+def _with_rank(df: DataFrame, score_col: str) -> DataFrame:
+    w = Window.orderBy(F.desc(score_col), "chunk_id")
+    return df.withColumn("rank", F.row_number().over(w))
+
+
+@dataclass
+class SearchResult:
+    chunk_id: int
+    text: str
+    source: str
+    score: float
+
+
+class KnowledgeStore:
+    """Chunk corpus + two inverted indexes, persisted under ``path``.
+
+    Layout: ``{path}/chunks`` (chunk_id, text, source, chunk_tokens),
+    ``{path}/terms`` (term, chunk_id, tf) — word-level, BM25;
+    ``{path}/buckets`` (bucket, chunk_id, tf) — hashed char-ngrams, dense
+    cosine. Both indexes pre-aggregate postings so a query touches only
+    matching postings (partition pruning by term at scale).
+    """
+
+    def __init__(self, spark: SparkSession, path: str, ngram_dim: int = 2048):
+        self.spark = spark
+        self.path = path
+        self.ngram_dim = ngram_dim
+        self._chunks = None
+        self._terms = None
+        self._buckets = None
+
+    # ------------------------------------------------------------- ingest
+
+    def ingest(
+        self,
+        docs: DataFrame,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        source_col: str | None = None,
+        max_tokens: int = 128,
+        chunking: str = "fixed",
+        mode: str = "overwrite",
+    ) -> DataFrame:
+        """Load → chunk → write chunk table + both indexes (R1).
+
+        One pass over the corpus; the chunker is pure window/array exprs and
+        the indexes are explode+groupBy — ingest is 3 jobs regardless of
+        corpus size (reference's batched-FFI ingest optimization is moot:
+        DataFrame writes are already batched)."""
+        chunker = fixed_chunks if chunking == "fixed" else semantic_chunks
+        chunks = chunker(docs, id_col, text_col, max_tokens=max_tokens)
+        src = (
+            F.col(id_col).cast("string")
+            if source_col is None
+            else F.col(source_col).cast("string")
+        )
+        # carry source through the chunker via join back on doc id
+        doc_src = docs.select(
+            F.col(id_col), src.alias("source")
+        ).dropDuplicates([id_col])
+        chunks = (
+            chunks.join(doc_src, on=id_col, how="left")
+            .select(
+                "chunk_id",
+                F.col("chunk_text").alias("text"),
+                "source",
+                "chunk_tokens",
+                F.col(id_col).cast("string").alias("doc_id"),
+                "chunk_idx",
+            )
+        )
+        chunks.write.mode(mode).parquet(os.path.join(self.path, "chunks"))
+        # drop memoized readers — a re-ingest overwrote their file listings
+        self._chunks = self._terms = self._buckets = None
+        chunks = self.chunks()  # re-read: single source of truth
+
+        terms = (
+            chunks.select(
+                "chunk_id", F.explode(tokens(F.col("text"))).alias("term")
+            )
+            .groupBy("term", "chunk_id")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
+        terms.write.mode(mode).parquet(os.path.join(self.path, "terms"))
+
+        buckets = (
+            chunks.select(
+                "chunk_id",
+                F.explode(
+                    ngram_buckets(F.col("text"), dim=self.ngram_dim)
+                ).alias("bucket"),
+            )
+            .groupBy("bucket", "chunk_id")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
+        buckets.write.mode(mode).parquet(os.path.join(self.path, "buckets"))
+        self._terms = self._buckets = None
+        return chunks
+
+    def chunks(self) -> DataFrame:
+        if self._chunks is None:
+            self._chunks = self.spark.read.parquet(
+                os.path.join(self.path, "chunks")
+            )
+        return self._chunks
+
+    def terms(self) -> DataFrame:
+        if self._terms is None:
+            self._terms = self.spark.read.parquet(
+                os.path.join(self.path, "terms")
+            )
+        return self._terms
+
+    def buckets(self) -> DataFrame:
+        if self._buckets is None:
+            self._buckets = self.spark.read.parquet(
+                os.path.join(self.path, "buckets")
+            )
+        return self._buckets
+
+    # ------------------------------------------------------------ scoring
+
+    def keyword_scores(self, query: str) -> DataFrame:
+        """BM25 over the word-level inverted index (F12 analog).
+
+        OR-semantics across query words (the reference ORs quoted words into
+        FTS5: evidence/store.rs:310-335). Returns (chunk_id, score)."""
+        spark = self.spark
+        q_terms = sorted(
+            {t for t in (query or "").lower().split() if t}
+        )
+        if not q_terms:
+            return self.chunks().select("chunk_id").limit(0).withColumn(
+                "score", F.lit(0.0)
+            )
+        qdf = spark.createDataFrame([(t,) for t in q_terms], ["term"])
+        chunks = self.chunks()
+        stats = chunks.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.avg("chunk_tokens").alias("avgdl"),
+        )
+        postings = self.terms().join(F.broadcast(qdf), on="term")
+        df_per_term = postings.groupBy("term").agg(
+            F.count(F.lit(1)).alias("df")
+        )
+        scored = (
+            postings.join(F.broadcast(df_per_term), on="term")
+            .join(
+                chunks.select("chunk_id", "chunk_tokens"), on="chunk_id"
+            )
+            .crossJoin(F.broadcast(stats))
+        )
+        k1, b = 1.2, 0.75
+        idf = F.log(
+            (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+        )
+        tf_part = (F.col("tf") * (k1 + 1)) / (
+            F.col("tf")
+            + k1 * (1 - b + b * F.col("chunk_tokens") / F.col("avgdl"))
+        )
+        return (
+            scored.withColumn("_s", idf * tf_part)
+            .groupBy("chunk_id")
+            .agg(F.sum("_s").alias("score"))
+        )
+
+    def dense_scores(self, query: str) -> DataFrame:
+        """TF cosine over hashed-ngram buckets (F11 analog): a broadcast
+        join on bucket — the inverted-index form of dense retrieval."""
+        spark = self.spark
+        import hashlib
+
+        s = (query or "").lower()
+        counts: dict[int, int] = {}
+        for j in range(max(0, len(s) - 2)):
+            g = s[j : j + 3]
+            h = int(hashlib.md5(g.encode()).hexdigest()[:15], 16)
+            counts[h % self.ngram_dim] = counts.get(h % self.ngram_dim, 0) + 1
+        if not counts:
+            return self.chunks().select("chunk_id").limit(0).withColumn(
+                "score", F.lit(0.0)
+            )
+        qnorm = math.sqrt(sum(v * v for v in counts.values()))
+        qdf = spark.createDataFrame(
+            [(b, v) for b, v in sorted(counts.items())], ["bucket", "qtf"]
+        )
+        chunk_norm = (
+            self.buckets()
+            .groupBy("chunk_id")
+            .agg(F.sqrt(F.sum(F.col("tf") * F.col("tf"))).alias("cnorm"))
+        )
+        return (
+            self.buckets()
+            .join(F.broadcast(qdf), on="bucket")
+            .groupBy("chunk_id")
+            .agg(F.sum(F.col("tf") * F.col("qtf")).alias("_dot"))
+            .join(chunk_norm, on="chunk_id")
+            .select(
+                "chunk_id",
+                (F.col("_dot") / (F.col("cnorm") * F.lit(qnorm))).alias("score"),
+            )
+        )
+
+    # ------------------------------------------------------------- search
+
+    def search(
+        self,
+        query: str,
+        top_k: int = 5,
+        mode: str = "hybrid",
+        query_variants: list[str] | None = None,
+        reranker=None,
+    ) -> DataFrame:
+        """R2: per-variant hybrid (dense + BM25) → RRF → dedup max-score →
+        optional rerank → top-k. Over-fetches ``top_k*3`` per variant before
+        fusion (reference: ondine/knowledge/store.py:169-213)."""
+        variants = [query] + list(query_variants or [])
+        fetch = top_k * 3
+        per_variant = []
+        for v in variants:
+            if mode in ("hybrid", "dense"):
+                dense = _with_rank(self.dense_scores(v), "score").limit(fetch)
+            if mode in ("hybrid", "keyword"):
+                kw = _with_rank(self.keyword_scores(v), "score").limit(fetch)
+            if mode == "hybrid":
+                # RRF ranks are coarse (ties are common on small candidate
+                # sets) — carry the dense cosine as a deterministic tiebreak
+                fused = (
+                    rrf_fuse([dense, kw])
+                    .withColumnRenamed("rrf_score", "score")
+                    .join(
+                        dense.select("chunk_id", F.col("score").alias("_tie")),
+                        on="chunk_id",
+                        how="left",
+                    )
+                    .fillna({"_tie": 0.0})
+                )
+            elif mode == "dense":
+                fused = dense.select(
+                    "chunk_id", "score", F.col("score").alias("_tie")
+                )
+            else:
+                fused = kw.select(
+                    "chunk_id", "score", F.col("score").alias("_tie")
+                )
+            per_variant.append(fused)
+        merged = per_variant[0]
+        for p in per_variant[1:]:
+            merged = merged.unionByName(p)
+        # dedup across variants keeping max score (§2.6)
+        deduped = merged.groupBy("chunk_id").agg(
+            F.max("score").alias("score"), F.max("_tie").alias("_tie")
+        )
+        hits = deduped.join(self.chunks(), on="chunk_id").select(
+            "chunk_id", "text", "source", "score", "_tie"
+        )
+        if reranker is not None:
+            hits = reranker(query, hits)
+        return (
+            hits.orderBy(F.desc("score"), F.desc("_tie"), "chunk_id")
+            .limit(top_k)
+            .drop("_tie")
+        )

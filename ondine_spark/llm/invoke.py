@@ -92,18 +92,25 @@ class TokenBucket:
             self.not_before = max(self.not_before, time.monotonic() + delay)
 
 
-def _get_client(factory_key: int, factory: Callable[[], Any]):
+_CACHE_MAX = 8  # old runs' clients evicted FIFO in long-lived workers
+
+
+def _get_client(factory_key: str, factory: Callable[[], Any]):
     with _client_lock:
         if factory_key not in _clients:
+            while len(_clients) >= _CACHE_MAX:
+                _clients.pop(next(iter(_clients)))
             _clients[factory_key] = factory()
         return _clients[factory_key]
 
 
-def _get_bucket(key: int, rpm: float | None) -> TokenBucket | None:
+def _get_bucket(key: str, rpm: float | None) -> TokenBucket | None:
     if rpm is None:
         return None
     with _client_lock:
         if key not in _buckets:
+            while len(_buckets) >= _CACHE_MAX:
+                _buckets.pop(next(iter(_buckets)))
             _buckets[key] = TokenBucket(rpm)
         return _buckets[key]
 
@@ -173,7 +180,13 @@ def invoke_llm(
     policy = proc.error_policy
     default_value = proc.default_value
     sys_msg = system_message
-    factory_key = id(factory)  # stable within a broadcast lifetime
+    # unique per run: id(factory) is unsafe (CPython reuses ids after GC, so
+    # a long-lived worker could serve a STALE client cached under the same
+    # id by a previous run). One client per worker per run = the reference's
+    # one-client-per-run semantics.
+    import uuid
+
+    factory_key = uuid.uuid4().hex
 
     out_schema = T.StructType(list(df.schema.fields) + RESPONSE_FIELDS)
 

@@ -157,6 +157,54 @@ class PipelineBuilder:
         self._spec.processing.max_auto_retries = max_retries
         return self
 
+    # --------------------------------------------------- knowledge/context
+    def with_knowledge_base(self, path: str, query_columns: list[str],
+                            top_k: int = 3, min_score: float = 0.0):
+        """R3: per-row KB retrieval; top-k chunk context prepended to
+        prompts (reference: with_knowledge_base)."""
+        c = self._spec.context
+        c.kb_path, c.kb_query_columns = path, list(query_columns)
+        c.kb_top_k, c.kb_min_score = top_k, min_score
+        return self
+
+    def with_evidence_store(self, path: str, query_columns: list[str] | None = None,
+                            top_k: int = 3, min_score: float = 0.0,
+                            store_claims: bool = True):
+        """R4/V2: evidence priming from (and claim storage into) a
+        ClaimStore (reference: with_context_store / with_evidence_priming)."""
+        c = self._spec.context
+        c.evidence_path = path
+        c.evidence_query_columns = list(query_columns or [])
+        c.evidence_top_k, c.evidence_min_score = top_k, min_score
+        c.store_claims = store_claims
+        return self
+
+    def with_grounding(self, threshold: float = 0.3, on_fail: str = "flag",
+                       source_column: str | None = None):
+        """V1: TF-IDF grounding of outputs against retrieved context."""
+        c = self._spec.context
+        c.grounding_enabled = True
+        c.grounding_threshold, c.grounding_on_fail = threshold, on_fail
+        c.grounding_source_column = source_column
+        return self
+
+    def with_contradiction_detection(self, key_columns: list[str],
+                                     value_columns: list[str],
+                                     tolerance: float | None = None):
+        """V3: flag rows whose group (by key) disagrees on values."""
+        c = self._spec.context
+        c.contradiction_key_columns = list(key_columns)
+        c.contradiction_value_columns = list(value_columns)
+        c.contradiction_tolerance = tolerance
+        return self
+
+    def with_confidence_scoring(self, mode: str = "default"):
+        """V4: blended grounding/support confidence column."""
+        c = self._spec.context
+        c.confidence_enabled = True
+        c.confidence_mode = mode
+        return self
+
     # -------------------------------------------------------------- output
     def with_output(self, path: str, *, format=None, merge_strategy="replace",
                     mode="overwrite"):

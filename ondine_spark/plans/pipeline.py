@@ -94,14 +94,40 @@ class Pipeline:
         else:
             self._cached_responses = None
 
-        df = df.withColumn(
-            "prompt",
-            prompt_column(
-                spec.prompt.template,
-                spec.prompt.use_jinja2,
-                spec.prompt.few_shot_examples,
-            ),
+        # R3/R4: per-row retrieval BEFORE prompt formatting (reference stage
+        # order: ondine/api/pipeline.py:694-758) — both are one inverted-index
+        # join over the whole frame, not per-row store calls
+        ctx = spec.context
+        if ctx.kb_path and ctx.kb_query_columns:
+            from ondine_spark.knowledge.retrieval import attach_context
+            from ondine_spark.knowledge.store import KnowledgeStore
+
+            df = attach_context(
+                df, KnowledgeStore(self.spark, ctx.kb_path),
+                ctx.kb_query_columns, ctx.kb_top_k, ctx.kb_min_score,
+                context_col="_kb_context", count_col="_kb_count",
+            )
+        if ctx.evidence_path and ctx.evidence_query_columns:
+            from ondine_spark.context.store import ClaimStore
+
+            df = ClaimStore(self.spark, ctx.evidence_path).attach_evidence(
+                df, ctx.evidence_query_columns,
+                ctx.evidence_top_k, ctx.evidence_min_score,
+            )
+
+        p = prompt_column(
+            spec.prompt.template,
+            spec.prompt.use_jinja2,
+            spec.prompt.few_shot_examples,
         )
+        # F4: context injection — prepend retrieved context when non-empty
+        for c in ("_kb_context", "_evidence_context"):
+            if c in df.columns:
+                p = F.when(
+                    (F.col(c).isNotNull()) & (F.col(c) != ""),
+                    F.concat(F.lit("Context:\n"), F.col(c), F.lit("\n\n"), p),
+                ).otherwise(p)
+        df = df.withColumn("prompt", p)
         self._call_counter = self.spark.sparkContext.accumulator(0)
         if spec.prompt.batch_size > 1:
             batches = aggregate_batches(df, spec.prompt.batch_size)
@@ -135,7 +161,55 @@ class Pipeline:
             else spec.prompt.response_format,
             spec.prompt.regex_patterns,
         )
-        return parsed
+        return self._verify(parsed)
+
+    def _verify(self, df: DataFrame) -> DataFrame:
+        """V1/V3/V4 lazy verification transforms after parse (reference:
+        ondine/api/pipeline.py:873-893,929-1107). Claim/edge persistence
+        (V2) happens in execute() — it is a write, not a transform."""
+        ctx = self.spec.context
+        out_cols = self.spec.dataset.output_columns
+        if ctx.grounding_enabled:
+            from ondine_spark.context.grounding import grounding_scores
+
+            source = ctx.grounding_source_column or (
+                "_kb_context" if "_kb_context" in df.columns
+                else "_evidence_context"
+            )
+            if source in df.columns:
+                df = df.withColumn(
+                    "_out_text", F.concat_ws(" ", *[F.col(c) for c in out_cols])
+                )
+                df = grounding_scores(
+                    df, "_out_text", source,
+                    threshold=ctx.grounding_threshold,
+                    on_fail="flag",
+                )
+                if ctx.grounding_on_fail == "discard":
+                    for c in out_cols:
+                        df = df.withColumn(
+                            c, F.when(F.col("_grounded"), F.col(c))
+                        )
+                df = df.drop("_out_text")
+        if ctx.contradiction_key_columns and ctx.contradiction_value_columns:
+            from ondine_spark.context.contradiction import detect_contradictions
+
+            df = detect_contradictions(
+                df, ctx.contradiction_key_columns,
+                ctx.contradiction_value_columns,
+                ctx.contradiction_tolerance,
+            )
+        if ctx.confidence_enabled:
+            from ondine_spark.context.confidence import confidence_scores
+
+            support = (
+                "_evidence_count" if "_evidence_count" in df.columns
+                else "_kb_count"
+            )
+            df = confidence_scores(
+                df, support_col=support, mode=ctx.confidence_mode
+            )
+        return df
 
     # ------------------------------------------------------------- execute
 
@@ -161,6 +235,31 @@ class Pipeline:
             result = result.persist()
 
         out_cols = spec.dataset.output_columns
+        ctx = spec.context
+        if ctx.store_claims and ctx.evidence_path:
+            from ondine_spark.context.store import ClaimStore
+
+            cs = ClaimStore(self.spark, ctx.evidence_path)
+            cs.store_claims(
+                result.withColumn(
+                    "_out_text",
+                    F.concat_ws(" ", *[F.col(c) for c in out_cols]),
+                ),
+                spec.dataset.input_columns,
+                "_out_text",
+                session_id=spec.processing.session_id or "default",
+            )
+            if ctx.contradiction_key_columns and ctx.contradiction_value_columns:
+                from ondine_spark.context.contradiction import contradiction_edges
+
+                cs.store_contradiction_edges(
+                    contradiction_edges(
+                        result, ROW_ID,
+                        ctx.contradiction_key_columns,
+                        ctx.contradiction_value_columns,
+                        ctx.contradiction_tolerance,
+                    )
+                )
         if spec.processing.auto_retry_failed:
             result = self._auto_retry(result, out_cols)
 

@@ -1,0 +1,168 @@
+"""Knowledge layer tests (R1-R7, F13/F14, W3/W4) against python oracles."""
+
+import math
+import re
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from ondine_spark.knowledge import (
+    KnowledgeStore,
+    attach_context,
+    fixed_chunks,
+    rrf_fuse,
+    semantic_chunks,
+)
+from ondine_spark.knowledge.reranker import multi_query, overlap_reranker
+
+
+DOCS = [
+    (1, "The quick brown fox jumps over the lazy dog. It runs fast. "
+        "Dogs sleep all day. Cats chase mice at night. Mice hide in walls."),
+    (2, "Spark executes queries lazily. Catalyst optimizes the plan. "
+        "Tungsten generates code. Shuffles move data between executors."),
+    (3, "word " * 300),  # one long unpunctuated sentence → window fallback
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+@pytest.fixture(scope="module")
+def store(spark, docs_df, tmp_path_factory):
+    st = KnowledgeStore(spark, str(tmp_path_factory.mktemp("kb")))
+    st.ingest(docs_df, "doc_id", "text", max_tokens=12)
+    return st
+
+
+def test_fixed_chunks_reconstruct_and_budget(docs_df):
+    chunks = fixed_chunks(docs_df, "doc_id", "text", max_tokens=12).collect()
+    by_doc = {}
+    for r in chunks:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: text reconstructs exactly from ordered chunks
+    d1 = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
+    assert " ".join(r["chunk_text"] for r in d1) == DOCS[0][1]
+    # budget: every chunk ≤ max_tokens + the one overflowing sentence
+    for r in chunks:
+        n_words = len(r["chunk_text"].split())
+        assert n_words <= 12 + 12  # cumsum packing overflow bound
+    # doc 3 (300 tokens, no punctuation) must still split into many chunks
+    assert len(by_doc[3]) >= 300 // 24
+    # chunk ids unique + deterministic
+    ids = [r["chunk_id"] for r in chunks]
+    assert len(ids) == len(set(ids))
+    again = fixed_chunks(docs_df, "doc_id", "text", max_tokens=12).collect()
+    assert sorted(ids) == sorted(r["chunk_id"] for r in again)
+
+
+def test_semantic_chunks_cover_and_order(docs_df):
+    chunks = semantic_chunks(docs_df, "doc_id", "text", max_tokens=50).collect()
+    d1 = sorted(
+        [r for r in chunks if r["doc_id"] == 1], key=lambda r: r["chunk_idx"]
+    )
+    assert " ".join(r["chunk_text"] for r in d1) == DOCS[0][1]
+    assert len(d1) >= 2  # breakpoints actually split the 5-sentence doc
+
+
+def _bm25_oracle(query, chunks):
+    """Textbook BM25 (k1=1.2, b=0.75) over whitespace tokens."""
+    k1, b = 1.2, 0.75
+    toks = [c["text"].lower().split() for c in chunks]
+    n = len(chunks)
+    avgdl = sum(len(t) for t in toks) / n
+    scores = {}
+    for qt in set(query.lower().split()):
+        df = sum(1 for t in toks if qt in t)
+        if df == 0:
+            continue
+        idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+        for c, t in zip(chunks, toks):
+            tf = t.count(qt)
+            if tf:
+                s = idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * len(t) / avgdl))
+                scores[c["chunk_id"]] = scores.get(c["chunk_id"], 0.0) + s
+    return scores
+
+
+def test_keyword_bm25_matches_oracle(store):
+    chunks = store.chunks().collect()
+    got = {r["chunk_id"]: r["score"] for r in store.keyword_scores("lazy dog plan").collect()}
+    want = _bm25_oracle("lazy dog plan", chunks)
+    assert set(got) == set(want)
+    for cid in got:
+        assert got[cid] == pytest.approx(want[cid], rel=1e-9)
+
+
+def test_dense_scores_match_ngram_cosine_oracle(store):
+    import hashlib
+
+    def vec(text, dim=2048):
+        c = Counter()
+        s = text.lower()
+        for j in range(max(0, len(s) - 2)):
+            h = int(hashlib.md5(s[j:j+3].encode()).hexdigest()[:15], 16)
+            c[h % dim] += 1
+        return c
+
+    q = "quick brown fox"
+    qv = vec(q)
+    chunks = store.chunks().collect()
+    got = {r["chunk_id"]: r["score"] for r in store.dense_scores(q).collect()}
+    for c in chunks:
+        cv = vec(c["text"])
+        dot = sum(qv[k] * cv[k] for k in qv)
+        if dot == 0:
+            assert c["chunk_id"] not in got
+            continue
+        sim = dot / (
+            math.sqrt(sum(v * v for v in qv.values()))
+            * math.sqrt(sum(v * v for v in cv.values()))
+        )
+        assert got[c["chunk_id"]] == pytest.approx(sim, rel=1e-9)
+
+
+def test_hybrid_search_returns_relevant_topk(store):
+    hits = store.search("quick brown fox", top_k=2, mode="hybrid").collect()
+    assert len(hits) == 2
+    assert "fox" in hits[0]["text"].lower()
+    # reranker hook composes
+    hits_rr = store.search(
+        "quick brown fox", top_k=2, mode="hybrid", reranker=overlap_reranker()
+    ).collect()
+    assert len(hits_rr) == 2
+
+
+def test_rrf_fusion_oracle(spark):
+    a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], ["chunk_id", "rank"])
+    b = spark.createDataFrame([(3, 1), (1, 2)], ["chunk_id", "rank"])
+    got = {r["chunk_id"]: r["rrf_score"] for r in rrf_fuse([a, b]).collect()}
+    assert got[1] == pytest.approx(1 / 61 + 1 / 62)
+    assert got[3] == pytest.approx(1 / 63 + 1 / 61)
+    assert got[2] == pytest.approx(1 / 62)
+
+
+def test_attach_context_per_row(spark, store):
+    rows = spark.createDataFrame(
+        [(10, "tell me about the quick fox"), (11, "how does catalyst optimize")],
+        ["_row_id", "question"],
+    )
+    out = attach_context(rows, store, ["question"], top_k=2).collect()
+    by_id = {r["_row_id"]: r for r in out}
+    assert "fox" in by_id[10]["_kb_context"].lower()
+    assert "catalyst" in by_id[11]["_kb_context"].lower()
+    assert by_id[10]["_evidence_count"] == 2
+
+
+def test_multi_query_transform_with_mock():
+    class FakeClient:
+        def complete(self, prompt, system=None):
+            class R:
+                text = "variant one\nvariant two\nvariant three\nextra"
+            return R()
+
+    vs = multi_query(FakeClient(), "q", n=3)
+    assert vs == ["variant one", "variant two", "variant three"]

@@ -338,6 +338,103 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    # ---------------------------------------------- knowledge / context ops
+
+    def q_kb_bm25(spark, sf_dir):
+        from ondine_spark.knowledge.store import bm25_frame
+
+        docs = _docs(spark, sf_dir)
+        return bm25_frame(
+            docs, "doc_id", "text", "spark join window table data"
+        ).select("doc_id", F.round("score", 6).alias("bm25_r"))
+
+    def q_kb_ngram_cosine(spark, sf_dir):
+        from ondine_spark.knowledge.store import ngram_cosine_frame
+
+        docs = _docs(spark, sf_dir)
+        return ngram_cosine_frame(
+            docs, "doc_id", "text", "spark window query join", dim=2048
+        ).select("doc_id", F.round("score", 6).alias("cos_r"))
+
+    def q_kb_hybrid_rrf(spark, sf_dir):
+        from pyspark.sql import Window
+
+        from ondine_spark.knowledge.store import (
+            bm25_frame,
+            ngram_cosine_frame,
+            rrf_fuse,
+        )
+
+        docs = _docs(spark, sf_dir)
+        q = "spark window query join"
+        dense = ngram_cosine_frame(docs, "doc_id", "text", q, dim=2048)
+        kw = bm25_frame(docs, "doc_id", "text", q)
+        wd = Window.orderBy(F.desc("score"), "doc_id")
+        dense_r = dense.withColumn("rank", F.row_number().over(wd)).filter(
+            F.col("rank") <= 50
+        )
+        kw_r = kw.withColumn("rank", F.row_number().over(wd)).filter(
+            F.col("rank") <= 50
+        )
+        fused = rrf_fuse([dense_r, kw_r], id_col="doc_id")
+        w = Window.orderBy(F.desc("rrf_score"), "doc_id")
+        return (
+            fused.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 20)
+            .select("doc_id", F.round("rrf_score", 9).alias("rrf_r"), "rank")
+        )
+
+    def q_chunk_fixed(spark, sf_dir):
+        from ondine_spark.knowledge.chunker import fixed_chunks
+
+        docs = _docs(spark, sf_dir)
+        return fixed_chunks(docs, "doc_id", "text", max_tokens=16).select(
+            "doc_id", "chunk_idx", "chunk_id", "chunk_tokens", "chunk_text"
+        )
+
+    def q_chunk_semantic(spark, sf_dir):
+        # rows-only check: the breakpoint percentile over hashed-ngram sims
+        # is exercised against python oracles in tests/test_knowledge.py
+        from ondine_spark.knowledge.chunker import semantic_chunks
+
+        docs = _docs(spark, sf_dir)
+        return semantic_chunks(docs, "doc_id", "text", max_tokens=64).select(
+            "doc_id", "chunk_idx", "chunk_tokens"
+        )
+
+    def q_grounding_tfidf(spark, sf_dir):
+        from ondine_spark.context.grounding import grounding_scores
+
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        # deterministic "output": the document's first 8 words
+        toks = F.split(F.trim(F.col("text")), r"\s+")
+        docs = docs.withColumn("summary", F.concat_ws(" ", F.slice(toks, 1, 8)))
+        out = grounding_scores(
+            docs, "summary", "text", threshold=0.3, id_col="doc_id"
+        )
+        return out.select(
+            "doc_id",
+            F.round("_grounding_score", 6).alias("grounding_r"),
+            F.col("_grounded").alias("grounded"),
+        )
+
+    def q_confidence_blend(spark, sf_dir):
+        from ondine_spark.context.confidence import confidence_scores
+
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        # grounding proxy: price scaled to [0,1]; support proxy: status-keyed
+        base = orders.select(
+            "o_orderkey",
+            (F.col("o_totalprice") / 600000.0).alias("_grounding_score"),
+            (F.col("o_orderkey") % 7).alias("_evidence_count"),
+        )
+        # no rounding: per-row scalar IEEE math is bit-identical across
+        # engines, and round() itself differs at decimal .5 boundaries
+        # (Spark BigDecimal HALF_UP vs duckdb scale-and-round)
+        return confidence_scores(base).select(
+            "o_orderkey", F.col("_confidence_score").alias("confidence_r")
+        )
+
     return {
         "enrich_sentiment": q_enrich_sentiment,
         "enrich_batched": q_enrich_batched,
@@ -363,6 +460,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_chunking": q_window_chunking,
         "events_hourly": q_events_hourly,
         "revenue_by_nation": q_revenue_by_nation,
+        "kb_bm25": q_kb_bm25,
+        "kb_ngram_cosine": q_kb_ngram_cosine,
+        "kb_hybrid_rrf": q_kb_hybrid_rrf,
+        "chunk_fixed": q_chunk_fixed,
+        "chunk_semantic": q_chunk_semantic,
+        "grounding_tfidf": q_grounding_tfidf,
+        "confidence_blend": q_confidence_blend,
     }
 
 
@@ -548,12 +652,214 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             GROUP BY n_name
         """,
+        "kb_bm25": _bm25_sql("spark join window table data", "bm25_r"),
+        "kb_ngram_cosine": _ngram_cosine_sql(
+            "spark window query join", 2048, "cos_r"
+        ),
+        "kb_hybrid_rrf": _hybrid_rrf_sql("spark window query join", 2048),
+        "chunk_fixed": """
+            WITH w AS (
+              SELECT doc_id, regexp_extract_all(trim(text), '\\S+') AS toks
+              FROM documents
+            ), idx AS (
+              SELECT doc_id, toks,
+                     unnest(generate_series(0, ((len(toks) + 15) // 16) - 1))
+                       AS chunk_idx
+              FROM w
+            ), pieces AS (
+              SELECT doc_id, chunk_idx,
+                     array_to_string(
+                       list_slice(toks, chunk_idx*16+1, (chunk_idx+1)*16), ' ')
+                       AS chunk_text,
+                     least(16, len(toks) - chunk_idx*16)::INT AS chunk_tokens
+              FROM idx
+            )
+            SELECT doc_id, chunk_idx,
+                   ('0x' || substr(md5(doc_id::VARCHAR || ':' ||
+                     chunk_idx::VARCHAR), 1, 15))::BIGINT AS chunk_id,
+                   chunk_tokens, chunk_text
+            FROM pieces
+        """,
+        "grounding_tfidf": _grounding_sql(),
+        "confidence_blend": """
+            SELECT o_orderkey,
+                   least(1.0,
+                     (o_totalprice / 600000.0) * 0.7
+                     + least((o_orderkey % 7)::DOUBLE, 5.0) / 5.0 * 0.3
+                   ) AS confidence_r
+            FROM orders
+        """,
     }
     return sql
 
 
 # --------------------------------------------------------------------------
 # generated oracle SQL for the hash-based operators
+
+
+def _bm25_core_sql(query: str) -> str:
+    """CTE chain ending in ``bm25(doc_id, score)`` — textbook BM25
+    (k1=1.2, b=0.75), OR over query terms (knowledge/store.py bm25_frame)."""
+    terms = sorted({t for t in query.lower().split() if t})
+    vals = ", ".join(f"('{t}')" for t in terms)
+    return f"""
+        base AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS toks
+          FROM documents
+        ), dt AS (
+          SELECT doc_id, toks, len(toks) AS dl FROM base
+        ), stats AS (
+          SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dt
+        ), qt(term) AS (VALUES {vals}),
+        postings AS (
+          SELECT doc_id, dl, term, count(*) AS tf
+          FROM (SELECT doc_id, dl, unnest(toks) AS term FROM dt)
+          JOIN qt USING (term)
+          GROUP BY doc_id, dl, term
+        ), dft AS (
+          SELECT term, count(*) AS df FROM postings GROUP BY term
+        ), bm25 AS (
+          SELECT doc_id,
+                 sum(
+                   ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                   * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+                 ) AS score
+          FROM postings JOIN dft USING (term) CROSS JOIN stats
+          GROUP BY doc_id
+        )"""
+
+
+def _bm25_sql(query: str, out_col: str) -> str:
+    return f"""
+        WITH {_bm25_core_sql(query)}
+        SELECT doc_id, round(score, 6) AS {out_col} FROM bm25
+    """
+
+
+def _query_bucket_values(query: str, dim: int) -> tuple[str, float]:
+    """(VALUES rows for the query's hashed-ngram bucket counts, qnorm) —
+    must mirror knowledge/store.ngram_cosine_frame exactly."""
+    import hashlib
+    import math as _math
+
+    s = query.lower()
+    counts: dict[int, int] = {}
+    for j in range(max(0, len(s) - 2)):
+        h = int(hashlib.md5(s[j : j + 3].encode()).hexdigest()[:15], 16)
+        counts[h % dim] = counts.get(h % dim, 0) + 1
+    vals = ", ".join(f"({b}, {v})" for b, v in sorted(counts.items()))
+    return vals, _math.sqrt(sum(v * v for v in counts.values()))
+
+
+def _ngram_cosine_core_sql(query: str, dim: int) -> str:
+    """CTE chain ending in ``ncos(doc_id, score)`` — hashed char-3gram TF
+    cosine (md5-portable)."""
+    vals, qnorm = _query_bucket_values(query, dim)
+    g = _MD5L.format(x="substr(s, i::INT, 3)")
+    return f"""
+        lowered AS (
+          SELECT doc_id, lower(text) AS s FROM documents
+        ), gi AS (
+          SELECT doc_id, s,
+                 unnest(generate_series(1, greatest(length(s) - 2, 0))) AS i
+          FROM lowered
+        ), grams AS (
+          SELECT doc_id, {g} % {dim} AS bucket FROM gi
+        ), buckets AS (
+          SELECT doc_id, bucket, count(*) AS tf
+          FROM grams GROUP BY doc_id, bucket
+        ), qb(bucket, qtf) AS (VALUES {vals}),
+        cnorm AS (
+          SELECT doc_id, sqrt(sum(tf * tf)) AS cn FROM buckets GROUP BY doc_id
+        ), ncos AS (
+          SELECT b.doc_id, sum(b.tf * qb.qtf) / (any_value(cn.cn) * {qnorm!r})
+                   AS score
+          FROM buckets b JOIN qb USING (bucket) JOIN cnorm cn ON b.doc_id = cn.doc_id
+          GROUP BY b.doc_id
+        )"""
+
+
+def _ngram_cosine_sql(query: str, dim: int, out_col: str) -> str:
+    return f"""
+        WITH {_ngram_cosine_core_sql(query, dim)}
+        SELECT doc_id, round(score, 6) AS {out_col} FROM ncos
+    """
+
+
+def _hybrid_rrf_sql(query: str, dim: int) -> str:
+    return f"""
+        WITH {_bm25_core_sql(query)}, {_ngram_cosine_core_sql(query, dim)},
+        dr AS (
+          SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+          FROM ncos
+        ), kr AS (
+          SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+          FROM bm25
+        ), unioned AS (
+          SELECT doc_id, rank FROM dr WHERE rank <= 50
+          UNION ALL
+          SELECT doc_id, rank FROM kr WHERE rank <= 50
+        ), fused AS (
+          SELECT doc_id, sum(1.0 / (60 + rank)) AS rrf_score
+          FROM unioned GROUP BY doc_id
+        )
+        SELECT doc_id, round(rrf_score, 9) AS rrf_r,
+               row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS rank
+        FROM fused
+        QUALIFY rank <= 20
+    """
+
+
+def _grounding_sql(threshold: float = 0.3) -> str:
+    """2-doc-corpus TF-IDF cosine of (first 8 words) vs full text
+    (context/grounding.py) — smoothed idf: shared terms weight 1, solo
+    terms weight ln(2)+1."""
+    return f"""
+        WITH s AS (
+          SELECT doc_id, text,
+                 array_to_string(list_slice(
+                   regexp_extract_all(trim(text), '\\S+'), 1, 8), ' ')
+                   AS summary
+          FROM documents
+        ), lt AS (
+          SELECT doc_id, term, count(*) AS tf
+          FROM (SELECT doc_id,
+                       unnest(regexp_extract_all(lower(summary), '[a-z0-9]+'))
+                         AS term
+                FROM s)
+          GROUP BY doc_id, term
+        ), rt AS (
+          SELECT doc_id, term, count(*) AS tf
+          FROM (SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                         AS term
+                FROM s)
+          GROUP BY doc_id, term
+        ), sl AS (
+          SELECT doc_id, sum(tf * tf) AS s_l FROM lt GROUP BY doc_id
+        ), sr AS (
+          SELECT doc_id, sum(tf * tf) AS s_r FROM rt GROUP BY doc_id
+        ), shared AS (
+          SELECT lt.doc_id, sum(lt.tf * rt.tf) AS dot,
+                 sum(lt.tf * lt.tf) AS sq_l, sum(rt.tf * rt.tf) AS sq_r
+          FROM lt JOIN rt ON lt.doc_id = rt.doc_id AND lt.term = rt.term
+          GROUP BY lt.doc_id
+        ), scored AS (
+          SELECT shared.doc_id,
+                 CASE WHEN sqrt(sq_l + pow(ln(2)+1, 2) * (s_l - sq_l)) = 0
+                        OR sqrt(sq_r + pow(ln(2)+1, 2) * (s_r - sq_r)) = 0
+                      THEN 0.0
+                      ELSE dot / (sqrt(sq_l + pow(ln(2)+1, 2) * (s_l - sq_l))
+                                 * sqrt(sq_r + pow(ln(2)+1, 2) * (s_r - sq_r)))
+                 END AS score
+          FROM shared JOIN sl ON shared.doc_id = sl.doc_id
+                      JOIN sr ON shared.doc_id = sr.doc_id
+        )
+        SELECT d.doc_id,
+               round(coalesce(scored.score, 0.0), 6) AS grounding_r,
+               coalesce(scored.score, 0.0) >= {threshold} AS grounded
+        FROM documents d LEFT JOIN scored ON d.doc_id = scored.doc_id
+    """
 
 
 def _lang_id_sql() -> str:

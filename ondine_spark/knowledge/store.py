@@ -61,6 +61,94 @@ def _with_rank(df: DataFrame, score_col: str) -> DataFrame:
     return df.withColumn("rank", F.row_number().over(w))
 
 
+BM25_K1, BM25_B = 1.2, 0.75
+
+
+def bm25_frame(
+    df: DataFrame, id_col: str, text_col: str, query: str,
+    k1: float = BM25_K1, b: float = BM25_B,
+) -> DataFrame:
+    """Standalone BM25 over any (id, text) frame treated as the corpus —
+    (id_col, score) for OR-matched query terms. Same formula as
+    KnowledgeStore.keyword_scores; this variant computes postings on the
+    fly so entry queries can oracle-check the scoring math directly."""
+    q_terms = sorted({t for t in (query or "").lower().split() if t})
+    if not q_terms:
+        return df.select(id_col).limit(0).withColumn("score", F.lit(0.0))
+    spark = df.sparkSession
+    qdf = spark.createDataFrame([(t,) for t in q_terms], ["term"])
+    base = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+    ).withColumn("dl", F.size("_toks"))
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    postings = (
+        base.select(id_col, "dl", F.explode("_toks").alias("term"))
+        .join(F.broadcast(qdf), on="term")
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_per_term = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = postings.join(F.broadcast(df_per_term), on="term").crossJoin(
+        F.broadcast(stats)
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    tf_part = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        scored.withColumn("_s", idf * tf_part)
+        .groupBy(id_col)
+        .agg(F.sum("_s").alias("score"))
+    )
+
+
+def ngram_cosine_frame(
+    df: DataFrame, id_col: str, text_col: str, query: str, dim: int = 2048
+) -> DataFrame:
+    """Standalone hashed char-3gram TF cosine of ``query`` against every
+    row's text — (id_col, score), rows with zero overlap absent. The
+    md5-bucket hashing is ANSI-SQL-portable (oracle contract)."""
+    import hashlib
+
+    s = (query or "").lower()
+    counts: dict[int, int] = {}
+    for j in range(max(0, len(s) - 2)):
+        h = int(hashlib.md5(s[j : j + 3].encode()).hexdigest()[:15], 16)
+        counts[h % dim] = counts.get(h % dim, 0) + 1
+    if not counts:
+        return df.select(id_col).limit(0).withColumn("score", F.lit(0.0))
+    qnorm = math.sqrt(sum(v * v for v in counts.values()))
+    spark = df.sparkSession
+    qdf = spark.createDataFrame(
+        [(b_, v) for b_, v in sorted(counts.items())], ["bucket", "qtf"]
+    )
+    buckets = (
+        df.select(
+            F.col(id_col),
+            F.explode(ngram_buckets(F.col(text_col), dim=dim)).alias("bucket"),
+        )
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    cnorm = buckets.groupBy(id_col).agg(
+        F.sqrt(F.sum(F.col("tf") * F.col("tf"))).alias("cnorm")
+    )
+    return (
+        buckets.join(F.broadcast(qdf), on="bucket")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("tf") * F.col("qtf")).alias("_dot"))
+        .join(cnorm, on=id_col)
+        .select(
+            id_col,
+            (F.col("_dot") / (F.col("cnorm") * F.lit(qnorm))).alias("score"),
+        )
+    )
+
+
 @dataclass
 class SearchResult:
     chunk_id: int

@@ -1,0 +1,188 @@
+"""CLI (reference: ondine/cli/main.py — process, estimate, resume,
+validate, status, list-runs, list-providers).
+
+Thin argparse front-end over the config loader + Pipeline + RunRegistry;
+all heavy lifting is the same plan the programmatic API builds.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import uuid
+
+
+def _spark():
+    from ondine_spark.plans.pipeline import _default_session
+
+    return _default_session()
+
+
+def _pipeline(config_path: str, spark=None):
+    from ondine_spark.config import load_config
+    from ondine_spark.plans.pipeline import Pipeline
+
+    spec = load_config(config_path)
+    return Pipeline(spec, spark or _spark())
+
+
+def cmd_validate(args) -> int:
+    from ondine_spark.config import load_config
+
+    spec = load_config(args.config)
+    spec.validate()
+    print(json.dumps({"valid": True, "input_columns":
+                      spec.dataset.input_columns,
+                      "output_columns": spec.dataset.output_columns}))
+    return 0
+
+
+def cmd_estimate(args) -> int:
+    p = _pipeline(args.config)
+    est = p.estimate_cost(sample=args.sample)
+    est["estimated_cost"] = str(est["estimated_cost"])
+    print(json.dumps(est))
+    return 0
+
+
+def _registry(args):
+    from ondine_spark.orchestration.registry import RunRegistry
+
+    return RunRegistry(args.registry)
+
+
+def cmd_process(args) -> int:
+    from ondine_spark.orchestration.registry import RunState
+
+    p = _pipeline(args.config)
+    run_id = args.run_id or uuid.uuid4().hex[:12]
+    reg = _registry(args) if args.registry else None
+    if reg:
+        try:
+            reg.get(run_id)
+        except KeyError:
+            reg.create(
+                run_id,
+                session_id=p.spec.processing.session_id,
+                checkpoint_dir=p.spec.processing.checkpoint_dir,
+                config=args.config,
+            )
+        reg.transition(run_id, RunState.RUNNING)
+    try:
+        if args.chunked:
+            from ondine_spark.streaming.runner import execute_chunked
+
+            summary = execute_chunked(p, chunk_size=args.chunk_size)
+            out = {"run_id": run_id, "rows": summary.total_rows,
+                   "resumed_rows": summary.resumed_rows,
+                   "chunks": len(summary.chunks),
+                   "cost": str(summary.total_cost)}
+        else:
+            res = p.execute()
+            out = {"run_id": run_id, "rows": res.stats.rows,
+                   "valid_rows": res.quality.valid_rows,
+                   "cost": str(res.stats.total_cost),
+                   "api_calls": res.api_calls}
+        if reg:
+            reg.transition(run_id, RunState.SUCCEEDED, **{
+                k: v for k, v in out.items() if k != "run_id"})
+        print(json.dumps(out))
+        return 0
+    except Exception as e:
+        if reg:
+            reg.transition(run_id, RunState.FAILED, error=str(e)[:500])
+        raise
+
+
+def cmd_resume(args) -> int:
+    """Re-run a FAILED/PARTIAL run: same config + session → the response
+    cache anti-join skips every completed row (J5/P5)."""
+    reg = _registry(args)
+    rec = reg.get(args.run_id)
+    config = rec.meta.get("config")
+    if not config:
+        print(f"run {args.run_id} has no recorded config", file=sys.stderr)
+        return 2
+    args.config = config
+    args.chunked = True
+    return cmd_process(args)
+
+
+def cmd_status(args) -> int:
+    rec = _registry(args).get(args.run_id)
+    print(json.dumps({
+        "run_id": rec.run_id, "state": rec.state.value,
+        "session_id": rec.session_id, "checkpoint_dir": rec.checkpoint_dir,
+        "provider_job_id": rec.provider_job_id, "meta": rec.meta,
+    }))
+    return 0
+
+
+def cmd_list_runs(args) -> int:
+    for rec in _registry(args).list(args.state):
+        print(json.dumps({"run_id": rec.run_id, "state": rec.state.value,
+                          "updated_at": rec.updated_at}))
+    return 0
+
+
+def cmd_list_providers(args) -> int:
+    from ondine_spark.llm.providers import list_providers
+
+    for row in list_providers():
+        print(json.dumps(row))
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="ondine-spark",
+        description="PySpark-native batch LLM data-processing engine",
+    )
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    def add(name, fn, **kw):
+        p = sub.add_parser(name, **kw)
+        p.set_defaults(fn=fn)
+        return p
+
+    p = add("validate", cmd_validate, help="validate a pipeline config")
+    p.add_argument("config")
+
+    p = add("estimate", cmd_estimate, help="sample-based cost estimate")
+    p.add_argument("config")
+    p.add_argument("--sample", type=int, default=10)
+
+    p = add("process", cmd_process, help="run a pipeline from config")
+    p.add_argument("config")
+    p.add_argument("--run-id")
+    p.add_argument("--registry")
+    p.add_argument("--chunked", action="store_true",
+                   help="chunked execution with per-chunk durable commits")
+    p.add_argument("--chunk-size", type=int, default=10_000)
+
+    p = add("resume", cmd_resume, help="resume a failed/partial run")
+    p.add_argument("run_id")
+    p.add_argument("--registry", required=True)
+    p.add_argument("--run-id", dest="run_id2", help=argparse.SUPPRESS)
+    p.add_argument("--chunk-size", type=int, default=10_000)
+
+    p = add("status", cmd_status, help="show run state")
+    p.add_argument("run_id")
+    p.add_argument("--registry", required=True)
+
+    p = add("list-runs", cmd_list_runs, help="list registry runs")
+    p.add_argument("--registry", required=True)
+    p.add_argument("--state")
+
+    add("list-providers", cmd_list_providers, help="list model presets")
+    return ap
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -164,9 +164,9 @@ def invoke_llm(
     call actually issued (BASELINE.md's "API calls = ceil(N/batch_size)"
     check reads this).
     """
-    factory = llm.client_factory
-    if factory is None:
-        raise ValueError("LLMSpec.client_factory is required (no default provider)")
+    from ondine_spark.llm.providers import client_factory_for
+
+    factory = client_factory_for(llm)
 
     # divide the global rpm across task slots (see module docstring)
     per_worker_rpm = None

@@ -1,0 +1,112 @@
+"""Provider registry / presets (L7) and client factory resolution.
+
+Reference (ondine/adapters/provider_registry.py; presets
+ondine/core/specifications.py:570-722): named LLMSpec presets with
+published per-1k pricing and an ``@provider`` registration hook; the model
+string's prefix picks the provider (ondine/api/quick.py:269).
+
+Here: a small preset table (public list-price snapshots — they drive cost
+ESTIMATES, not billing), a ``@provider`` registry for custom client
+factories, and ``client_factory_for`` which resolves, in precedence order
+(reference: ondine/api/pipeline.py:792-795):
+  1. explicit ``LLMSpec.client_factory``
+  2. a registered custom provider matching the model prefix
+  3. ``mock`` → DeterministicMockClient
+  4. litellm, if installed (not in this environment — import-guarded)
+"""
+
+from __future__ import annotations
+
+from decimal import Decimal
+from typing import Any, Callable
+
+# model name → (input $/1k tokens, output $/1k tokens); public list prices
+PRESETS: dict[str, tuple[str, str]] = {
+    "gpt-4o-mini": ("0.00015", "0.0006"),
+    "gpt-4o": ("0.0025", "0.01"),
+    "gpt-4.1-mini": ("0.0004", "0.0016"),
+    "claude-3-5-haiku": ("0.0008", "0.004"),
+    "claude-sonnet-4": ("0.003", "0.015"),
+    "deepseek-chat": ("0.00027", "0.0011"),
+    "gemini-2.0-flash": ("0.0001", "0.0004"),
+    "mock": ("0.000005", "0.000015"),
+}
+
+_REGISTRY: dict[str, Callable[..., Any]] = {}
+
+
+def provider(prefix: str):
+    """``@provider("myprov")`` registers a client factory for models named
+    ``myprov/<anything>`` (U4)."""
+
+    def deco(factory: Callable[..., Any]):
+        _REGISTRY[prefix] = factory
+        return factory
+
+    return deco
+
+
+def preset_costs(model: str) -> tuple[Decimal, Decimal] | None:
+    base = model.split("/")[-1]
+    for name, (cin, cout) in PRESETS.items():
+        if base.startswith(name):
+            return Decimal(cin), Decimal(cout)
+    return None
+
+
+def list_providers() -> list[dict]:
+    rows = [
+        {"model": m, "input_per_1k": cin, "output_per_1k": cout,
+         "source": "preset"}
+        for m, (cin, cout) in sorted(PRESETS.items())
+    ]
+    rows += [
+        {"model": f"{p}/*", "input_per_1k": "-", "output_per_1k": "-",
+         "source": "registered"}
+        for p in sorted(_REGISTRY)
+    ]
+    return rows
+
+
+def client_factory_for(llm_spec) -> Callable[[], Any]:
+    if llm_spec.client_factory is not None:
+        return llm_spec.client_factory
+    model = llm_spec.model or "mock"
+    prefix = model.split("/")[0]
+    if prefix in _REGISTRY:
+        factory = _REGISTRY[prefix]
+        return lambda: factory(model=model)
+    if model == "mock" or model.startswith("mock"):
+        from ondine_spark.llm.client import DeterministicMockClient
+
+        return lambda: DeterministicMockClient()
+    try:  # pragma: no cover - litellm not installed in this environment
+        import litellm  # noqa: F401
+    except ImportError:
+        raise ValueError(
+            f"no client for model {model!r}: pass a client_factory, register "
+            f"a @provider for prefix {prefix!r}, use model='mock', or "
+            f"install litellm"
+        )
+
+    def _litellm_factory():  # pragma: no cover
+        from ondine_spark.llm.client import LLMResult
+
+        class LiteLLMClient:
+            def complete(self, prompt: str, system: str | None = None):
+                msgs = ([{"role": "system", "content": system}] if system else [])
+                msgs.append({"role": "user", "content": prompt})
+                r = litellm.completion(model=model, messages=msgs)
+                usage = r.get("usage", {})
+                return LLMResult(
+                    text=r["choices"][0]["message"]["content"],
+                    tokens_in=usage.get("prompt_tokens", 0),
+                    tokens_out=usage.get("completion_tokens", 0),
+                    model=model,
+                    cost=str(r._hidden_params.get("response_cost") or 0),
+                    latency_ms=0.0,
+                )
+
+        return LiteLLMClient()
+
+    return _litellm_factory

@@ -1,0 +1,184 @@
+"""Config loader, CLI, RunRegistry, composer, provider presets."""
+
+import csv
+import json
+import sys
+
+import pytest
+from pyspark import cloudpickle
+
+from ondine_spark.config import load_config, spec_from_dict
+from ondine_spark.orchestration.registry import RunRegistry, RunState
+
+cloudpickle.register_pickle_by_value(sys.modules[__name__])
+
+
+@pytest.fixture()
+def reviews_csv(tmp_path):
+    path = tmp_path / "reviews.csv"
+    labels = ["great", "terrible", "okay"]
+    with open(path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["id", "review"])
+        for i in range(30):
+            w.writerow([f"k{i}", f"item {i} is {labels[i % 3]}"])
+    return str(path)
+
+
+def _config(tmp_path, reviews_csv, **processing):
+    return {
+        "dataset": {
+            "source": reviews_csv, "format": "csv",
+            "input_columns": ["review"], "output_columns": ["sentiment"],
+            "id_column": "id",
+        },
+        "prompt": {"template": "Classify: {review}"},
+        "llm": {"model": "mock"},
+        "processing": {
+            "checkpoint_dir": str(tmp_path / "ckpt"),
+            "session_id": "cli-sess",
+            **processing,
+        },
+    }
+
+
+def test_yaml_config_env_expansion(tmp_path, reviews_csv, monkeypatch):
+    import yaml
+
+    monkeypatch.setenv("MY_MODEL", "mock")
+    cfg = _config(tmp_path, reviews_csv)
+    cfg["llm"]["model"] = "${MY_MODEL}"
+    cfg["prompt"]["system_message"] = "${MISSING_VAR:-fallback}"
+    path = tmp_path / "p.yaml"
+    path.write_text(yaml.safe_dump(cfg))
+    spec = load_config(str(path))
+    assert spec.llm.model == "mock"
+    assert spec.prompt.system_message == "fallback"
+    with pytest.raises(KeyError):
+        spec_from_dict({**cfg, "llm": {"model": "${DEFINITELY_NOT_SET}"}})
+
+
+def test_config_rejects_unknown_keys(tmp_path, reviews_csv):
+    cfg = _config(tmp_path, reviews_csv)
+    cfg["processing"]["not_a_knob"] = 1
+    with pytest.raises(ValueError, match="not_a_knob"):
+        spec_from_dict(cfg)
+
+
+def test_cli_process_status_resume_flow(spark, tmp_path, reviews_csv):
+    import yaml
+
+    from ondine_spark.cli import main
+
+    cfg_path = tmp_path / "p.yaml"
+    cfg_path.write_text(yaml.safe_dump(_config(tmp_path, reviews_csv)))
+    registry = str(tmp_path / "runs.db")
+
+    rc = main(["validate", str(cfg_path)])
+    assert rc == 0
+
+    rc = main([
+        "process", str(cfg_path), "--run-id", "r1",
+        "--registry", registry, "--chunked", "--chunk-size", "10",
+    ])
+    assert rc == 0
+    reg = RunRegistry(registry)
+    assert reg.get("r1").state == RunState.SUCCEEDED
+    assert reg.get("r1").meta["rows"] == 30
+
+    rc = main(["status", "r1", "--registry", registry])
+    assert rc == 0
+    rc = main(["list-runs", "--registry", registry])
+    assert rc == 0
+    rc = main(["list-providers"])
+    assert rc == 0
+
+
+def test_registry_state_machine(tmp_path):
+    reg = RunRegistry(str(tmp_path / "runs.db"))
+    reg.create("a")
+    reg.transition("a", RunState.RUNNING)
+    with pytest.raises(ValueError):
+        reg.transition("a", RunState.PENDING)
+    reg.transition("a", RunState.FAILED, error="boom")
+    assert reg.get("a").meta["error"] == "boom"
+    reg.transition("a", RunState.RUNNING)  # resume path
+    reg.transition("a", RunState.SUCCEEDED)
+    with pytest.raises(ValueError):
+        reg.transition("a", RunState.RUNNING)
+    assert [r.run_id for r in reg.list()] == ["a"]
+
+
+def test_composer_dependent_columns(spark):
+    from ondine_spark import PipelineBuilder
+    from ondine_spark.plans.composer import PipelineComposer
+
+    def upper_factory():
+        class C:
+            def complete(self, prompt, system=None):
+                from ondine_spark.llm.client import LLMResult
+
+                # prompt: "U:<text>" -> upper, "L:<text>" -> len
+                tag, _, payload = prompt.partition(":")
+                out = payload.upper() if tag == "U" else str(len(payload))
+                return LLMResult(text=out, tokens_in=1, tokens_out=1,
+                                model="m", cost="0", latency_ms=0.1)
+
+        return C()
+
+    df = spark.createDataFrame([("a", "hi"), ("b", "yo")], ["id", "word"])
+
+    def step(template, col):
+        # input columns inferred from the template placeholders — a later
+        # step may reference columns produced by earlier steps
+        return (
+            PipelineBuilder(spark)
+            .from_dataframe(df, id_column="id")
+            .with_prompt(template, [col])
+            .with_custom_llm_client(upper_factory)
+            .build()
+        )
+
+    comp = (
+        PipelineComposer()
+        .add_column("upper", step("U:{word}", "upper"))
+        .add_column("ulen", step("L:{upper}", "ulen"), depends_on=["upper"])
+    )
+    out = {r["id"]: r for r in comp.execute(df).collect()}
+    assert out["a"]["upper"] == "HI" and out["a"]["ulen"] == "2"
+    assert out["b"]["upper"] == "YO"
+
+    # cycle detection
+    comp2 = (
+        PipelineComposer()
+        .add_column("x", step("U:{word}", "x"), depends_on=["y"])
+        .add_column("y", step("U:{word}", "y"), depends_on=["x"])
+    )
+    with pytest.raises(ValueError, match="cycle"):
+        comp2.execute(df)
+
+
+def test_provider_registry_and_presets():
+    from ondine_spark.core.specs import LLMSpec
+    from ondine_spark.llm.providers import (
+        client_factory_for,
+        preset_costs,
+        provider,
+    )
+
+    assert preset_costs("gpt-4o-mini") is not None
+    assert preset_costs("openai/gpt-4o-mini") is not None
+    assert preset_costs("never-heard-of-it") is None
+
+    with pytest.raises(ValueError, match="no client"):
+        client_factory_for(LLMSpec(model="never-heard-of-it"))
+
+    @provider("testprov")
+    def _factory(model=None):
+        return ("client-for", model)
+
+    f = client_factory_for(LLMSpec(model="testprov/x1"))
+    assert f() == ("client-for", "testprov/x1")
+
+    mock = client_factory_for(LLMSpec(model="mock"))()
+    assert hasattr(mock, "complete")

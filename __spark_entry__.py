@@ -435,6 +435,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "o_orderkey", F.col("_confidence_score").alias("confidence_r")
         )
 
+    # ------------------------------------------------------ multimodal ops
+
+    def q_mm_meta(spark, sf_dir):
+        from ondine_spark.operators.multimodal import media_meta, with_binary_column
+
+        docs = with_binary_column(_docs(spark, sf_dir), "text")
+        out = media_meta(docs, "media_bytes")
+        return out.select(
+            "doc_id",
+            F.col("media_meta.byte_len").alias("byte_len"),
+            F.col("media_meta.md5").alias("md5_hex"),
+            F.col("media_meta.width").alias("width"),
+            F.col("media_meta.height").alias("height"),
+        )
+
+    def q_mm_frames(spark, sf_dir):
+        from ondine_spark.operators.multimodal import frame_sample, with_binary_column
+
+        docs = with_binary_column(_docs(spark, sf_dir), "text")
+        out = frame_sample(docs, "media_bytes", n_frames=4)
+        return out.select(
+            "doc_id", F.explode("frames").alias("f")
+        ).select(
+            "doc_id",
+            F.col("f.frame_idx").alias("frame_idx"),
+            F.col("f.frame_len").alias("frame_len"),
+            F.col("f.frame_md5").alias("frame_md5"),
+        )
+
+    def q_mm_byte_hist(spark, sf_dir):
+        from ondine_spark.operators.multimodal import (
+            byte_histogram_features,
+            with_binary_column,
+        )
+
+        docs = with_binary_column(_docs(spark, sf_dir), "text")
+        out = byte_histogram_features(
+            docs, "media_bytes", buckets=16, normalize=False
+        )
+        return out.select(
+            "doc_id", F.posexplode("features").alias("bucket", "cnt")
+        ).select(
+            "doc_id", "bucket", F.col("cnt").cast("long").alias("cnt")
+        ).filter(F.col("cnt") > 0)
+
     return {
         "enrich_sentiment": q_enrich_sentiment,
         "enrich_batched": q_enrich_batched,
@@ -467,6 +512,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_semantic": q_chunk_semantic,
         "grounding_tfidf": q_grounding_tfidf,
         "confidence_blend": q_confidence_blend,
+        "mm_meta": q_mm_meta,
+        "mm_frames": q_mm_frames,
+        "mm_byte_hist": q_mm_byte_hist,
     }
 
 
@@ -681,6 +729,47 @@ def oracle_sql() -> dict[str, str]:
             FROM pieces
         """,
         "grounding_tfidf": _grounding_sql(),
+        # binary column = utf-8 of ascii text, so the oracle mirrors byte
+        # ops with text functions (duckdb md5 is VARCHAR-only)
+        "mm_meta": """
+            SELECT doc_id,
+                   length(text)::BIGINT AS byte_len,
+                   md5(text) AS md5_hex,
+                   (length(text) % 640 + 16)::INT AS width,
+                   (length(text) % 480 + 16)::INT AS height
+            FROM documents
+        """,
+        "mm_frames": """
+            WITH base AS (
+              SELECT doc_id, text,
+                     greatest(length(text) // 4, 1) AS flen
+              FROM documents
+            ), idx AS (
+              SELECT doc_id, text, flen,
+                     unnest(generate_series(0, 3)) AS frame_idx
+              FROM base
+            )
+            SELECT doc_id, frame_idx::INT AS frame_idx,
+                   (CASE WHEN frame_idx = 3
+                         THEN length(text) - frame_idx * flen
+                         ELSE flen END)::INT AS frame_len,
+                   md5(substr(text, (frame_idx * flen + 1)::INT,
+                       (CASE WHEN frame_idx = 3
+                             THEN length(text) - frame_idx * flen
+                             ELSE flen END)::INT)) AS frame_md5
+            FROM idx
+        """,
+        "mm_byte_hist": """
+            WITH chars AS (
+              SELECT doc_id,
+                     ascii(substr(text, i::INT, 1)) % 16 AS bucket
+              FROM (SELECT doc_id, text,
+                           unnest(generate_series(1, length(text))) AS i
+                    FROM documents)
+            )
+            SELECT doc_id, bucket::INT AS bucket, count(*)::BIGINT AS cnt
+            FROM chars GROUP BY doc_id, bucket
+        """,
         "confidence_blend": """
             SELECT o_orderkey,
                    least(1.0,

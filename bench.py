@@ -77,6 +77,42 @@ def main() -> None:
         total += dt
         print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
 
+    # Throughput at the reference's benchmark scale (BASELINE.md: 100K rows
+    # in ~7.2 s crash+resume with a deterministic in-process LLM): replicate
+    # the driver-provided documents to 100K rows and run the full batched
+    # spine (prompt → mega-batch → mock LLM → disaggregate → parse → merge).
+    from pyspark.sql import functions as F
+
+    from ondine_spark import PipelineBuilder
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = docs.count()
+    reps = max(1, 100_000 // max(n_docs, 1))
+    big = (
+        docs.crossJoin(spark.range(reps).withColumnRenamed("id", "_rep"))
+        .withColumn("uid", F.col("doc_id") * 1000 + F.col("_rep"))
+        .select("uid", "text")
+    )
+    t0 = time.monotonic()
+    p = (
+        PipelineBuilder(spark)
+        .from_dataframe(big, ["text"], id_column="uid")
+        .with_prompt(entry.TEMPLATE, ["sentiment"])
+        .with_custom_llm_client(entry._mock_factory)
+        .with_batch_size(25)
+        .with_concurrency(16)
+        .build()
+    )
+    n100k = p.result_frame().select("uid", "sentiment").count()
+    dt = time.monotonic() - t0
+    timings["enrich_batched_100k"] = round(dt, 3)
+    total += dt
+    print(
+        f"# enrich_batched_100k: {dt:.3f}s ({n100k} rows, "
+        f"{n100k / dt:.0f} rows/s)",
+        file=sys.stderr,
+    )
+
     print(
         json.dumps(
             {

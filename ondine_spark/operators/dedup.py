@@ -73,21 +73,50 @@ def ngram_jaccard_pairs(
     grams = df.select(
         F.col(id_col).alias("_id"), word_ngrams(F.col(text_col), n).alias("_g")
     ).withColumn("_size", F.size("_g"))
-    # single-scan plan: the doc's set size travels WITH each posting row, so
-    # pair generation needs no joins back to the input — the shingle explode
-    # (the expensive pass) runs exactly once, and the only wide exchanges
-    # are on compact keys (shingle, then the (a,b) pair).
+    # persist: grams feeds BOTH candidate generation and the verify join —
+    # without it the shingle explode (the expensive scan) runs three times
+    grams = grams.persist()
+
+    # PREFIX FILTERING (lossless, SSJoin literature): two sets with
+    # Jaccard ≥ t must share at least one of each other's
+    # (|S| - ceil(t·|S|) + 1) RAREST shingles. Only those prefix shingles
+    # generate candidates — hot stop-shingles fall outside every prefix, so
+    # the quadratic blowup on common phrases disappears while the result
+    # set stays EXACT (candidates are verified against the full sets).
     posting = grams.select(
-        F.struct(F.col("_id"), F.col("_size")).alias("_doc"),
-        F.explode("_g").alias("_shingle"),
+        "_id", "_size", F.explode("_g").alias("_shingle")
     )
-    members = posting.groupBy("_shingle").agg(
-        F.sort_array(F.collect_list("_doc")).alias("_docs")
-    )
+    freq = posting.groupBy("_shingle").agg(F.count(F.lit(1)).alias("_df"))
     if max_shingle_freq is not None:
-        # stop-shingles produce quadratic candidates and almost never decide
-        # a pair; capping them bounds the pair blowup (approximation knob)
-        members = members.filter(F.size("_docs") <= max_shingle_freq)
+        # optional approximation knob kept from the previous plan: ignore
+        # shingles appearing in more docs than the cap entirely
+        freq = freq.filter(F.col("_df") <= max_shingle_freq)
+    size_agg = F.first("_size")
+    prefix_len = (
+        size_agg - F.ceil(F.lit(threshold) * size_agg) + 1
+    ).cast("int")
+    ranked = (
+        posting.join(freq, on="_shingle")
+        .groupBy("_id")
+        .agg(
+            F.first("_size").alias("_size"),
+            F.slice(
+                F.array_sort(
+                    F.collect_list(F.struct("_df", "_shingle"))
+                ),
+                1,
+                F.greatest(prefix_len, F.lit(1)),
+            ).alias("_prefix"),
+        )
+    )
+    members = (
+        ranked.select(
+            F.struct(F.col("_id"), F.col("_size")).alias("_doc"),
+            F.explode("_prefix").alias("_ps"),
+        )
+        .groupBy(F.col("_ps._shingle").alias("_shingle"))
+        .agg(F.sort_array(F.collect_list("_doc")).alias("_docs"))
+    )
     pairs = F.flatten(
         F.transform(
             "_docs",
@@ -102,15 +131,19 @@ def ngram_jaccard_pairs(
             ),
         )
     )
-    common = (
+    cand = (
         members.select(F.explode(pairs).alias("_p"))
         .select("_p.a", "_p._sa", "_p.b", "_p._sb")
-        .groupBy("a", "b")
-        .agg(
-            F.count("*").alias("_common"),
-            F.first("_sa").alias("_sa"),
-            F.first("_sb").alias("_sb"),
-        )
+        .dropDuplicates(["a", "b"])
+    )
+    # exact verify on the candidate set only
+    ga = grams.select(F.col("_id").alias("a"), F.col("_g").alias("_ga"))
+    gb = grams.select(F.col("_id").alias("b"), F.col("_g").alias("_gb"))
+    common = (
+        cand.join(ga, on="a")
+        .join(gb, on="b")
+        .withColumn("_common", F.size(F.array_intersect("_ga", "_gb")))
+        .drop("_ga", "_gb")
     )
     return (
         common.withColumn(
@@ -253,6 +286,10 @@ def simhash_pairs(
             ])
         ).alias("bk"),
     ).select("_id", "simhash", "bk.blk", "bk.key")
+    # persist: the blocks frame self-joins, and Spark computes each join
+    # side independently — without this the signature aggregation (token
+    # explode + 60 bit-vote sums, the expensive part) runs twice
+    blocks = blocks.persist()
     a = blocks.select(F.col("_id").alias("a"), F.col("simhash").alias("_ha"), "blk", "key")
     b = blocks.select(F.col("_id").alias("b"), F.col("simhash").alias("_hb"), "blk", "key")
     cand = (

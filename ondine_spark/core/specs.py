@@ -19,6 +19,7 @@ class ResponseFormat(str, enum.Enum):
     RAW = "raw"
     JSON = "json"
     REGEX = "regex"
+    SCHEMA = "schema"  # validated structured output (L3/F7)
 
 
 class MergeStrategy(str, enum.Enum):
@@ -91,6 +92,11 @@ class PromptSpec:
     # N:1 mega-prompt batching (reference: batch_aggregator_stage.py)
     batch_size: int = 1
     batch_strategy: str = "json"
+    # structured output (L3/F7): Spark StructType, DDL string, or
+    # {field: ddl_type} dict; parsed with from_json + validation error col
+    output_schema: Any = None
+    # custom parser (U2): callable (DataFrame, output_cols) -> DataFrame
+    custom_parser: Callable[..., Any] | None = None
 
 
 @dataclass
@@ -126,6 +132,13 @@ class ProcessingSpec:
     preprocess_max_length: int = 500
     auto_retry_failed: bool = False
     max_auto_retries: int = 3
+    # O5: Gradient2-style adaptive in-flight cap inside the LLM UDF
+    adaptive_concurrency: bool = False
+    # U1: [(position, fn)] custom DataFrame->DataFrame stages;
+    # position in {after_load, after_prompt, after_parse}
+    stages: list = field(default_factory=list)
+    # U6/O14: observer objects with on_event(PipelineEvent)
+    observers: list = field(default_factory=list)
 
 
 @dataclass

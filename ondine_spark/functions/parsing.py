@@ -158,6 +158,7 @@ def apply_parser(
     response_format: str = "raw",
     regex_patterns: dict[str, str] | None = None,
     response_col: str = "response_text",
+    output_schema=None,
 ) -> DataFrame:
     """Append parsed output columns to ``df``.
 
@@ -185,4 +186,66 @@ def apply_parser(
         for c in output_cols:
             out = out.withColumn(c, F.col(f"_parsed.{c}"))
         return out.drop("_parsed")
+    if response_format == "schema":
+        if output_schema is None:
+            raise ValueError("schema parser requires output_schema")
+        return apply_schema_parser(df, output_cols, output_schema, response_col)
     raise ValueError(f"unknown response_format: {response_format}")
+
+
+def normalize_schema(schema) -> "T.StructType":
+    """StructType | DDL string | {field: ddl_type} dict → StructType
+    (the Spark analog of the reference's Pydantic output models,
+    ondine/api/pipeline_builder.py:1410)."""
+    from pyspark.sql import types as T
+
+    if isinstance(schema, T.StructType):
+        return schema
+    if isinstance(schema, str):
+        parsed = T._parse_datatype_string(schema)
+        if not isinstance(parsed, T.StructType):
+            raise ValueError("DDL schema must describe a struct")
+        return parsed
+    if isinstance(schema, dict):
+        return T.StructType([
+            T.StructField(k, T._parse_datatype_string(v)) for k, v in schema.items()
+        ])
+    raise ValueError(f"unsupported schema spec: {type(schema)}")
+
+
+def apply_schema_parser(
+    df: DataFrame,
+    output_cols: list[str],
+    schema,
+    response_col: str = "response_text",
+) -> DataFrame:
+    """L3/F7: validated structured output, entirely JVM-side.
+
+    Markdown-fence strip (F6 pre-pass) → ``from_json`` with the declared
+    StructType (Catalyst JSON parser, codegen) → typed output columns +
+    ``_parse_error`` flagging rows whose response didn't validate
+    (from_json null / missing required fields). The reference re-validates
+    with Pydantic per row in Python; the declarative schema gives the same
+    contract without leaving the JVM."""
+    st = normalize_schema(schema)
+    missing = [c for c in output_cols if c not in st.fieldNames()]
+    if missing:
+        raise ValueError(f"output columns {missing} not in output_schema")
+    col = F.col(response_col)
+    not_skipped = col.isNotNull() & (col != SKIPPED)
+    # strip ```json fences and take the outermost {...}
+    cleaned = F.regexp_replace(col, r"(?s)^\s*```(?:json)?\s*|\s*```\s*$", "")
+    cleaned = F.regexp_extract(cleaned, r"(?s)(\{.*\})", 1)
+    parsed = F.from_json(cleaned, st)
+    out = df.withColumn("_parsed", F.when(not_skipped, parsed))
+    for c in output_cols:
+        out = out.withColumn(c, F.col(f"_parsed.{c}"))
+    any_field_set = None
+    for c in st.fieldNames():
+        cond = F.col(f"_parsed.{c}").isNotNull()
+        any_field_set = cond if any_field_set is None else (any_field_set | cond)
+    out = out.withColumn(
+        "_parse_error",
+        not_skipped & (F.col("_parsed").isNull() | ~any_field_set),
+    )
+    return out.drop("_parsed")

@@ -27,6 +27,7 @@ Design notes (scale):
 
 from __future__ import annotations
 
+import math
 import threading
 import time
 from concurrent.futures import ThreadPoolExecutor
@@ -93,6 +94,53 @@ class TokenBucket:
 
 
 _CACHE_MAX = 8  # old runs' clients evicted FIFO in long-lived workers
+
+
+class AdaptiveLimiter:
+    """O5: Gradient2-flavored adaptive concurrency cap (reference:
+    ondine/utils/adaptive_limiter.py:1-100, concurrency_controller.py).
+
+    Multiplicative shrink ×0.9 on throttle signals (with a 0.2 s cooldown
+    so one burst of 429s counts once); gradient growth toward the
+    configured max when RTT stays near the observed baseline. Thread-safe;
+    gates a ThreadPoolExecutor via acquire/release."""
+
+    def __init__(self, max_limit: int, min_limit: int = 1):
+        self.max = max(1, max_limit)
+        self.min = min_limit
+        self.limit = float(max(1, max_limit // 2))
+        self.inflight = 0
+        self.baseline_rtt = None
+        self.last_shrink = 0.0
+        self.cv = threading.Condition()
+
+    def acquire(self):
+        with self.cv:
+            while self.inflight >= int(self.limit):
+                self.cv.wait(timeout=0.5)
+            self.inflight += 1
+
+    def release(self, rtt_s: float | None, throttled: bool):
+        with self.cv:
+            self.inflight -= 1
+            now = time.monotonic()
+            if throttled:
+                if now - self.last_shrink > 0.2:
+                    self.limit = max(self.min, self.limit * 0.9)
+                    self.last_shrink = now
+            elif rtt_s is not None:
+                if self.baseline_rtt is None or rtt_s < self.baseline_rtt:
+                    self.baseline_rtt = rtt_s
+                # grow only when saturated and latency near baseline
+                near = rtt_s <= self.baseline_rtt * 2.0
+                saturated = self.inflight + 1 >= int(self.limit)
+                if near and saturated:
+                    gradient = self.baseline_rtt / max(rtt_s, 1e-9)
+                    target = self.limit * gradient + math.sqrt(self.limit)
+                    self.limit = min(
+                        float(self.max), self.limit * 0.8 + target * 0.2
+                    )
+            self.cv.notify_all()
 
 
 def _get_client(factory_key: str, factory: Callable[[], Any]):
@@ -190,14 +238,21 @@ def invoke_llm(
 
     out_schema = T.StructType(list(df.schema.fields) + RESPONSE_FIELDS)
 
+    adaptive = proc.adaptive_concurrency
+
     def run_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         client = _get_client(factory_key, factory)
         bucket = _get_bucket(factory_key, per_worker_rpm)
         pool = ThreadPoolExecutor(max_workers=concurrency)
+        limiter = AdaptiveLimiter(concurrency) if adaptive else None
 
         def one(prompt: str) -> tuple:
             if prompt is None:
                 return (None, 0, 0, None, "0", 0.0, "null prompt")
+            if limiter is not None:
+                limiter.acquire()
+            t0 = time.monotonic()
+            throttled = False
             try:
                 r = _call_with_retry(
                     client, prompt, sys_msg, bucket, max_retries, base_delay, max_delay
@@ -209,10 +264,14 @@ def invoke_llm(
                     str(r.cost), r.latency_ms, None,
                 )
             except (TransientLLMError, FatalLLMError, Exception) as e:
+                throttled = isinstance(e, TransientLLMError)
                 if policy == ErrorPolicy.FAIL:
                     raise
                 text = default_value if policy == ErrorPolicy.USE_DEFAULT else SKIPPED
                 return (text, 0, 0, None, "0", 0.0, f"{type(e).__name__}: {e}")
+            finally:
+                if limiter is not None:
+                    limiter.release(time.monotonic() - t0, throttled)
 
         try:
             for pdf in batches:

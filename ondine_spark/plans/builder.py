@@ -106,6 +106,38 @@ class PipelineBuilder:
         self._spec.prompt.regex_patterns = regex_patterns
         return self
 
+    def with_structured_output(self, schema):
+        """L3: validated structured output. ``schema`` is a StructType, DDL
+        string ('label STRING, score DOUBLE'), or {field: ddl_type} dict —
+        the Spark analog of the reference's Pydantic response models."""
+        self._spec.prompt.response_format = ResponseFormat.SCHEMA
+        self._spec.prompt.output_schema = schema
+        return self
+
+    def with_custom_parser(self, fn):
+        """U2: fn(responses_df, output_cols) -> DataFrame with the output
+        columns appended."""
+        self._spec.prompt.custom_parser = fn
+        return self
+
+    def with_stage(self, fn, position: str = "after_parse"):
+        """U1: insert a user DataFrame->DataFrame transform at
+        ``after_load`` | ``after_prompt`` | ``after_parse``."""
+        if position not in ("after_load", "after_prompt", "after_parse"):
+            raise ValueError(f"unknown stage position: {position}")
+        self._spec.processing.stages.append((position, fn))
+        return self
+
+    def with_adaptive_concurrency(self, enabled: bool = True):
+        """O5: Gradient2-style adaptive in-flight cap inside the LLM UDF."""
+        self._spec.processing.adaptive_concurrency = enabled
+        return self
+
+    def with_observer(self, observer):
+        """U6: object with on_event(PipelineEvent); driver-side run events."""
+        self._spec.processing.observers.append(observer)
+        return self
+
     # ----------------------------------------------------------------- llm
     def with_llm(self, model: str, *, input_cost_per_1k=None, output_cost_per_1k=None):
         self._spec.llm.model = model

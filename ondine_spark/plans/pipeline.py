@@ -77,7 +77,7 @@ class Pipeline:
             clean = preprocess_udf(self.spec.processing.preprocess_max_length)
             for c in self.spec.dataset.input_columns:
                 df = df.withColumn(c, clean(F.col(c).cast("string")))
-        return df
+        return self._apply_stages(df, "after_load")
 
     def response_frame(self, df: DataFrame | None = None, resume: bool = True) -> DataFrame:
         """Input rows → rows + response columns (pre-parse)."""
@@ -128,6 +128,7 @@ class Pipeline:
                     F.concat(F.lit("Context:\n"), F.col(c), F.lit("\n\n"), p),
                 ).otherwise(p)
         df = df.withColumn("prompt", p)
+        df = self._apply_stages(df, "after_prompt")
         self._call_counter = self.spark.sparkContext.accumulator(0)
         if spec.prompt.batch_size > 1:
             batches = aggregate_batches(df, spec.prompt.batch_size)
@@ -153,15 +154,31 @@ class Pipeline:
         """Full plan: responses parsed into output columns, meta dropped."""
         spec = self.spec
         responses = self.response_frame(df)
-        parsed = apply_parser(
-            responses,
-            spec.dataset.output_columns,
-            spec.prompt.response_format.value
-            if isinstance(spec.prompt.response_format, ResponseFormat)
-            else spec.prompt.response_format,
-            spec.prompt.regex_patterns,
-        )
+        if spec.prompt.custom_parser is not None:
+            parsed = spec.prompt.custom_parser(
+                responses, spec.dataset.output_columns
+            )
+        else:
+            parsed = apply_parser(
+                responses,
+                spec.dataset.output_columns,
+                spec.prompt.response_format.value
+                if isinstance(spec.prompt.response_format, ResponseFormat)
+                else spec.prompt.response_format,
+                spec.prompt.regex_patterns,
+                output_schema=spec.prompt.output_schema,
+            )
+        parsed = self._apply_stages(parsed, "after_parse")
         return self._verify(parsed)
+
+    def _apply_stages(self, df: DataFrame, position: str) -> DataFrame:
+        """U1: user stages (DataFrame -> DataFrame) at named positions
+        (reference: @stage registry + with_stage(position=...),
+        ondine/stages/stage_registry.py, pipeline_builder.py:1101-1190)."""
+        for pos, fn in self.spec.processing.stages:
+            if pos == position:
+                df = fn(df)
+        return df
 
     def _verify(self, df: DataFrame) -> DataFrame:
         """V1/V3/V4 lazy verification transforms after parse (reference:
@@ -216,6 +233,31 @@ class Pipeline:
     def execute(self) -> ExecutionResult:
         spec = self.spec
         spec.validate()
+        from ondine_spark.observability import EventDispatcher
+
+        dispatcher = EventDispatcher(spec.processing.observers)
+        dispatcher.emit(
+            "pipeline_start", run_id=spec.processing.session_id,
+            model=spec.llm.model, batch_size=spec.prompt.batch_size,
+        )
+        try:
+            result = self._execute_inner(spec)
+        except Exception as e:
+            dispatcher.emit(
+                "error", run_id=spec.processing.session_id,
+                error=f"{type(e).__name__}: {e}"[:500],
+            )
+            raise
+        dispatcher.emit(
+            "pipeline_end", run_id=spec.processing.session_id,
+            rows=result.stats.rows,
+            valid_rows=result.quality.valid_rows,
+            cost=str(result.stats.total_cost),
+            api_calls=result.api_calls,
+        )
+        return result
+
+    def _execute_inner(self, spec) -> ExecutionResult:
         # The result feeds several actions (durable cache write, quality/cost
         # aggregates, the user's own consumption) — without pinning it each
         # action would re-invoke the LLM.

@@ -258,6 +258,18 @@ class Pipeline:
         return result
 
     def _execute_inner(self, spec) -> ExecutionResult:
+        if spec.prompt.batch_size > 1:
+            # §4: context-window validation of the mega-batch size — a
+            # driver-side sample check before any LLM spend
+            from ondine_spark.functions.templates import prompt_column
+            from ondine_spark.llm.context_limits import validate_batch_size
+
+            sample = self.input_frame().limit(200).withColumn(
+                "prompt",
+                prompt_column(spec.prompt.template, spec.prompt.use_jinja2,
+                              spec.prompt.few_shot_examples),
+            )
+            validate_batch_size(sample, spec.prompt.batch_size, spec.llm.model)
         # The result feeds several actions (durable cache write, quality/cost
         # aggregates, the user's own consumption) — without pinning it each
         # action would re-invoke the LLM.

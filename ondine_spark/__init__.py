@@ -27,13 +27,31 @@ from ondine_spark.llm.client import (
     mock_client_factory,
 )
 from ondine_spark.plans.builder import PipelineBuilder
+from ondine_spark.plans.composer import PipelineComposer
 from ondine_spark.plans.pipeline import ExecutionResult, Pipeline
+
+
+def __getattr__(name):
+    # lazy heavy layers: keep `import ondine_spark` light
+    if name == "KnowledgeStore":
+        from ondine_spark.knowledge.store import KnowledgeStore
+
+        return KnowledgeStore
+    if name == "ClaimStore":
+        from ondine_spark.context.store import ClaimStore
+
+        return ClaimStore
+    raise AttributeError(name)
+
 
 __all__ = [
     "enrich",
     "PipelineBuilder",
+    "PipelineComposer",
     "Pipeline",
     "ExecutionResult",
+    "KnowledgeStore",
+    "ClaimStore",
     "PipelineSpec",
     "DatasetSpec",
     "PromptSpec",

@@ -69,7 +69,13 @@ def read_source(spark: SparkSession, spec: DatasetSpec) -> DataFrame:
     if fmt == "excel":
         import pandas as pd
 
-        pdf = pd.read_excel(src, sheet_name=spec.sheet_name)
+        try:
+            pdf = pd.read_excel(src, sheet_name=spec.sheet_name)
+        except ImportError as e:  # openpyxl not installed here
+            raise ImportError(
+                "Excel input needs openpyxl (not installed in this "
+                "environment); convert to csv/parquet or install it"
+            ) from e
         return spark.createDataFrame(pdf.astype(str))
     raise ValueError(f"unsupported format: {fmt}")
 

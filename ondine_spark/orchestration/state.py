@@ -1,0 +1,55 @@
+"""Checkpoint state memento (O8).
+
+Reference (ondine/adapters/checkpoint_storage.py, orchestration/
+state_manager.py, execution_context.py:266-316): a gzip-JSON memento of
+the run's counters saved every checkpoint interval, deleted on success.
+
+Spark-first: the durable RESPONSE cache is the resume source of truth
+(sources/cache.py); the memento carries only driver-side counters (chunks
+committed, rows, cumulative cost) so an operator inspecting a crashed run
+sees progress without scanning the cache."""
+
+from __future__ import annotations
+
+import gzip
+import json
+import os
+import time
+from dataclasses import asdict, dataclass, field
+
+
+@dataclass
+class RunMemento:
+    session_id: str
+    chunks_committed: int = 0
+    rows_processed: int = 0
+    cumulative_cost: str = "0"
+    updated_at: float = field(default_factory=time.time)
+
+
+class StateManager:
+    def __init__(self, checkpoint_dir: str, session_id: str):
+        self.dir = checkpoint_dir
+        self.session_id = session_id
+        os.makedirs(checkpoint_dir, exist_ok=True)
+
+    @property
+    def path(self) -> str:
+        return os.path.join(self.dir, f"{self.session_id}.state.json.gz")
+
+    def save(self, memento: RunMemento) -> None:
+        memento.updated_at = time.time()
+        tmp = self.path + ".tmp"
+        with gzip.open(tmp, "wt") as f:
+            json.dump(asdict(memento), f)
+        os.replace(tmp, self.path)  # atomic on POSIX
+
+    def load(self) -> RunMemento | None:
+        if not os.path.exists(self.path):
+            return None
+        with gzip.open(self.path, "rt") as f:
+            return RunMemento(**json.load(f))
+
+    def cleanup(self) -> None:
+        if os.path.exists(self.path):
+            os.remove(self.path)

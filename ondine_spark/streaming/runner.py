@@ -71,6 +71,11 @@ def execute_chunked(
     if ckpt is None:
         raise ValueError("execute_chunked requires a checkpoint_dir")
     spark = pipeline.spark
+    from ondine_spark.observability import EventDispatcher
+    from ondine_spark.orchestration.state import RunMemento, StateManager
+
+    dispatcher = EventDispatcher(spec.processing.observers)
+    state = StateManager(ckpt, sid)
 
     df = pipeline.input_frame()
     cached = read_cache(spark, ckpt, sid)
@@ -124,9 +129,22 @@ def execute_chunked(
                 ChunkResult(cid, agg["n"], cost, spent)
             )
             summary.total_rows += agg["n"]
+            # O8: driver-side counter memento per committed chunk
+            state.save(RunMemento(
+                session_id=sid,
+                chunks_committed=len(summary.chunks),
+                rows_processed=summary.resumed_rows + summary.total_rows,
+                cumulative_cost=str(spent),
+            ))
+            dispatcher.emit(
+                "chunk_committed", run_id=sid, chunk_id=cid,
+                rows=agg["n"], cumulative_cost=str(spent),
+                chunks_done=len(summary.chunks), chunks_total=int(n_chunks),
+            )
     finally:
         chunked.unpersist()
     summary.total_cost = spent
+    state.cleanup()  # success: the response cache alone is the record
     return summary
 
 

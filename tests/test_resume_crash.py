@@ -120,3 +120,36 @@ def test_batch_mode_resume_via_execute(spark, tmp_path):
     res2 = p.execute()
     assert res2.quality.valid_rows == 100
     assert _count_calls(calls) == n1  # all rows served from cache
+
+
+def test_memento_saved_on_crash_cleaned_on_success(spark, tmp_path):
+    """O8: crashed run leaves a counters memento; success removes it."""
+    from ondine_spark.orchestration.state import StateManager
+
+    crash_factory = mock_client_factory(crash_on="row 57")
+    p = _builder(spark, tmp_path / "ckpt", crash_factory).build()
+    with pytest.raises(Exception):
+        execute_chunked(p, chunk_size=20)
+    st = StateManager(str(tmp_path / "ckpt"), "sess1")
+    m = st.load()
+    assert m is not None
+    assert m.chunks_committed == 2
+    assert m.rows_processed == 40
+    assert Decimal(m.cumulative_cost) > 0
+
+    ok = _builder(spark, tmp_path / "ckpt", mock_client_factory()).build()
+    execute_chunked(ok, chunk_size=20)
+    assert st.load() is None  # cleaned up on success
+
+
+def test_chunk_committed_events(spark, tmp_path):
+    from ondine_spark.observability import CollectingObserver
+
+    obs = CollectingObserver()
+    b = _builder(spark, tmp_path / "ckpt", mock_client_factory())
+    b.with_observer(obs)
+    execute_chunked(b.build(), chunk_size=25)
+    kinds = [e.kind for e in obs.events]
+    assert kinds.count("chunk_committed") == 4
+    last = obs.events[-1].payload
+    assert last["chunks_done"] == 4 and last["chunks_total"] == 4

@@ -76,6 +76,9 @@ def main() -> None:
         timings[name] = round(dt, 3)
         total += dt
         print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+        # operators may persist intermediates (self-join reuse); drop them
+        # so queries are timed in isolation
+        spark.catalog.clearCache()
 
     # Throughput at the reference's benchmark scale (BASELINE.md: 100K rows
     # in ~7.2 s crash+resume with a deterministic in-process LLM): replicate

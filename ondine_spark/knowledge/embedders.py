@@ -40,13 +40,17 @@ def ngram_buckets(col: Column, n: int = 3, dim: int = 512) -> Column:
     get sparse term-frequency vectors as a FRAME — an inverted index, the
     shape that scales (cosine between texts = a join on bucket, never a
     crossJoin over dense vectors)."""
-    s = F.lower(col)
-    idx = F.sequence(F.lit(1), F.greatest(F.length(s) - n + 1, F.lit(0)))
-    all_grams = F.transform(idx, lambda i: F.substring(s, i, F.lit(n)))
-    return F.transform(
-        F.filter(all_grams, lambda g: F.length(g) == n),
-        lambda g: md5_long(g) % dim,
-    )
+    from ondine_spark.functions.similarity import let_bind
+
+    def build(s: Column) -> Column:
+        idx = F.sequence(F.lit(1), F.greatest(F.length(s) - n + 1, F.lit(0)))
+        all_grams = F.transform(idx, lambda i: F.substring(s, i, F.lit(n)))
+        return F.transform(
+            F.filter(all_grams, lambda g: F.length(g) == n),
+            lambda g: md5_long(g) % dim,
+        )
+
+    return let_bind(F.lower(col), build)
 
 
 class DeterministicEmbedder:

@@ -73,6 +73,14 @@ def ngram_jaccard_pairs(
     grams = df.select(
         F.col(id_col).alias("_id"), word_ngrams(F.col(text_col), n).alias("_g")
     ).withColumn("_size", F.size("_g"))
+    posting = grams.select(
+        "_id", "_size", F.explode("_g").alias("_shingle")
+    )
+    if threshold < 0.25:
+        # low threshold: the prefix is nearly the whole set, so prefix
+        # filtering prunes nothing and its verify join only adds cost —
+        # count common shingles directly from the full postings
+        return _jaccard_by_counting(posting, threshold, max_shingle_freq)
     # persist: grams feeds BOTH candidate generation and the verify join —
     # without it the shingle explode (the expensive scan) runs three times
     grams = grams.persist()
@@ -83,9 +91,6 @@ def ngram_jaccard_pairs(
     # generate candidates — hot stop-shingles fall outside every prefix, so
     # the quadratic blowup on common phrases disappears while the result
     # set stays EXACT (candidates are verified against the full sets).
-    posting = grams.select(
-        "_id", "_size", F.explode("_g").alias("_shingle")
-    )
     freq = posting.groupBy("_shingle").agg(F.count(F.lit(1)).alias("_df"))
     if max_shingle_freq is not None:
         # optional approximation knob kept from the previous plan: ignore
@@ -144,6 +149,55 @@ def ngram_jaccard_pairs(
         .join(gb, on="b")
         .withColumn("_common", F.size(F.array_intersect("_ga", "_gb")))
         .drop("_ga", "_gb")
+    )
+    return (
+        common.withColumn(
+            "jaccard",
+            F.col("_common")
+            / (F.col("_sa") + F.col("_sb") - F.col("_common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def _jaccard_by_counting(
+    posting: DataFrame, threshold: float, max_shingle_freq: int | None
+) -> DataFrame:
+    """Count-based exact plan: single scan, pair commons counted from the
+    postings themselves (the doc's set size travels WITH each posting row,
+    so no joins back to the input)."""
+    members = posting.groupBy("_shingle").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("_id"), F.col("_size")))
+        ).alias("_docs")
+    )
+    if max_shingle_freq is not None:
+        members = members.filter(F.size("_docs") <= max_shingle_freq)
+    pairs = F.flatten(
+        F.transform(
+            "_docs",
+            lambda x, i: F.transform(
+                F.slice(
+                    F.col("_docs"), i + 2,
+                    F.greatest(F.size("_docs") - i - 1, F.lit(0)),
+                ),
+                lambda y: F.struct(
+                    x["_id"].alias("a"), x["_size"].alias("_sa"),
+                    y["_id"].alias("b"), y["_size"].alias("_sb"),
+                ),
+            ),
+        )
+    )
+    common = (
+        members.select(F.explode(pairs).alias("_p"))
+        .select("_p.a", "_p._sa", "_p.b", "_p._sb")
+        .groupBy("a", "b")
+        .agg(
+            F.count(F.lit(1)).alias("_common"),
+            F.first("_sa").alias("_sa"),
+            F.first("_sb").alias("_sb"),
+        )
     )
     return (
         common.withColumn(

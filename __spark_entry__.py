@@ -239,6 +239,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "query_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim_r"), "rank"
         )
 
+    def q_ann_ivf_full(spark, sf_dir):
+        """IVF ANN with nprobe = nlist: exact regardless of centroid
+        placement (every cell probed), so the brute-force oracle applies —
+        the gate proves the IVF plumbing loses nothing."""
+        from ondine_spark.operators.similarity_search import (
+            ivf_topk,
+            train_ivf_centroids,
+        )
+
+        emb = _emb(spark, sf_dir)
+        queries_df = emb.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        cents = train_ivf_centroids(emb, nlist=8)
+        res = ivf_topk(emb, queries_df, k=5, centroids=cents, nprobe=8)
+        return res.select(
+            "query_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim_r"), "rank"
+        )
+
     def q_embedding_sim_pairs(spark, sf_dir):
         emb = _emb(spark, sf_dir)
         a = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("_va"))
@@ -498,6 +517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_sigs": q_minhash_sigs,
         "simhash_pairs": q_simhash_pairs,
         "embedding_topk": q_embedding_topk,
+        "ann_ivf_full": q_ann_ivf_full,
         "embedding_sim_pairs": q_embedding_sim_pairs,
         "filter_select_events": q_filter_select_events,
         "topk_orders": q_topk_orders,
@@ -619,6 +639,23 @@ def oracle_sql() -> dict[str, str]:
         "minhash_sigs": _minhash_sql(num_hashes=8),
         "simhash_pairs": _simhash_pairs_sql(max_hamming=3),
         "embedding_topk": """
+            WITH emb AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ), q AS (
+              SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < 10
+            ), scored AS (
+              SELECT q.query_id, emb.vec_id,
+                     list_sum(list_transform(generate_series(1, len(emb.v)), i -> emb.v[i] * q.qv[i]))
+                     / (sqrt(list_sum(list_transform(emb.v, x -> x * x)))
+                        * sqrt(list_sum(list_transform(q.qv, x -> x * x)))) AS cos_sim
+              FROM emb CROSS JOIN q
+            )
+            SELECT query_id, vec_id, round(cos_sim, 6) AS cos_sim_r,
+                   row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC)::INT AS rank
+            FROM scored
+            QUALIFY rank <= 5
+        """,
+        "ann_ivf_full": """
             WITH emb AS (
               SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
             ), q AS (

@@ -116,3 +116,42 @@ def assert_some_output(report: QualityReport, stats: RunStats) -> None:
             f"({report.total_rows} rows, {report.skipped_cells} skipped cells, "
             f"{stats.tokens_out} output tokens)"
         )
+
+
+@dataclass
+class PreprocessStats:
+    """A5: preprocessing aggregate (reference:
+    ondine/utils/input_preprocessing.py:19-34)."""
+
+    rows: int
+    chars_before: int
+    chars_after: int
+    truncated: int
+    nulls: int
+
+
+def preprocess_stats(
+    before: DataFrame, after: DataFrame, col: str, id_col: str = "_row_id"
+) -> PreprocessStats:
+    """One aggregation over the joined before/after frames."""
+    j = before.select(id_col, F.col(col).alias("_b")).join(
+        after.select(id_col, F.col(col).alias("_a")), on=id_col
+    )
+    row = j.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.coalesce(F.length("_b"), F.lit(0))).alias("cb"),
+        F.sum(F.coalesce(F.length("_a"), F.lit(0))).alias("ca"),
+        F.sum(
+            F.when(
+                F.coalesce(F.length("_a"), F.lit(0))
+                < F.coalesce(F.length("_b"), F.lit(0)),
+                1,
+            ).otherwise(0)
+        ).alias("tr"),
+        F.sum(F.when(F.col("_b").isNull(), 1).otherwise(0)).alias("nu"),
+    ).collect()[0]
+    return PreprocessStats(
+        rows=row["rows"], chars_before=int(row["cb"] or 0),
+        chars_after=int(row["ca"] or 0), truncated=int(row["tr"] or 0),
+        nulls=int(row["nu"] or 0),
+    )

@@ -135,3 +135,87 @@ def lsh_topk(
             "rank",
         )
     )
+
+
+# ---------------------------------------------------------------- IVF ANN
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    nlist: int = 16,
+    vec_col: str = "embedding",
+    max_iter: int = 10,
+    seed: int = 42,
+):
+    """Coarse quantizer for IVF: k-means over the corpus vectors
+    (pyspark.ml KMeans — Lloyd's on DataFrames). Returns the local
+    centroid list (nlist × dim floats — tiny, broadcastable)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = corpus.select(array_to_vector(F.col(vec_col)).alias("features"))
+    model = KMeans(
+        k=nlist, maxIter=max_iter, seed=seed, initMode="k-means||"
+    ).fit(train)
+    return [list(map(float, c)) for c in model.clusterCenters()]
+
+
+def _nearest_centroids_expr(vec_col, centroids: list[list[float]], n: int):
+    """array of the ``n`` nearest centroid ids (by cosine) — a pure JVM
+    expression over the broadcast centroid literals."""
+    sims = F.array(*[
+        F.struct(
+            cosine(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c]))
+            .alias("s"),
+            F.lit(i).alias("c"),
+        )
+        for i, c in enumerate(centroids)
+    ])
+    top = F.slice(F.reverse(F.array_sort(sims)), 1, n)
+    return F.transform(top, lambda x: x["c"])
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    centroids: list[list[float]],
+    nprobe: int = 4,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors are assigned to their nearest
+    centroid (the inverted list); each query probes its ``nprobe`` nearest
+    centroids and scores ONLY those lists — exact cosine within the probed
+    cells, so with nprobe = nlist this equals brute force.
+
+    Scale shape: the corpus is partitioned by centroid cell once
+    (repartition on a small int key — co-locates each inverted list);
+    queries explode to nprobe rows and hash-join on the cell id. No
+    crossJoin against the full corpus."""
+    assigned = corpus.select(
+        F.col(corpus_id).alias("_cid"), F.col(corpus_vec).alias("_cv")
+    ).withColumn(
+        "_cell", _nearest_centroids_expr("_cv", centroids, 1)[0]
+    ).repartition("_cell")
+    probes = queries.select(
+        F.col(query_id).alias("_qid"), F.col(query_vec).alias("_qv")
+    ).withColumn(
+        "_cell",
+        F.explode(_nearest_centroids_expr("_qv", centroids, nprobe)),
+    )
+    scored = assigned.join(F.broadcast(probes), on="_cell").select(
+        "_qid", "_cid", cosine(F.col("_cv"), F.col("_qv")).alias("cos_sim")
+    )
+    w = Window.partitionBy("_qid").orderBy(F.desc("cos_sim"), F.asc("_cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("_qid").alias(query_id),
+            F.col("_cid").alias(corpus_id),
+            "cos_sim",
+            "rank",
+        )
+    )

@@ -166,3 +166,51 @@ def test_multi_query_transform_with_mock():
 
     vs = multi_query(FakeClient(), "q", n=3)
     assert vs == ["variant one", "variant two", "variant three"]
+
+
+def test_ivf_topk_matches_brute_force_full_probe(spark):
+    """IVF with nprobe=nlist is exact — equals brute force."""
+    from ondine_spark.operators.similarity_search import (
+        brute_force_topk,
+        ivf_topk,
+        train_ivf_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    corpus = emb.limit(300)
+    queries = (
+        emb.limit(5)
+        .select(
+            emb.vec_id.alias("query_id"), emb.embedding.alias("query_vec")
+        )
+    )
+    cents = train_ivf_centroids(corpus, nlist=8)
+    assert len(cents) == 8
+
+    exact = brute_force_topk(corpus, queries, k=5)
+    full = ivf_topk(corpus, queries, k=5, centroids=cents, nprobe=8)
+    e = {(r["query_id"], r["rank"]): r["vec_id"] for r in exact.collect()}
+    f = {(r["query_id"], r["rank"]): r["vec_id"] for r in full.collect()}
+    assert e == f
+
+    # nprobe=2 is approximate but must keep high recall on top-5
+    approx = ivf_topk(corpus, queries, k=5, centroids=cents, nprobe=2)
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    ex = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    recall = len(a & ex) / len(ex)
+    assert recall >= 0.6, recall
+
+
+def test_preprocess_stats(spark):
+    from ondine_spark.operators.quality import preprocess_stats
+
+    before = spark.createDataFrame(
+        [(1, "hello   world"), (2, "short"), (3, None)], ["_row_id", "t"]
+    )
+    after = spark.createDataFrame(
+        [(1, "hello world"), (2, "short"), (3, None)], ["_row_id", "t"]
+    )
+    s = preprocess_stats(before, after, "t")
+    assert s.rows == 3
+    assert s.chars_before == 18 and s.chars_after == 16
+    assert s.truncated == 1 and s.nulls == 1

@@ -214,3 +214,59 @@ def test_preprocess_stats(spark):
     assert s.rows == 3
     assert s.chars_before == 18 and s.chars_after == 16
     assert s.truncated == 1 and s.nulls == 1
+
+
+def test_llm_judge_rag_eval(spark):
+    """R8: three 0-1 score columns from a deterministic judge."""
+    import sys as _sys
+
+    from pyspark import cloudpickle as _cp
+
+    _cp.register_pickle_by_value(_sys.modules[__name__])
+    from ondine_spark.knowledge.eval import judge_scores
+
+    def judge_factory():
+        class Judge:
+            def complete(self, prompt, system=None):
+                from ondine_spark.llm.client import LLMResult
+
+                if prompt.startswith("Rate 0.0-1.0 how faithful"):
+                    t = "0.9" if "paris" in prompt.lower() else "0.1"
+                elif "how relevant" in prompt:
+                    t = "Score: 0.8"
+                else:
+                    t = "no idea"  # unparseable → null
+                return LLMResult(text=t, tokens_in=1, tokens_out=1,
+                                model="j", cost="0", latency_ms=0.1)
+
+        return Judge()
+
+    df = spark.createDataFrame(
+        [
+            (1, "capital of france?", "Paris", "Paris is the capital of France"),
+            (2, "capital of spain?", "Berlin", "Madrid is the capital of Spain"),
+        ],
+        ["_row_id", "q", "a", "_kb_context"],
+    )
+    out = {r["_row_id"]: r for r in judge_scores(
+        df, judge_factory, "q", "a"
+    ).collect()}
+    assert out[1]["_kb_eval_faithfulness"] == 0.9
+    assert out[2]["_kb_eval_faithfulness"] == 0.1
+    assert out[1]["_kb_eval_relevancy"] == 0.8
+    assert out[1]["_kb_eval_context_precision"] is None  # unparseable
+
+
+def test_redis_bucket_import_guard():
+    import pytest as _pytest
+
+    from ondine_spark.llm.redis_bucket import RedisTokenBucket
+
+    try:
+        import redis  # noqa
+        has_redis = True
+    except ImportError:
+        has_redis = False
+    if not has_redis:
+        with _pytest.raises(ImportError, match="redis"):
+            RedisTokenBucket("redis://localhost", "m", 60)

@@ -182,3 +182,40 @@ def test_provider_registry_and_presets():
 
     mock = client_factory_for(LLMSpec(model="mock"))()
     assert hasattr(mock, "complete")
+
+
+def test_intent_planner_drafts_valid_spec(spark):
+    from ondine_spark.plans.intent import plan
+
+    class PlannerClient:
+        def complete(self, prompt, system=None):
+            from ondine_spark.llm.client import LLMResult
+
+            return LLMResult(
+                text='```json\n{"prompt_template": "Classify sentiment: '
+                     '{review}", "output_columns": ["sentiment"], '
+                     '"response_format": "raw", "batch_size": 25, '
+                     '"system_message": null}\n```',
+                tokens_in=50, tokens_out=40, model="planner",
+                cost="0.0001", latency_ms=1.0,
+            )
+
+    p = plan(PlannerClient(), "label reviews by sentiment", ["review"])
+    assert p.spec.prompt.template == "Classify sentiment: {review}"
+    assert p.spec.dataset.output_columns == ["sentiment"]
+    assert p.spec.prompt.batch_size == 25
+
+    # drafted placeholder not in input columns → rejected
+    class BadPlanner:
+        def complete(self, prompt, system=None):
+            from ondine_spark.llm.client import LLMResult
+
+            return LLMResult(
+                text='{"prompt_template": "Do {nope}", '
+                     '"output_columns": ["x"]}',
+                tokens_in=1, tokens_out=1, model="p", cost="0",
+                latency_ms=0.1,
+            )
+
+    with pytest.raises(ValueError, match="nope"):
+        plan(BadPlanner(), "g", ["review"])

@@ -153,18 +153,33 @@ def parse_batch_response(response: str, expected: int) -> list:
     out: list = [None] * expected
     if not response:
         return out
-    m = _ARRAY_RE.search(response)
-    text = m.group(0) if m else None
-    if text is None:
-        m = _OBJ_RE.search(response)
-        if m:
-            text = f"[{m.group(0)}]"
-    if text is None:
-        return out
+    # strict parse first: a well-formed response must never lose data to
+    # the regex fallback (bracket characters INSIDE string literals break
+    # the balanced-bracket matcher — found by hypothesis)
+    data = None
+    stripped = response.strip()
+    if stripped.startswith("```"):
+        stripped = stripped.strip("`")
+        if stripped.startswith("json"):
+            stripped = stripped[4:]
+        stripped = stripped.strip()
     try:
-        data = json.loads(text)
+        data = json.loads(stripped)
     except json.JSONDecodeError:
-        return out
+        data = None
+    if data is None:
+        m = _ARRAY_RE.search(response)
+        text = m.group(0) if m else None
+        if text is None:
+            m = _OBJ_RE.search(response)
+            if m:
+                text = f"[{m.group(0)}]"
+        if text is None:
+            return out
+        try:
+            data = json.loads(text)
+        except json.JSONDecodeError:
+            return out
     if isinstance(data, dict) and "items" in data:
         data = data["items"]
     if not isinstance(data, list):

@@ -219,3 +219,23 @@ def test_intent_planner_drafts_valid_spec(spark):
 
     with pytest.raises(ValueError, match="nope"):
         plan(BadPlanner(), "g", ["review"])
+
+
+def test_enrich_front_door(spark, tmp_path, reviews_csv):
+    from ondine_spark import enrich, mock_client_factory
+
+    res = enrich(
+        reviews_csv,
+        "Classify: {review}",
+        ["sentiment"],
+        client_factory=mock_client_factory(),
+        id_column="id",
+        batch_size=10,
+        spark=spark,
+        output_path=str(tmp_path / "out.parquet"),
+    )
+    assert res.quality.valid_rows == 30
+    assert res.api_calls == 3  # ceil(30/10) mega-calls
+    written = spark.read.parquet(str(tmp_path / "out.parquet"))
+    assert written.count() == 30
+    assert "sentiment" in written.columns

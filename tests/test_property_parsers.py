@@ -1,0 +1,73 @@
+"""Property-based tests (hypothesis) for the fallback-heavy pure-Python
+parsers — SURVEY.md §7 hard-part 4: these must never raise, always return
+the right shape, regardless of what the LLM emits."""
+
+import json
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ondine_spark.functions.parsing import _extract_json, map_output_columns
+from ondine_spark.functions.preprocessing import preprocess_text
+from ondine_spark.operators.batching import parse_batch_response
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(max_size=500), st.integers(min_value=0, max_value=40))
+def test_batch_parse_never_raises_and_keeps_shape(text, expected):
+    out = parse_batch_response(text, expected)
+    assert isinstance(out, list) and len(out) == expected
+    assert all(v is None or isinstance(v, str) for v in out)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.fixed_dictionaries(
+            {"id": st.integers(min_value=1, max_value=10),
+             "result": st.text(max_size=30)}
+        ),
+        max_size=10,
+    )
+)
+def test_batch_parse_roundtrips_valid_arrays(items):
+    """A well-formed JSON array with 1-based ids lands by id."""
+    expected = 10
+    out = parse_batch_response(json.dumps(items), expected)
+    by_id = {}
+    for it in items:  # later duplicates overwrite, like the parser
+        by_id[it["id"]] = it["result"]
+    for rid, res in by_id.items():
+        assert out[rid - 1] == res
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(max_size=300))
+def test_extract_json_never_raises(text):
+    _extract_json(text)  # any outcome but an exception
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.one_of(st.none(), st.text(max_size=400)),
+       st.integers(min_value=10, max_value=100))
+def test_preprocess_total_and_bounded(text, max_len):
+    out = preprocess_text(text, max_length=max_len)
+    assert out is None or isinstance(out, str)
+    if out is not None:
+        # truncation adds the ellipsis marker at most
+        assert len(out) <= max_len + 3
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.dictionaries(st.text(max_size=8), st.one_of(
+        st.none(), st.text(max_size=10), st.integers(),
+        st.lists(st.integers(), max_size=3),
+    ), max_size=5),
+    st.lists(st.text(min_size=1, max_size=8), min_size=1, max_size=4,
+             unique=True),
+)
+def test_map_output_columns_shape(parsed, cols):
+    out = map_output_columns(parsed, cols)
+    assert len(out) == len(cols)
+    assert all(v is None or isinstance(v, str) for v in out)

@@ -412,8 +412,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def q_chunk_semantic(spark, sf_dir):
-        # rows-only check: the breakpoint percentile over hashed-ngram sims
-        # is exercised against python oracles in tests/test_knowledge.py
         from ondine_spark.knowledge.chunker import semantic_chunks
 
         docs = _docs(spark, sf_dir)
@@ -766,6 +764,7 @@ def oracle_sql() -> dict[str, str]:
             FROM pieces
         """,
         "grounding_tfidf": _grounding_sql(),
+        "chunk_semantic": _chunk_semantic_sql(64),
         # binary column = utf-8 of ascii text, so the oracle mirrors byte
         # ops with text functions (duckdb md5 is VARCHAR-only)
         "mm_meta": """
@@ -933,6 +932,78 @@ def _hybrid_rrf_sql(query: str, dim: int) -> str:
                row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS rank
         FROM fused
         QUALIFY rank <= 20
+    """
+
+
+def _chunk_semantic_sql(m: int) -> str:
+    """Semantic chunking oracle for the punctuation-less synthetic corpus:
+    sentence = whole text → word windows of ``m`` tokens (cap fallback) →
+    adjacent-piece similarity = binary cosine of distinct md5 char-3gram
+    buckets (dim 512) → per-doc breakpoint threshold = 25th percentile
+    (quantile_cont, matching Spark F.percentile interpolation) → boundary
+    where sim <= threshold → segment = running boundary count → token-budget
+    sub-split inside segments → dense chunk index over (segment, sub)."""
+    g = _MD5L.format(x="substr(lower(piece), j::INT, 3)")
+    return f"""
+        WITH w AS (
+          SELECT doc_id, regexp_extract_all(trim(text), '\\S+') AS toks
+          FROM documents
+        ), idx AS (
+          SELECT doc_id, toks,
+                 unnest(generate_series(0, ((len(toks) + {m} - 1) // {m}) - 1))
+                   AS pi
+          FROM w
+        ), pieces AS (
+          SELECT doc_id, pi,
+                 array_to_string(list_slice(toks, pi*{m}+1, (pi+1)*{m}), ' ')
+                   AS piece,
+                 least({m}, len(toks) - pi*{m})::BIGINT AS sent_tokens
+          FROM idx
+        ), buckets AS (
+          SELECT doc_id, pi, sent_tokens,
+                 list_distinct(list_transform(
+                   generate_series(1, greatest(length(piece) - 2, 0)),
+                   j -> {g} % 512)) AS b
+          FROM pieces
+        ), sims AS (
+          SELECT doc_id, pi, sent_tokens, b,
+                 lag(b) OVER (PARTITION BY doc_id ORDER BY pi) AS prev_b
+          FROM buckets
+        ), scored AS (
+          SELECT doc_id, pi, sent_tokens,
+                 CASE WHEN prev_b IS NULL THEN NULL
+                      WHEN sqrt(len(prev_b)::DOUBLE * len(b)::DOUBLE) = 0
+                        THEN 0.0
+                      ELSE len(list_intersect(prev_b, b))::DOUBLE
+                           / sqrt(len(prev_b)::DOUBLE * len(b)::DOUBLE)
+                 END AS sim
+          FROM sims
+        ), thresh AS (
+          SELECT *, quantile_cont(sim, 0.25)
+                      OVER (PARTITION BY doc_id) AS th
+          FROM scored
+        ), breaks AS (
+          SELECT *, CASE WHEN sim IS NOT NULL AND sim <= th
+                         THEN 1 ELSE 0 END AS brk
+          FROM thresh
+        ), segs AS (
+          SELECT *, sum(brk) OVER (
+                   PARTITION BY doc_id ORDER BY pi
+                   ROWS UNBOUNDED PRECEDING) AS seg
+          FROM breaks
+        ), subs AS (
+          SELECT *, ((sum(sent_tokens) OVER (
+                       PARTITION BY doc_id, seg ORDER BY pi
+                       ROWS UNBOUNDED PRECEDING) - sent_tokens) // {m}) AS sub
+          FROM segs
+        ), ranked AS (
+          SELECT *, dense_rank() OVER (
+                   PARTITION BY doc_id ORDER BY seg, sub) - 1 AS chunk_idx
+          FROM subs
+        )
+        SELECT doc_id, chunk_idx::BIGINT AS chunk_idx,
+               sum(sent_tokens)::BIGINT AS chunk_tokens
+        FROM ranked GROUP BY doc_id, chunk_idx
     """
 
 

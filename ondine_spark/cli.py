@@ -85,7 +85,8 @@ def cmd_process(args) -> int:
                    "cost": str(res.stats.total_cost),
                    "api_calls": res.api_calls}
         if reg:
-            reg.transition(run_id, RunState.SUCCEEDED, **{
+            # clear any stale failure note from a previous attempt
+            reg.transition(run_id, RunState.SUCCEEDED, error=None, **{
                 k: v for k, v in out.items() if k != "run_id"})
         print(json.dumps(out))
         return 0

@@ -149,9 +149,11 @@ def semantic_chunks(
 
     Plan shape: one shuffle by document; two windows (lag + running sum).
     """
-    sent = sentence_frame(df, id_col, text_col).withColumn(
-        "_buckets", _bucket_set(F.col("sentence"))
-    )
+    # piece-split over-budget sentences first (the reference's fixed-window
+    # cap fallback applies to semantic chunking too)
+    sent = sentence_frame(
+        df, id_col, text_col, max_sentence_tokens=max_tokens
+    ).withColumn("_buckets", _bucket_set(F.col("sentence")))
     w = Window.partitionBy(id_col).orderBy("sent_idx")
     sent = sent.withColumn("_prev", F.lag("_buckets").over(w))
     sent = sent.withColumn(

@@ -89,7 +89,9 @@ class RunRegistry:
                 f"illegal transition {rec.state.value} → {state.value} "
                 f"for run {run_id}"
             )
+        # None values DELETE keys (e.g. clearing a stale error on resume)
         meta = {**rec.meta, **meta_updates}
+        meta = {k: v for k, v in meta.items() if v is not None}
         self._conn.execute(
             "UPDATE runs SET state=?, updated_at=?, meta=? WHERE run_id=?",
             (state.value, time.time(), json.dumps(meta), run_id),

@@ -216,6 +216,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             *[F.col("sig")[i].alias(f"h{i}") for i in range(8)],
         )
 
+    def q_minhash_lsh_pairs(spark, sf_dir):
+        from ondine_spark.operators.dedup import minhash_lsh_pairs
+
+        return minhash_lsh_pairs(
+            _docs(spark, sf_dir), "doc_id", "text",
+            num_hashes=8, bands=4, threshold=0.25,
+        ).select("a", "b", F.round("est_jaccard", 6).alias("est_jaccard_r"))
+
     def q_simhash_pairs(spark, sf_dir):
         return simhash_pairs(_docs(spark, sf_dir), "doc_id", "text", max_hamming=3)
 
@@ -513,6 +521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "jaccard_pairs": q_jaccard_pairs,
         "minhash_sigs": q_minhash_sigs,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_pairs": q_simhash_pairs,
         "embedding_topk": q_embedding_topk,
         "ann_ivf_full": q_ann_ivf_full,
@@ -635,6 +644,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "jaccard_pairs": _jaccard_sql(threshold=0.05),
         "minhash_sigs": _minhash_sql(num_hashes=8),
+        "minhash_lsh_pairs": _minhash_lsh_sql(8, 4, 0.25),
         "simhash_pairs": _simhash_pairs_sql(max_hamming=3),
         "embedding_topk": """
             WITH emb AS (
@@ -1134,6 +1144,61 @@ def _minhash_sql(num_hashes: int) -> str:
           FROM grams CROSS JOIN range({num_hashes}) r(i)
         )
         SELECT doc_id, {mins} FROM hashed GROUP BY doc_id
+    """
+
+
+def _minhash_lsh_sql(num_hashes: int, bands: int, threshold: float) -> str:
+    """LSH banding over the md5 MinHash signatures: candidates share ≥1
+    band key; est_jaccard = signature agreement rate."""
+    r = num_hashes // bands
+    h = _MD5L.format(x="shingle || '#' || i")
+    mins = ", ".join(
+        f"min(CASE WHEN i = {i} THEN h END) AS h{i}" for i in range(num_hashes)
+    )
+    band_keys = ", ".join(
+        "(" + " || ',' || ".join(
+            f"h{b * r + j}::VARCHAR" for j in range(r)
+        ) + f") AS band{b}"
+        for b in range(bands)
+    )
+    band_union = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, band{b} AS key FROM keyed"
+        for b in range(bands)
+    )
+    agree = " + ".join(
+        f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END"
+        for i in range(num_hashes)
+    )
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS w
+          FROM documents
+        ), grams AS (
+          SELECT doc_id,
+                 unnest(list_transform(
+                   generate_series(1, greatest(len(w) - 2, 0)),
+                   j -> w[j] || ' ' || w[j+1] || ' ' || w[j+2])) AS shingle
+          FROM toks
+        ), hashed AS (
+          SELECT doc_id, i, {h} AS h
+          FROM (SELECT DISTINCT doc_id, shingle FROM grams)
+          CROSS JOIN range({num_hashes}) r(i)
+        ), sigs AS (
+          SELECT doc_id, {mins} FROM hashed GROUP BY doc_id
+        ), keyed AS (
+          SELECT *, {band_keys} FROM sigs
+        ), bands_t AS ({band_union}),
+        cand AS (
+          SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+          FROM bands_t x JOIN bands_t y
+            ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+        )
+        SELECT a, b,
+               round(({agree})::DOUBLE / {num_hashes}, 6) AS est_jaccard_r
+        FROM cand
+        JOIN keyed sa ON sa.doc_id = a
+        JOIN keyed sb ON sb.doc_id = b
+        WHERE ({agree})::DOUBLE / {num_hashes} >= {threshold}
     """
 
 

@@ -135,6 +135,59 @@ def cmd_list_providers(args) -> int:
     return 0
 
 
+def _batch_provider(args):
+    if args.provider == "mock":
+        from ondine_spark.llm.provider_batch import LocalMockBatchProvider
+
+        return LocalMockBatchProvider(args.spool or args.work_dir)
+    raise SystemExit(
+        f"unknown batch provider {args.provider!r} (available: mock; real "
+        f"providers plug in via the BatchProvider protocol)"
+    )
+
+
+def cmd_submit(args) -> int:
+    """Provider Batch front half: compile prompts → upload → persist the
+    RunHandle (collect can run in a different process)."""
+    from ondine_spark.llm.provider_batch import submit
+
+    p = _pipeline(args.config)
+    reg = _registry(args) if args.registry else None
+    handle = submit(
+        p, _batch_provider(args), args.work_dir, run_id=args.run_id,
+        registry=reg,
+    )
+    print(json.dumps({"run_id": handle.run_id,
+                      "provider_job_id": handle.provider_job_id}))
+    return 0
+
+
+def cmd_collect(args) -> int:
+    """Provider Batch back half: poll → download → parse/merge → write."""
+    from ondine_spark.llm.provider_batch import RunHandle, collect
+
+    p = _pipeline(args.config)
+    reg = _registry(args) if args.registry else None
+    handle = RunHandle.load(args.work_dir, args.run_id)
+    result = collect(
+        p, _batch_provider(args), handle,
+        poll_interval_s=args.poll_interval, registry=reg,
+    )
+    out_cols = p.spec.dataset.output_columns
+    n = result.count()
+    if args.output:
+        from ondine_spark.plans.pipeline import RESPONSE_META, write_output
+        from ondine_spark.core.specs import OutputSpec
+
+        write_output(
+            result.drop(*[c for c in RESPONSE_META if c in result.columns]),
+            OutputSpec(path=args.output),
+        )
+    print(json.dumps({"run_id": handle.run_id, "rows": n,
+                      "output": args.output}))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(
         prog="ondine-spark",
@@ -177,12 +230,36 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--state")
 
     add("list-providers", cmd_list_providers, help="list model presets")
+
+    p = add("submit", cmd_submit, help="submit a provider Batch job")
+    p.add_argument("config")
+    p.add_argument("--work-dir", required=True)
+    p.add_argument("--run-id")
+    p.add_argument("--registry")
+    p.add_argument("--provider", default="mock")
+    p.add_argument("--spool", help="mock provider spool dir")
+
+    p = add("collect", cmd_collect, help="collect a provider Batch job")
+    p.add_argument("config")
+    p.add_argument("run_id")
+    p.add_argument("--work-dir", required=True)
+    p.add_argument("--registry")
+    p.add_argument("--provider", default="mock")
+    p.add_argument("--spool")
+    p.add_argument("--poll-interval", type=float, default=2.0)
+    p.add_argument("--output")
     return ap
 
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
-    return args.fn(args)
+    try:
+        return args.fn(args)
+    except (KeyError, ValueError, FileNotFoundError) as e:
+        # operator-facing errors: one line, no traceback (use --traceback
+        # style debugging via python -m pdb if needed)
+        print(f"error: {e}", file=sys.stderr)
+        return 2
 
 
 if __name__ == "__main__":

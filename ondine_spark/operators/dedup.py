@@ -264,6 +264,9 @@ def minhash_lsh_pairs(
             ])
         ).alias("bk"),
     ).select("_id", "sig", "bk.band", "bk.key")
+    # persist: the band frame self-joins and each side would recompute the
+    # signature aggregation (same hazard as simhash_pairs)
+    band_rows = band_rows.persist()
     a = band_rows.select(F.col("_id").alias("a"), F.col("sig").alias("_siga"), "band", "key")
     b = band_rows.select(F.col("_id").alias("b"), F.col("sig").alias("_sigb"), "band", "key")
     cand = (

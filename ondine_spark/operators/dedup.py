@@ -293,28 +293,40 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """64-bit SimHash over word tokens: bit j of the signature is the sign
     of sum over tokens of (bit j of md5_long(token) ? +1 : -1).
 
-    Computed JVM-side: per-doc token explode → per-(doc, bit) majority vote
-    via bit extraction with shiftright/and. Output: id, simhash (bigint;
-    bit 63 unused to stay non-negative)."""
-    toks = spread_small(df).select(
-        F.col(id_col).alias("_id"),
-        F.explode(F.array_distinct(
-            F.filter(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda x: x != "")
-        )).alias("_t"),
-    ).withColumn("_h", md5_long(F.col("_t")))
-    votes = toks.groupBy("_id").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(F.col("_h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"_v{j}")
-            for j in range(60)
-        ]
+    Computed entirely per-row (ZERO shuffles): the distinct token hashes
+    are let-bound once, then each bit's majority vote is an array count —
+    ``vote_j > 0  ⟺  2·|{h : bit_j(h)=1}| > |hashes|``. Replaces the
+    previous explode + 60-wide-aggregate plan (one exchange per run and a
+    wide codegen stage) with pure whole-stage-codegen map work.
+    Output: id, simhash (bigint; bit 63 unused to stay non-negative)."""
+    from ondine_spark.functions.similarity import let_bind
+
+    toks = F.array_distinct(
+        F.filter(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+            lambda x: x != "",
+        )
     )
-    sig = None
-    for j in range(60):
-        bit = F.when(F.col(f"_v{j}") > 0, F.lit(2**j).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
-        sig = bit if sig is None else sig + bit
-    return votes.select("_id", sig.alias("simhash"))
+    hashes = F.transform(toks, lambda t: md5_long(t))
+
+    def build(hs):
+        n = F.size(hs)
+        sig = F.lit(0).cast("bigint")
+        for j in range(60):
+            ones = F.size(
+                F.filter(
+                    hs,
+                    lambda h: F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1,
+                )
+            )
+            sig = sig + F.when(
+                ones * 2 > n, F.lit(2**j).cast("bigint")
+            ).otherwise(F.lit(0).cast("bigint"))
+        return sig
+
+    return spread_small(df).select(
+        F.col(id_col).alias("_id"), let_bind(hashes, build).alias("simhash")
+    )
 
 
 def simhash_pairs(

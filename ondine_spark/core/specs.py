@@ -122,6 +122,9 @@ class ProcessingSpec:
     retry_base_delay: float = 1.0
     retry_max_delay: float = 60.0
     rate_limit_rpm: int | None = None
+    # O4: exact global rate limit via a shared Redis bucket (import-guarded;
+    # falls back to the local per-worker bucket when unavailable)
+    redis_rate_limit_url: str | None = None
     error_policy: ErrorPolicy = ErrorPolicy.RETRY
     default_value: str | None = None
     max_budget: Decimal | None = None

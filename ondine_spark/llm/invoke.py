@@ -240,9 +240,22 @@ def invoke_llm(
 
     adaptive = proc.adaptive_concurrency
 
+    redis_url = proc.redis_rate_limit_url
+    model_scope = llm.model or "default"
+    global_rpm = proc.rate_limit_rpm
+
     def run_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         client = _get_client(factory_key, factory)
-        bucket = _get_bucket(factory_key, per_worker_rpm)
+        bucket = None
+        if redis_url and global_rpm:
+            try:
+                from ondine_spark.llm.redis_bucket import RedisTokenBucket
+
+                bucket = RedisTokenBucket(redis_url, model_scope, global_rpm)
+            except ImportError:
+                bucket = None  # fall back to the local divided bucket
+        if bucket is None:
+            bucket = _get_bucket(factory_key, per_worker_rpm)
         pool = ThreadPoolExecutor(max_workers=concurrency)
         limiter = AdaptiveLimiter(concurrency) if adaptive else None
 

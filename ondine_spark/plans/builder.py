@@ -165,6 +165,13 @@ class PipelineBuilder:
         self._spec.processing.rate_limit_rpm = rpm
         return self
 
+    def with_redis_rate_limit(self, url: str, rpm: int):
+        """O4: exact global limit via a shared Redis token bucket (falls
+        back to the divided local bucket when redis is unavailable)."""
+        self._spec.processing.redis_rate_limit_url = url
+        self._spec.processing.rate_limit_rpm = rpm
+        return self
+
     def with_error_policy(self, policy: str | ErrorPolicy, default_value=None):
         self._spec.processing.error_policy = ErrorPolicy(policy)
         self._spec.processing.default_value = default_value

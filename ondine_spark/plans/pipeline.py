@@ -353,6 +353,42 @@ class Pipeline:
             )
         return result
 
+    def health_check(self) -> dict:
+        """Reference: ondine/api/health_check.py — cheap preflight: spark
+        alive, source readable, client constructible, checkpoint writable,
+        spec valid. Never raises; each check reports ok/error."""
+        checks: dict = {}
+
+        def run(name, fn):
+            try:
+                fn()
+                checks[name] = {"ok": True}
+            except Exception as e:
+                checks[name] = {"ok": False,
+                                "error": f"{type(e).__name__}: {e}"[:200]}
+
+        run("spec", self.spec.validate)
+        run("spark", lambda: self.spark.sparkContext.parallelize([1]).count())
+        run("source", lambda: self.input_frame().limit(1).collect())
+        from ondine_spark.llm.providers import client_factory_for
+
+        run("client", lambda: client_factory_for(self.spec.llm)())
+        ckpt = self.spec.processing.checkpoint_dir
+        if ckpt:
+            def check_ckpt():
+                import os
+                import uuid
+
+                os.makedirs(ckpt, exist_ok=True)
+                probe = os.path.join(ckpt, f".hc-{uuid.uuid4().hex[:8]}")
+                with open(probe, "w") as f:
+                    f.write("ok")
+                os.remove(probe)
+
+            run("checkpoint_dir", check_ckpt)
+        checks["ok"] = all(v["ok"] for v in checks.values())
+        return checks
+
     def estimate_cost(self, sample: int = 10) -> dict:
         """O12: sample → invoke → scale ×(N/sample)
         (reference: ondine/api/pipeline.py:224-269)."""

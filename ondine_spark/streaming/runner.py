@@ -65,6 +65,26 @@ def execute_chunked(
     in streaming mode (O6; ondine/api/pipeline.py:1460-1462) — and includes
     cost already in the cache when resuming.
     """
+    summary = StreamSummary()
+    for chunk in iter_chunks(
+        pipeline, chunk_size, checkpoint_dir, session_id, _summary=summary
+    ):
+        pass
+    return summary
+
+
+def iter_chunks(
+    pipeline: Pipeline,
+    chunk_size: int = 10_000,
+    checkpoint_dir: str | None = None,
+    session_id: str | None = None,
+    _summary: StreamSummary | None = None,
+) -> Iterator[ChunkResult]:
+    """Generator form (T2 parity: the reference's execute_stream yields a
+    result per chunk, ondine/api/pipeline.py:1233-1324). Each yielded
+    ChunkResult is already DURABLY COMMITTED; the consumer can stop at any
+    point and resume later with the same session id."""
+    summary = _summary if _summary is not None else StreamSummary()
     spec = pipeline.spec
     ckpt = checkpoint_dir or spec.processing.checkpoint_dir
     sid = session_id or spec.processing.session_id or "default"
@@ -79,7 +99,6 @@ def execute_chunked(
 
     df = pipeline.input_frame()
     cached = read_cache(spark, ckpt, sid)
-    summary = StreamSummary()
     spent = Decimal(0)
     if cached is not None:
         todo = df.join(
@@ -125,10 +144,10 @@ def execute_chunked(
             responses.unpersist()
             cost = Decimal(agg["c"] or 0)
             spent += cost
-            summary.chunks.append(
-                ChunkResult(cid, agg["n"], cost, spent)
-            )
+            result = ChunkResult(cid, agg["n"], cost, spent)
+            summary.chunks.append(result)
             summary.total_rows += agg["n"]
+            summary.total_cost = spent
             # O8: driver-side counter memento per committed chunk
             state.save(RunMemento(
                 session_id=sid,
@@ -141,11 +160,11 @@ def execute_chunked(
                 rows=agg["n"], cumulative_cost=str(spent),
                 chunks_done=len(summary.chunks), chunks_total=int(n_chunks),
             )
+            yield result
     finally:
         chunked.unpersist()
     summary.total_cost = spent
     state.cleanup()  # success: the response cache alone is the record
-    return summary
 
 
 def chunked_result_frame(pipeline: Pipeline, checkpoint_dir: str, session_id: str) -> DataFrame:

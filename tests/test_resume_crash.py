@@ -153,3 +153,48 @@ def test_chunk_committed_events(spark, tmp_path):
     assert kinds.count("chunk_committed") == 4
     last = obs.events[-1].payload
     assert last["chunks_done"] == 4 and last["chunks_total"] == 4
+
+
+def test_iter_chunks_generator_and_early_stop(spark, tmp_path):
+    """T2 parity: per-chunk results stream out, each durably committed;
+    abandoning the iterator keeps the memento (run is incomplete)."""
+    from ondine_spark.orchestration.state import StateManager
+    from ondine_spark.streaming.runner import iter_chunks
+
+    p = _builder(spark, tmp_path / "ckpt", mock_client_factory()).build()
+    it = iter_chunks(p, chunk_size=25)
+    first = next(it)
+    assert first.rows == 25 and first.chunk_id == 0
+    it.close()  # consumer stops early
+    st = StateManager(str(tmp_path / "ckpt"), "sess1")
+    m = st.load()
+    assert m is not None and m.chunks_committed == 1  # incomplete → kept
+
+    # draining fully cleans up and resumes from the committed chunk
+    results = list(iter_chunks(
+        _builder(spark, tmp_path / "ckpt", mock_client_factory()).build(),
+        chunk_size=25,
+    ))
+    assert sum(r.rows for r in results) == 75
+    assert st.load() is None
+
+
+def test_health_check(spark, tmp_path):
+    b = _builder(spark, tmp_path / "ckpt", mock_client_factory())
+    hc = b.build().health_check()
+    assert hc["ok"] is True
+    assert all(hc[k]["ok"] for k in ("spec", "spark", "source", "client",
+                                     "checkpoint_dir"))
+
+    from ondine_spark import PipelineBuilder
+
+    bad = (
+        PipelineBuilder(spark)
+        .from_csv("/nope/missing.csv", ["x"])
+        .with_prompt("{x}", ["y"])
+        .with_custom_llm_client(mock_client_factory())
+        .build()
+    )
+    hc2 = bad.health_check()
+    assert hc2["ok"] is False
+    assert hc2["source"]["ok"] is False

@@ -151,3 +151,43 @@ def test_replicate_dim_join_matches_plain(spark):
     plain = fact.join(dim, on="k")
     assert got.groupBy("attr").count().orderBy("attr").collect() == \
         plain.groupBy("attr").count().orderBy("attr").collect()
+
+
+def test_plan_shapes(spark, sf_dir):
+    """Plan-hygiene regression net (full audit: tools/plan_audit.py)."""
+    import contextlib
+    import io
+    import re
+
+    from ondine_spark import PipelineBuilder, mock_client_factory
+
+    def plan_of(df):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    p = (
+        PipelineBuilder(spark)
+        .from_parquet(f"{sf_dir}/documents.parquet", ["text"], id_column="doc_id")
+        .with_filters({"lang": "en"})
+        .with_prompt("Classify: {text}", ["sentiment"])
+        .with_custom_llm_client(mock_client_factory())
+        .build()
+    )
+    scan = plan_of(p.input_frame())
+    assert "EqualTo(lang,en)" in scan  # filter reached the parquet scan
+    rs = re.search(r"ReadSchema: struct<([^>]*)>", scan)
+    assert set(re.findall(r"(\w+):", rs.group(1))) == {"doc_id", "text", "lang"}
+
+    pb = (
+        PipelineBuilder(spark)
+        .from_parquet(f"{sf_dir}/documents.parquet", ["text"], id_column="doc_id")
+        .with_prompt("Classify: {text}", ["sentiment"])
+        .with_custom_llm_client(mock_client_factory())
+        .with_batch_size(25)
+        .build()
+    )
+    batched = plan_of(pb.result_frame())
+    assert len(re.findall(r"\(\d+\) Exchange\b", batched)) == 1
+    assert "BroadcastHashJoin" in batched

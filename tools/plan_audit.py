@@ -1,0 +1,121 @@
+"""Plan hygiene audit: assert the physical-plan properties the engine's
+scale story depends on, from the actual Catalyst output.
+
+Checks (each is a claim from README's design table):
+- input scan: equality filters PUSHED to parquet, ReadSchema pruned to
+  the referenced columns only
+- batched spine: exactly ONE exchange (on batch id) before the LLM stage,
+  responses joined back via BroadcastHashJoin
+- dedup/jaccard: no CartesianProduct / BroadcastNestedLoopJoin anywhere
+- retrieval: inverted-index joins only (no crossJoin against the corpus)
+
+Usage: python tools/plan_audit.py [sf_dir]   (prints PASS/FAIL per check)
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def plan_of(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    from pyspark.sql import SparkSession, functions as F
+
+    spark = (
+        SparkSession.builder.master("local[4]")
+        .appName("plan_audit")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    from ondine_spark import PipelineBuilder, mock_client_factory
+
+    failures = []
+
+    def check(name, ok, detail=""):
+        print(f"{'PASS' if ok else 'FAIL'} {name}" + (f" — {detail}" if detail else ""))
+        if not ok:
+            failures.append(name)
+
+    # 1. scan pushdown + pruning
+    p = (
+        PipelineBuilder(spark)
+        .from_parquet(f"{sf_dir}/documents.parquet", ["text"], id_column="doc_id")
+        .with_filters({"lang": "en"})
+        .with_prompt("Classify: {text}", ["sentiment"])
+        .with_custom_llm_client(mock_client_factory())
+        .build()
+    )
+    plan = plan_of(p.input_frame())
+    check("scan.filter_pushdown", "EqualTo(lang,en)" in plan)
+    rs = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    cols = set(re.findall(r"(\w+):", rs.group(1))) if rs else set()
+    check("scan.column_pruning", cols == {"doc_id", "text", "lang"},
+          f"read columns: {sorted(cols)}")
+
+    # 2. batched spine shape
+    pb = (
+        PipelineBuilder(spark)
+        .from_parquet(f"{sf_dir}/documents.parquet", ["text"], id_column="doc_id")
+        .with_prompt("Classify: {text}", ["sentiment"])
+        .with_custom_llm_client(mock_client_factory())
+        .with_batch_size(25)
+        .build()
+    )
+    plan = plan_of(pb.result_frame())
+    # formatted output lists each node once in the tree and once in the
+    # details section — count the "(N) Exchange" detail headers only
+    n_exchange = len(re.findall(r"\(\d+\) Exchange\b", plan))
+    check("batch.single_shuffle", n_exchange == 1,
+          f"{n_exchange} non-broadcast exchanges")
+    check("batch.broadcast_result_join", "BroadcastHashJoin" in plan)
+    check("batch.partial_agg", "ObjectHashAggregate" in plan)
+
+    # 3. no cartesian products in pair-dedup
+    from ondine_spark.operators.dedup import ngram_jaccard_pairs, simhash_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    for name, frame in [
+        ("jaccard", ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5)),
+        ("simhash", simhash_pairs(docs, "doc_id", "text")),
+    ]:
+        plan = plan_of(frame)
+        bad = ("CartesianProduct" in plan) or ("BroadcastNestedLoopJoin" in plan)
+        check(f"dedup.{name}.no_cartesian", not bad)
+
+    # 4. retrieval is a key join, not a crossJoin
+    import tempfile
+
+    from ondine_spark.knowledge import KnowledgeStore, attach_context
+
+    store = KnowledgeStore(spark, tempfile.mkdtemp())
+    store.ingest(docs.limit(50), "doc_id", "text", max_tokens=32)
+    rows = docs.limit(10).select(
+        F.col("doc_id").alias("_row_id"), F.col("text").alias("q")
+    )
+    plan = plan_of(attach_context(rows, store, ["q"], top_k=2))
+    check("retrieval.no_cartesian",
+          "CartesianProduct" not in plan
+          and "BroadcastNestedLoopJoin" not in plan)
+
+    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -135,6 +135,72 @@ def cmd_list_providers(args) -> int:
     return 0
 
 
+def cmd_list_checkpoints(args) -> int:
+    """Sessions present in a checkpoint dir: cached rows, cost, memento."""
+    import os
+
+    from ondine_spark.orchestration.state import StateManager
+
+    ckpt = args.checkpoint_dir
+    responses = os.path.join(ckpt, "responses")
+    sessions = set()
+    if os.path.isdir(responses):
+        for entry in os.listdir(responses):
+            if entry.startswith("session_id="):
+                sessions.add(entry.split("=", 1)[1])
+    for entry in os.listdir(ckpt) if os.path.isdir(ckpt) else []:
+        if entry.endswith(".state.json.gz"):
+            sessions.add(entry[: -len(".state.json.gz")])
+    if not sessions:
+        print(json.dumps({"checkpoint_dir": ckpt, "sessions": []}))
+        return 0
+    spark = _spark()
+    from ondine_spark.sources.cache import read_cache
+
+    for sid in sorted(sessions):
+        row: dict = {"session_id": sid}
+        cached = read_cache(spark, ckpt, sid)
+        if cached is not None:
+            from pyspark.sql import functions as F
+
+            agg = cached.agg(
+                F.count(F.lit(1)).alias("rows"), F.sum("cost").alias("cost")
+            ).collect()[0]
+            row["cached_rows"] = agg["rows"]
+            row["cached_cost"] = str(agg["cost"] or 0)
+        memento = StateManager(ckpt, sid).load()
+        if memento is not None:
+            row["in_progress"] = {
+                "chunks_committed": memento.chunks_committed,
+                "rows_processed": memento.rows_processed,
+                "cumulative_cost": memento.cumulative_cost,
+            }
+        print(json.dumps(row))
+    return 0
+
+
+def cmd_inspect(args) -> int:
+    """Run record + checkpoint state in one view."""
+    rec = _registry(args).get(args.run_id)
+    out = {
+        "run_id": rec.run_id, "state": rec.state.value,
+        "session_id": rec.session_id, "checkpoint_dir": rec.checkpoint_dir,
+        "provider_job_id": rec.provider_job_id, "meta": rec.meta,
+    }
+    if rec.checkpoint_dir and rec.session_id:
+        from ondine_spark.orchestration.state import StateManager
+
+        m = StateManager(rec.checkpoint_dir, rec.session_id).load()
+        if m is not None:
+            out["in_progress"] = {
+                "chunks_committed": m.chunks_committed,
+                "rows_processed": m.rows_processed,
+                "cumulative_cost": m.cumulative_cost,
+            }
+    print(json.dumps(out))
+    return 0
+
+
 def _batch_provider(args):
     if args.provider == "mock":
         from ondine_spark.llm.provider_batch import LocalMockBatchProvider
@@ -230,6 +296,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--state")
 
     add("list-providers", cmd_list_providers, help="list model presets")
+
+    p = add("list-checkpoints", cmd_list_checkpoints,
+            help="sessions in a checkpoint dir")
+    p.add_argument("--checkpoint-dir", required=True)
+
+    p = add("inspect", cmd_inspect, help="run record + checkpoint state")
+    p.add_argument("run_id")
+    p.add_argument("--registry", required=True)
 
     p = add("submit", cmd_submit, help="submit a provider Batch job")
     p.add_argument("config")

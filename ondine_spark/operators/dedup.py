@@ -361,18 +361,18 @@ def simhash_pairs(
     blocks = blocks.persist()
     a = blocks.select(F.col("_id").alias("a"), F.col("simhash").alias("_ha"), "blk", "key")
     b = blocks.select(F.col("_id").alias("b"), F.col("simhash").alias("_hb"), "blk", "key")
-    cand = (
-        a.join(b, on=["blk", "key"])
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b", "_ha", "_hb")
-        .dropDuplicates(["a", "b"])
-    )
     xor = F.col("_ha").bitwiseXOR(F.col("_hb"))
     dist = F.bit_count(xor)
+    # verify (cheap bit math) BEFORE the dedup shuffle: only pairs that
+    # survive the hamming filter pay for dropDuplicates — candidates from
+    # multiple shared blocks can be orders of magnitude more numerous
     return (
-        cand.withColumn("hamming", dist)
+        a.join(b, on=["blk", "key"])
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("hamming", dist)
         .filter(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")
+        .dropDuplicates(["a", "b"])
     )
 
 

@@ -247,6 +247,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "query_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim_r"), "rank"
         )
 
+    def q_embedding_neardup(spark, sf_dir):
+        from ondine_spark.operators.dedup import embedding_neardup_pairs
+
+        emb = _emb(spark, sf_dir)
+        out = embedding_neardup_pairs(
+            emb, "vec_id", "embedding", threshold=0.35, num_planes=4, seed=42
+        )
+        return out.select("a", "b", F.round("cos_sim", 6).alias("cos_sim_r"))
+
     def q_ann_ivf_full(spark, sf_dir):
         """IVF ANN with nprobe = nlist: exact regardless of centroid
         placement (every cell probed), so the brute-force oracle applies —
@@ -524,6 +533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_pairs": q_simhash_pairs,
         "embedding_topk": q_embedding_topk,
+        "embedding_neardup": q_embedding_neardup,
         "ann_ivf_full": q_ann_ivf_full,
         "embedding_sim_pairs": q_embedding_sim_pairs,
         "filter_select_events": q_filter_select_events,
@@ -645,6 +655,7 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_pairs": _jaccard_sql(threshold=0.05),
         "minhash_sigs": _minhash_sql(num_hashes=8),
         "minhash_lsh_pairs": _minhash_lsh_sql(8, 4, 0.25),
+        "embedding_neardup": _embedding_neardup_sql(0.35, 4, 42),
         "simhash_pairs": _simhash_pairs_sql(max_hamming=3),
         "embedding_topk": """
             WITH emb AS (
@@ -1014,6 +1025,64 @@ def _chunk_semantic_sql(m: int) -> str:
         SELECT doc_id, chunk_idx::BIGINT AS chunk_idx,
                sum(sent_tokens)::BIGINT AS chunk_tokens
         FROM ranked GROUP BY doc_id, chunk_idx
+    """
+
+
+def _embedding_neardup_sql(
+    threshold: float, num_planes: int, seed: int, dim: int = 64
+) -> str:
+    """Sign-bucket LSH + exact cosine verify — the hyperplanes are
+    md5-derived on the Spark side (operators/dedup.py:embedding_neardup)
+    so the oracle inlines the SAME plane literals."""
+    import hashlib
+
+    planes = [
+        [
+            (int.from_bytes(
+                hashlib.md5(f"{seed}:{i}:{d}".encode()).digest()[:4], "big"
+            ) / 2**31 - 1.0)
+            for d in range(dim)
+        ]
+        for i in range(num_planes)
+    ]
+    vals = ", ".join(
+        f"({i}, [{', '.join(repr(c) for c in p)}]::DOUBLE[])"
+        for i, p in enumerate(planes)
+    )
+    bit = (
+        "CASE WHEN list_sum(list_transform(generate_series(1, {dim}), "
+        "j -> v[j] * p[j])) >= 0 THEN '1' ELSE '0' END"
+    ).format(dim=dim)
+    return f"""
+        WITH emb AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ), planes_t(i, p) AS (VALUES {vals}),
+        bits AS (
+          SELECT vec_id, i, {bit} AS b
+          FROM emb CROSS JOIN planes_t
+        ), buckets AS (
+          SELECT vec_id, string_agg(b, '' ORDER BY i) AS bkt
+          FROM bits GROUP BY vec_id
+        ), cand AS (
+          SELECT x.vec_id AS a, y.vec_id AS b
+          FROM buckets x JOIN buckets y
+            ON x.bkt = y.bkt AND x.vec_id < y.vec_id
+        )
+        SELECT a, b,
+               round(
+                 list_sum(list_transform(generate_series(1, {dim}),
+                   j -> ea.v[j] * eb.v[j]))
+                 / (sqrt(list_sum(list_transform(ea.v, x -> x * x)))
+                    * sqrt(list_sum(list_transform(eb.v, x -> x * x)))),
+                 6) AS cos_sim_r
+        FROM cand
+        JOIN emb ea ON ea.vec_id = a
+        JOIN emb eb ON eb.vec_id = b
+        WHERE list_sum(list_transform(generate_series(1, {dim}),
+                j -> ea.v[j] * eb.v[j]))
+              / (sqrt(list_sum(list_transform(ea.v, x -> x * x)))
+                 * sqrt(list_sum(list_transform(eb.v, x -> x * x))))
+              >= {threshold}
     """
 
 

@@ -417,6 +417,9 @@ def embedding_neardup_pairs(
     keyed = df.select(
         F.col(id_col).alias("_id"), vec.alias("_v"), F.concat(*bits).alias("_bucket")
     )
+    # persist: the bucket bits (dim × num_planes multiply-adds per row)
+    # feed both self-join sides
+    keyed = keyed.persist()
     a = keyed.select(F.col("_id").alias("a"), F.col("_v").alias("_va"), "_bucket")
     b = keyed.select(F.col("_id").alias("b"), F.col("_v").alias("_vb"), "_bucket")
     cand = a.join(b, on="_bucket").filter(F.col("a") < F.col("b"))

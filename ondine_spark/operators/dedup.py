@@ -114,9 +114,12 @@ def ngram_jaccard_pairs(
             ).alias("_prefix"),
         )
     )
+    # doc lists sorted by size → the length filter (lossless:
+    # jaccard ≤ min/max sizes, so require min ≥ t·max) runs inside the
+    # pair lambda and pruned candidates never materialize
     members = (
         ranked.select(
-            F.struct(F.col("_id"), F.col("_size")).alias("_doc"),
+            F.struct(F.col("_size"), F.col("_id")).alias("_doc"),
             F.explode("_prefix").alias("_ps"),
         )
         .groupBy(F.col("_ps._shingle").alias("_shingle"))
@@ -126,19 +129,24 @@ def ngram_jaccard_pairs(
         F.transform(
             "_docs",
             lambda x, i: F.transform(
-                F.slice(
-                    F.col("_docs"), i + 2, F.greatest(F.size("_docs") - i - 1, F.lit(0))
+                F.filter(
+                    F.slice(
+                        F.col("_docs"), i + 2,
+                        F.greatest(F.size("_docs") - i - 1, F.lit(0)),
+                    ),
+                    lambda y: x["_size"] >= F.lit(threshold) * y["_size"],
                 ),
                 lambda y: F.struct(
-                    x["_id"].alias("a"), x["_size"].alias("_sa"),
-                    y["_id"].alias("b"), y["_size"].alias("_sb"),
+                    F.least(x["_id"], y["_id"]).alias("a"),
+                    F.greatest(x["_id"], y["_id"]).alias("b"),
+                    (x["_size"] + y["_size"]).alias("_ss"),
                 ),
             ),
         )
     )
     cand = (
         members.select(F.explode(pairs).alias("_p"))
-        .select("_p.a", "_p._sa", "_p.b", "_p._sb")
+        .select("_p.a", "_p.b", "_p._ss")
         .dropDuplicates(["a", "b"])
     )
     # exact verify on the candidate set only
@@ -153,8 +161,7 @@ def ngram_jaccard_pairs(
     return (
         common.withColumn(
             "jaccard",
-            F.col("_common")
-            / (F.col("_sa") + F.col("_sb") - F.col("_common")).cast("double"),
+            F.col("_common") / (F.col("_ss") - F.col("_common")).cast("double"),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
@@ -166,44 +173,55 @@ def _jaccard_by_counting(
 ) -> DataFrame:
     """Count-based exact plan: single scan, pair commons counted from the
     postings themselves (the doc's set size travels WITH each posting row,
-    so no joins back to the input)."""
+    so no joins back to the input).
+
+    Length filter (lossless): jaccard(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so
+    any pair with min < t·max can be dropped BEFORE it reaches the pair
+    shuffle. The per-shingle doc lists are sorted by size, so the filter
+    runs inside the pair-generation lambda — pruned pairs are never even
+    materialized. The symmetric formula needs only |A|+|B|, so each pair
+    carries one size-sum field, not two sizes.
+    """
     members = posting.groupBy("_shingle").agg(
         F.sort_array(
-            F.collect_list(F.struct(F.col("_id"), F.col("_size")))
+            F.collect_list(F.struct(F.col("_size"), F.col("_id")))
         ).alias("_docs")
     )
     if max_shingle_freq is not None:
         members = members.filter(F.size("_docs") <= max_shingle_freq)
+    # x precedes y in the size-sorted list, so x._size = min, y._size = max
     pairs = F.flatten(
         F.transform(
             "_docs",
             lambda x, i: F.transform(
-                F.slice(
-                    F.col("_docs"), i + 2,
-                    F.greatest(F.size("_docs") - i - 1, F.lit(0)),
+                F.filter(
+                    F.slice(
+                        F.col("_docs"), i + 2,
+                        F.greatest(F.size("_docs") - i - 1, F.lit(0)),
+                    ),
+                    lambda y: x["_size"] >= F.lit(threshold) * y["_size"],
                 ),
                 lambda y: F.struct(
-                    x["_id"].alias("a"), x["_size"].alias("_sa"),
-                    y["_id"].alias("b"), y["_size"].alias("_sb"),
+                    F.least(x["_id"], y["_id"]).alias("a"),
+                    F.greatest(x["_id"], y["_id"]).alias("b"),
+                    (x["_size"] + y["_size"]).alias("_ss"),
                 ),
             ),
         )
     )
     common = (
         members.select(F.explode(pairs).alias("_p"))
-        .select("_p.a", "_p._sa", "_p.b", "_p._sb")
+        .select("_p.a", "_p.b", "_p._ss")
         .groupBy("a", "b")
         .agg(
             F.count(F.lit(1)).alias("_common"),
-            F.first("_sa").alias("_sa"),
-            F.first("_sb").alias("_sb"),
+            F.first("_ss").alias("_ss"),
         )
     )
     return (
         common.withColumn(
             "jaccard",
-            F.col("_common")
-            / (F.col("_sa") + F.col("_sb") - F.col("_common")).cast("double"),
+            F.col("_common") / (F.col("_ss") - F.col("_common")).cast("double"),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")

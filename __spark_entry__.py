@@ -227,6 +227,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_simhash_pairs(spark, sf_dir):
         return simhash_pairs(_docs(spark, sf_dir), "doc_id", "text", max_hamming=3)
 
+    def _lsh_pairs(spark, sf_dir):
+        from ondine_spark.operators.dedup import minhash_lsh_pairs
+
+        return minhash_lsh_pairs(
+            _docs(spark, sf_dir), "doc_id", "text",
+            num_hashes=8, bands=4, threshold=0.25,
+        )
+
+    def q_dup_clusters(spark, sf_dir):
+        from ondine_spark.operators.dedup import connected_components
+
+        return connected_components(_lsh_pairs(spark, sf_dir))
+
+    def q_dedup_keep_reps(spark, sf_dir):
+        from ondine_spark.operators.dedup import dedup_keep_representative
+
+        docs = _docs(spark, sf_dir)
+        return dedup_keep_representative(
+            docs, "doc_id", _lsh_pairs(spark, sf_dir)
+        ).select("doc_id", "lang")
+
     # ---- embedding similarity ----------------------------------------------
 
     def _emb(spark, sf_dir):
@@ -532,6 +553,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_sigs": q_minhash_sigs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_pairs": q_simhash_pairs,
+        "dup_clusters": q_dup_clusters,
+        "dedup_keep_reps": q_dedup_keep_reps,
         "embedding_topk": q_embedding_topk,
         "embedding_neardup": q_embedding_neardup,
         "ann_ivf_full": q_ann_ivf_full,
@@ -655,6 +678,8 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_pairs": _jaccard_sql(threshold=0.05),
         "minhash_sigs": _minhash_sql(num_hashes=8),
         "minhash_lsh_pairs": _minhash_lsh_sql(8, 4, 0.25),
+        "dup_clusters": _dup_clusters_sql(final="clusters"),
+        "dedup_keep_reps": _dup_clusters_sql(final="kept"),
         "embedding_neardup": _embedding_neardup_sql(0.35, 4, 42),
         "simhash_pairs": _simhash_pairs_sql(max_hamming=3),
         "embedding_topk": """
@@ -1268,6 +1293,39 @@ def _minhash_lsh_sql(num_hashes: int, bands: int, threshold: float) -> str:
         JOIN keyed sa ON sa.doc_id = a
         JOIN keyed sb ON sb.doc_id = b
         WHERE ({agree})::DOUBLE / {num_hashes} >= {threshold}
+    """
+
+
+def _dup_clusters_sql(final: str) -> str:
+    """Connected components over the MinHash-LSH pair graph, as a DuckDB
+    recursive CTE (transitive closure → min reachable id per node — fine at
+    oracle scale; the Spark side uses large-star/small-star instead).
+    ``final='clusters'`` → (node, component); ``final='kept'`` → the
+    documents that survive keep-one-per-cluster dedup."""
+    pair_q = _minhash_lsh_sql(8, 4, 0.25)
+    tail = (
+        "SELECT node, component FROM comp"
+        if final == "clusters"
+        else """
+          SELECT doc_id, lang FROM documents
+          WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> component)
+        """
+    )
+    return f"""
+        WITH RECURSIVE pairs AS (SELECT a, b FROM ({pair_q}) p),
+        edges AS (
+          SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs
+        ),
+        reach(node, r) AS (
+          SELECT a AS node, a AS r FROM edges
+          UNION
+          SELECT e.a AS node, reach.r AS r
+          FROM edges e JOIN reach ON e.b = reach.node
+        ),
+        comp AS (
+          SELECT node, MIN(r) AS component FROM reach GROUP BY node
+        )
+        {tail}
     """
 
 

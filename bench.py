@@ -26,6 +26,7 @@ BENCH_QUERIES = [
     "jaccard_pairs",
     "minhash_sigs",
     "simhash_pairs",
+    "dup_clusters",
     "embedding_topk",
     "text_stats",
     "fingerprints",

@@ -394,6 +394,97 @@ def simhash_pairs(
     )
 
 
+# ------------------------------------- pair → cluster resolution (D6)
+
+def _symmetric(edges: DataFrame) -> DataFrame:
+    return edges.select("a", "b").union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+
+
+def _star_round(edges: DataFrame, large: bool) -> DataFrame:
+    """One large-star (connect strictly-greater neighbors to the local min)
+    or small-star (connect ≤ neighbors to the local min) round. Both emit
+    normalized (min, other) edges, so a < b holds throughout."""
+    nbr = _symmetric(edges).groupBy("a").agg(F.collect_set("b").alias("_vs"))
+    m = F.least(F.col("a"), F.array_min("_vs"))
+    if large:
+        picked = F.filter("_vs", lambda v: v > F.col("a"))
+    else:
+        # small-star: neighbors ≤ u, plus u itself so the (m, u) edge
+        # survives the round (u may exceed all its remaining neighbors)
+        picked = F.array_union(
+            F.filter("_vs", lambda v: v < F.col("a")), F.array(F.col("a"))
+        )
+    return (
+        nbr.select(m.alias("_m"), F.explode(picked).alias("_v"))
+        .filter(F.col("_m") != F.col("_v"))
+        .select(
+            F.least("_m", "_v").alias("a"), F.greatest("_m", "_v").alias("b")
+        )
+        .distinct()
+    )
+
+
+def connected_components(
+    pairs: DataFrame, a: str = "a", b: str = "b", max_iter: int = 25
+) -> DataFrame:
+    """Resolve duplicate PAIRS into clusters: (node, component) where
+    component = the smallest node id in the node's connected component.
+
+    Alternating large-star / small-star (Kiveris et al., "Connected
+    Components in MapReduce and Beyond") — converges in O(log n) rounds
+    even for path graphs, each round a groupBy + explode on compact ids.
+    ``localCheckpoint`` truncates lineage per round so the plan does not
+    grow with iterations. Only nodes that appear in a pair are returned.
+    """
+    edges = (
+        pairs.select(
+            F.least(F.col(a), F.col(b)).alias("a"),
+            F.greatest(F.col(a), F.col(b)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sig = edges.select(
+        F.count(F.lit(1)).alias("n"),
+        F.bit_xor(F.xxhash64("a", "b")).alias("h"),
+    ).first()
+    for _ in range(max_iter):
+        nxt = _star_round(_star_round(edges, large=True), large=False)
+        nxt = nxt.localCheckpoint(eager=True)
+        nsig = nxt.select(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("a", "b")).alias("h"),
+        ).first()
+        edges = nxt
+        if (nsig.n, nsig.h) == (sig.n, sig.h):
+            break
+        sig = nsig
+    # converged: every edge is (component-min, member)
+    return (
+        edges.select(F.col("b").alias("node"), F.col("a").alias("component"))
+        .union(edges.select(F.col("a").alias("node"), F.col("a").alias("component")))
+        .groupBy("node")
+        .agg(F.min("component").alias("component"))
+    )
+
+
+def dedup_keep_representative(
+    df: DataFrame, id_col: str, pairs: DataFrame, a: str = "a", b: str = "b"
+) -> DataFrame:
+    """Drop every near-duplicate except its cluster representative (the
+    smallest id in each connected component of the pair graph). The drop
+    set is (dup count) rows — typically a small fraction of the corpus —
+    so the anti-join broadcasts under AQE."""
+    comp = connected_components(pairs, a, b)
+    drop = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(F.broadcast(drop), on=id_col, how="left_anti")
+
+
 # ------------------------------------------- embedding cosine near-dup (D5)
 
 def embedding_neardup_pairs(

@@ -1,0 +1,75 @@
+"""Connected-components cluster resolution (operators/dedup.py D6).
+
+The Spark implementation is alternating large-star/small-star; the test
+oracle is a plain union-find, on graph shapes that stress the algorithm
+differently: a long path (worst case for label propagation, exercises the
+O(log n) doubling), disjoint cliques (the typical near-dup shape), isolated
+pairs, a reversed star, and a random multigraph.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from ondine_spark.operators.dedup import (
+    connected_components,
+    dedup_keep_representative,
+)
+
+
+def _uf_components(edges):
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+_RNG = random.Random(7)
+CASES = {
+    "path": [(i, i + 1) for i in range(50)],
+    "cliques": [
+        (c * 10 + i, c * 10 + j)
+        for c in range(5)
+        for i in range(4)
+        for j in range(i + 1, 4)
+    ],
+    "isolated_pairs": [(i, i + 1000) for i in range(0, 40, 2)],
+    "reversed_star": [(100, i) for i in range(90, 99)],
+    "random": [
+        (_RNG.randint(0, 99), _RNG.randint(0, 99)) for _ in range(120)
+    ],
+}
+
+
+@pytest.mark.parametrize("case", sorted(CASES))
+def test_components_match_union_find(spark, case):
+    edges = [(a, b) for a, b in CASES[case] if a != b]
+    df = spark.createDataFrame(edges, "a: long, b: long")
+    got = {(r.node, r.component) for r in connected_components(df).collect()}
+    assert got == set(_uf_components(edges).items())
+
+
+def test_keep_representative_drops_all_but_cluster_min(spark):
+    docs = spark.range(200).withColumnRenamed("id", "doc_id")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(50)], "a: long, b: long"
+    )
+    kept = dedup_keep_representative(docs, "doc_id", pairs)
+    assert {r.doc_id for r in kept.collect()} == {0} | set(range(51, 200))
+
+
+def test_empty_pair_set(spark):
+    pairs = spark.createDataFrame([], "a: long, b: long")
+    assert connected_components(pairs).count() == 0

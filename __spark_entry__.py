@@ -56,6 +56,17 @@ def _mock_json_factory():
     )
 
 
+def _router_factory():
+    """prompt-hash router over 3 identical mock deployments — deterministic
+    (md5 contract), so the routed run is oracle-checkable end-to-end."""
+    from ondine_spark.llm.router import Deployment, RouterClient
+
+    deps = [
+        Deployment(f"dep{i}", (lambda: _mock_factory())) for i in range(3)
+    ]
+    return RouterClient(deps, strategy="prompt-hash")
+
+
 def _enrich_pipeline(spark, sf_dir, batch_size=1, json_fields=False):
     from ondine_spark import PipelineBuilder
 
@@ -123,6 +134,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.sum("tokens_in").alias("tokens_in_total"),
             F.sum("tokens_out").alias("tokens_out_total"),
             F.sum("cost").cast("double").alias("cost_total"),
+        )
+
+    def q_router_distribution(spark, sf_dir):
+        from ondine_spark import PipelineBuilder
+
+        p = (
+            PipelineBuilder(spark)
+            .from_dataframe(_docs(spark, sf_dir), ["text"], id_column="doc_id")
+            .with_prompt(TEMPLATE, ["sentiment"])
+            .with_custom_llm_client(_router_factory)
+            .with_concurrency(16)
+            .build()
+        )
+        return (
+            p.result_frame()
+            .groupBy(F.col("resp_model").alias("deployment"), "sentiment")
+            .agg(F.count(F.lit(1)).alias("n"))
         )
 
     def q_prompt_render(spark, sf_dir):
@@ -541,6 +569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "enrich_json_multicol": q_enrich_json_multicol,
         "enrich_cost_agg": q_enrich_cost_agg,
         "prompt_render": q_prompt_render,
+        "router_distribution": q_router_distribution,
         "preprocess_truncate": q_preprocess_truncate,
         "merge_update": q_merge_update,
         "resume_anti_join": q_resume_anti_join,
@@ -590,6 +619,19 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT doc_id, {_CASE} AS label, "
             f"(3 + {toks_text})::VARCHAR AS n_words FROM documents"
         ),
+        "router_distribution": f"""
+            WITH prompts AS (
+              SELECT text,
+                     'Classify this document: ' || text AS prompt
+              FROM documents
+            )
+            SELECT 'dep' || ({_MD5L.format(x="prompt")} % 3)::VARCHAR
+                     AS deployment,
+                   {_CASE} AS sentiment,
+                   count(*) AS n
+            FROM prompts
+            GROUP BY 1, 2
+        """,
         "enrich_cost_agg": f"""
             WITH resp AS (
               SELECT {_CASE} AS sentiment,

@@ -41,6 +41,10 @@ def __getattr__(name):
         from ondine_spark.context.store import ClaimStore
 
         return ClaimStore
+    if name in ("Deployment", "RouterClient", "deployment_distribution"):
+        from ondine_spark.llm import router
+
+        return getattr(router, name)
     raise AttributeError(name)
 
 
@@ -63,6 +67,9 @@ __all__ = [
     "ResponseFormat",
     "DeterministicMockClient",
     "mock_client_factory",
+    "Deployment",
+    "RouterClient",
+    "deployment_distribution",
     "LLMResult",
     "TransientLLMError",
     "FatalLLMError",

@@ -152,6 +152,23 @@ class PipelineBuilder:
         self._spec.llm.client_factory = factory
         return self
 
+    def with_router(
+        self,
+        deployments,
+        strategy: str = "round-robin",
+        failover: bool = True,
+        seed: int = 0,
+    ):
+        """L8: load-balance calls across deployments (see llm/router.py for
+        the strategy catalog). ``deployments`` — list of
+        ``ondine_spark.llm.router.Deployment``."""
+        from ondine_spark.llm.router import router_factory
+
+        self._spec.llm.client_factory = router_factory(
+            deployments, strategy, failover, seed
+        )
+        return self
+
     # ------------------------------------------------------------- control
     def with_concurrency(self, n: int):
         self._spec.processing.concurrency = n

@@ -63,8 +63,14 @@ def main() -> None:
     import __spark_entry__ as entry
 
     qs = entry.queries()
-    # JVM + python-worker warmup so the first timed query isn't charged for it
+    # JVM + python-worker warmup so the first timed query isn't charged for
+    # it: the mapInPandas no-op spins up the full Arrow worker pool (one
+    # Python interpreter per core, pandas/pyarrow imported) before timing
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    n_cpu = int(cpus) if cpus.isdigit() else 32
+    spark.range(n_cpu * 4).repartition(n_cpu).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
 
     timings: dict[str, float] = {}
     total = 0.0

@@ -77,7 +77,13 @@ def word_ngrams(col: Column, n: int) -> Column:
         return F.array_distinct(toks)
 
     def build(t: Column) -> Column:
-        idx = F.sequence(F.lit(1), F.greatest(F.size(t) - n + 1, F.lit(0)))
+        # guard: sequence(1, m) with m < 1 is DESCENDING ([1, 0]) and the
+        # element_at(t, 0) it produces throws under ANSI mode — docs
+        # shorter than n words must yield an empty shingle array instead
+        m = F.size(t) - n + 1
+        idx = F.when(m >= 1, F.sequence(F.lit(1), m)).otherwise(
+            F.array().cast("array<int>")
+        )
         return F.array_distinct(
             F.transform(
                 idx,
@@ -95,7 +101,11 @@ def char_ngrams(col: Column, n: int) -> Column:
     short texts). Lowered string let-bound: one evaluation per row."""
 
     def build(s: Column) -> Column:
-        idx = F.sequence(F.lit(1), F.greatest(F.length(s) - n + 1, F.lit(0)))
+        # same ANSI guard as word_ngrams: m < 1 would make sequence descend
+        m = F.length(s) - n + 1
+        idx = F.when(m >= 1, F.sequence(F.lit(1), m)).otherwise(
+            F.array().cast("array<int>")
+        )
         grams = F.transform(idx, lambda i: F.substring(s, i, F.lit(n)))
         return F.array_distinct(F.filter(grams, lambda g: F.length(g) == n))
 

@@ -235,17 +235,31 @@ def minhash_signature(
 ) -> DataFrame:
     """Per-doc MinHash signature: sig[i] = min over shingles of
     md5_long(shingle # i). Portable hashing keeps this oracle-checkable.
-    Output: id, sig array<bigint> (empty-shingle docs get null sig)."""
-    grams = spread_small(df).select(
-        F.col(id_col).alias("_id"), F.explode(word_ngrams(F.col(text_col), ngram)).alias("_s")
-    )
-    mins = [
-        F.min(seeded_md5_long(F.col("_s"), i)).alias(f"_h{i}")
-        for i in range(num_hashes)
-    ]
-    sig = grams.groupBy("_id").agg(*mins)
-    return sig.select(
-        "_id", F.array(*[f"_h{i}" for i in range(num_hashes)]).alias("sig")
+
+    ZERO shuffles: sig[i] is an ``array_min`` over the row's own shingle
+    array — pure map work inside whole-stage codegen, replacing the
+    previous explode + groupBy(id) plan (an exchange of every posting).
+    The shingle array is let-bound so it is computed once per row, not
+    once per hash function (no CSE across higher-order lambdas).
+    Output: id, sig array<bigint>; docs with no shingles are excluded
+    (same contract as the former explode plan).
+    """
+    from ondine_spark.functions.similarity import let_bind
+
+    grams = word_ngrams(F.col(text_col), ngram)  # already distinct
+
+    def build(gs):
+        return F.array(*[
+            F.array_min(F.transform(gs, lambda s: seeded_md5_long(s, i)))
+            for i in range(num_hashes)
+        ])
+
+    return (
+        spread_small(df)
+        .select(
+            F.col(id_col).alias("_id"), let_bind(grams, build).alias("sig")
+        )
+        .filter(F.col("sig")[0].isNotNull())
     )
 
 

@@ -87,12 +87,23 @@ def main() -> int:
     check("batch.partial_agg", "ObjectHashAggregate" in plan)
 
     # 3. no cartesian products in pair-dedup
-    from ondine_spark.operators.dedup import ngram_jaccard_pairs, simhash_pairs
+    from ondine_spark.operators.dedup import (
+        connected_components,
+        embedding_neardup_pairs,
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+        simhash_pairs,
+    )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(200)
+    lsh = minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=8, bands=4)
     for name, frame in [
         ("jaccard", ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5)),
+        ("jaccard_lowt", ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.05)),
         ("simhash", simhash_pairs(docs, "doc_id", "text")),
+        ("emb_neardup", embedding_neardup_pairs(emb, "vec_id", "embedding")),
+        ("components", connected_components(lsh, max_iter=2)),
     ]:
         plan = plan_of(frame)
         bad = ("CartesianProduct" in plan) or ("BroadcastNestedLoopJoin" in plan)

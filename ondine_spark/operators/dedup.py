@@ -441,16 +441,27 @@ def _star_round(edges: DataFrame, large: bool) -> DataFrame:
 
 
 def connected_components(
-    pairs: DataFrame, a: str = "a", b: str = "b", max_iter: int = 25
+    pairs: DataFrame,
+    a: str = "a",
+    b: str = "b",
+    max_iter: int = 25,
+    driver_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Resolve duplicate PAIRS into clusters: (node, component) where
     component = the smallest node id in the node's connected component.
 
-    Alternating large-star / small-star (Kiveris et al., "Connected
-    Components in MapReduce and Beyond") — converges in O(log n) rounds
-    even for path graphs, each round a groupBy + explode on compact ids.
-    ``localCheckpoint`` truncates lineage per round so the plan does not
-    grow with iterations. Only nodes that appear in a pair are returned.
+    Adaptive: a deduped edge set of ≤ ``driver_threshold`` rows (two longs
+    each — the threshold is ~16 MB) is collected and solved with a local
+    union-find, the same way a small join side gets broadcast instead of
+    shuffled; each distributed round below costs several jobs, so the
+    driver path is strictly better while the graph fits. Above the
+    threshold: alternating large-star / small-star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond") — converges in
+    O(log n) rounds even for path graphs, each round a groupBy + explode
+    on compact ids. ``localCheckpoint`` truncates lineage per round so the
+    plan does not grow with iterations. Only nodes that appear in a pair
+    are returned; both paths produce identical output (cross-checked in
+    tests/test_dedup_clusters.py).
     """
     edges = (
         pairs.select(
@@ -465,6 +476,28 @@ def connected_components(
         F.count(F.lit(1)).alias("n"),
         F.bit_xor(F.xxhash64("a", "b")).alias("h"),
     ).first()
+    if sig.n <= driver_threshold:
+        parent: dict = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for row in edges.toLocalIterator():
+            ra, rb = find(row.a), find(row.b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        labels = [(n_, find(n_)) for n_ in parent]
+        return pairs.sparkSession.createDataFrame(
+            labels, schema=edges.select(
+                F.col("a").alias("node"), F.col("a").alias("component")
+            ).schema,
+        )
     for _ in range(max_iter):
         nxt = _star_round(_star_round(edges, large=True), large=False)
         nxt = nxt.localCheckpoint(eager=True)

@@ -53,11 +53,18 @@ CASES = {
 }
 
 
+@pytest.mark.parametrize("driver_threshold", [1_000_000, 0],
+                         ids=["driver-unionfind", "distributed-stars"])
 @pytest.mark.parametrize("case", sorted(CASES))
-def test_components_match_union_find(spark, case):
+def test_components_match_union_find(spark, case, driver_threshold):
     edges = [(a, b) for a, b in CASES[case] if a != b]
     df = spark.createDataFrame(edges, "a: long, b: long")
-    got = {(r.node, r.component) for r in connected_components(df).collect()}
+    got = {
+        (r.node, r.component)
+        for r in connected_components(
+            df, driver_threshold=driver_threshold
+        ).collect()
+    }
     assert got == set(_uf_components(edges).items())
 
 

@@ -103,7 +103,9 @@ def main() -> int:
         ("jaccard_lowt", ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.05)),
         ("simhash", simhash_pairs(docs, "doc_id", "text")),
         ("emb_neardup", embedding_neardup_pairs(emb, "vec_id", "embedding")),
-        ("components", connected_components(lsh, max_iter=2)),
+        # driver_threshold=0 forces the distributed star-rounds path —
+        # that's the plan whose hygiene matters at scale
+        ("components", connected_components(lsh, max_iter=2, driver_threshold=0)),
     ]:
         plan = plan_of(frame)
         bad = ("CartesianProduct" in plan) or ("BroadcastNestedLoopJoin" in plan)

@@ -276,6 +276,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             docs, "doc_id", _lsh_pairs(spark, sf_dir)
         ).select("doc_id", "lang")
 
+    def q_dedup_keep_best(spark, sf_dir):
+        from ondine_spark.operators.dedup import dedup_keep_representative
+
+        docs = _docs(spark, sf_dir)
+        return dedup_keep_representative(
+            docs, "doc_id", _lsh_pairs(spark, sf_dir), keep_by="n_chars"
+        ).select("doc_id", "n_chars")
+
     # ---- embedding similarity ----------------------------------------------
 
     def _emb(spark, sf_dir):
@@ -584,6 +592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "dup_clusters": q_dup_clusters,
         "dedup_keep_reps": q_dedup_keep_reps,
+        "dedup_keep_best": q_dedup_keep_best,
         "embedding_topk": q_embedding_topk,
         "embedding_neardup": q_embedding_neardup,
         "ann_ivf_full": q_ann_ivf_full,
@@ -722,6 +731,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_pairs": _minhash_lsh_sql(8, 4, 0.25),
         "dup_clusters": _dup_clusters_sql(final="clusters"),
         "dedup_keep_reps": _dup_clusters_sql(final="kept"),
+        "dedup_keep_best": _dup_clusters_sql(final="kept_best"),
         "embedding_neardup": _embedding_neardup_sql(0.35, 4, 42),
         "simhash_pairs": _simhash_pairs_sql(max_hamming=3),
         "embedding_topk": """
@@ -1345,14 +1355,27 @@ def _dup_clusters_sql(final: str) -> str:
     ``final='clusters'`` → (node, component); ``final='kept'`` → the
     documents that survive keep-one-per-cluster dedup."""
     pair_q = _minhash_lsh_sql(8, 4, 0.25)
-    tail = (
-        "SELECT node, component FROM comp"
-        if final == "clusters"
-        else """
+    if final == "clusters":
+        tail = "SELECT node, component FROM comp"
+    elif final == "kept":
+        tail = """
           SELECT doc_id, lang FROM documents
           WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> component)
         """
-    )
+    else:  # kept_best: representative = max n_chars, ties -> larger id
+        tail = """
+          SELECT doc_id, n_chars FROM documents
+          WHERE doc_id NOT IN (
+            SELECT node FROM (
+              SELECT c.node,
+                     row_number() OVER (
+                       PARTITION BY c.component
+                       ORDER BY d.n_chars DESC, c.node DESC
+                     ) AS rn
+              FROM comp c JOIN documents d ON d.doc_id = c.node
+            ) WHERE rn > 1
+          )
+        """
     return f"""
         WITH RECURSIVE pairs AS (SELECT a, b FROM ({pair_q}) p),
         edges AS (

@@ -519,16 +519,41 @@ def connected_components(
 
 
 def dedup_keep_representative(
-    df: DataFrame, id_col: str, pairs: DataFrame, a: str = "a", b: str = "b"
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    a: str = "a",
+    b: str = "b",
+    keep_by: str | None = None,
 ) -> DataFrame:
-    """Drop every near-duplicate except its cluster representative (the
-    smallest id in each connected component of the pair graph). The drop
+    """Drop every near-duplicate except one representative per connected
+    component of the pair graph.
+
+    ``keep_by=None`` keeps the smallest id. With ``keep_by=<score col>``
+    the representative is the cluster's best row by that column (ties →
+    larger id, via max over struct(score, id) — deterministic). The drop
     set is (dup count) rows — typically a small fraction of the corpus —
-    so the anti-join broadcasts under AQE."""
+    so the anti-join broadcasts."""
     comp = connected_components(pairs, a, b)
-    drop = comp.filter(F.col("node") != F.col("component")).select(
-        F.col("node").alias(id_col)
-    )
+    if keep_by is None:
+        drop = comp.filter(F.col("node") != F.col("component")).select(
+            F.col("node").alias(id_col)
+        )
+    else:
+        scored = comp.join(
+            df.select(
+                F.col(id_col).alias("node"), F.col(keep_by).alias("_score")
+            ),
+            on="node",
+        )
+        reps = scored.groupBy("component").agg(
+            F.max(F.struct("_score", "node"))["node"].alias("_rep")
+        )
+        drop = (
+            scored.join(reps, on="component")
+            .filter(F.col("node") != F.col("_rep"))
+            .select(F.col("node").alias(id_col))
+        )
     return df.join(F.broadcast(drop), on=id_col, how="left_anti")
 
 

@@ -77,6 +77,27 @@ def test_keep_representative_drops_all_but_cluster_min(spark):
     assert {r.doc_id for r in kept.collect()} == {0} | set(range(51, 200))
 
 
+def test_keep_representative_by_score(spark):
+    """keep_by picks the cluster's best-scoring row; ties -> larger id."""
+    from pyspark.sql import functions as F
+
+    docs = spark.range(10).select(
+        F.col("id").alias("doc_id"),
+        # cluster {0,1,2}: scores 5,9,9 -> keep 2 (tie to larger id)
+        # cluster {5,6}:   scores 7,3  -> keep 5
+        F.when(F.col("id") == 0, 5)
+        .when(F.col("id").isin(1, 2), 9)
+        .when(F.col("id") == 5, 7)
+        .otherwise(3)
+        .alias("score"),
+    )
+    pairs = spark.createDataFrame([(0, 1), (1, 2), (5, 6)], "a: long, b: long")
+    kept = dedup_keep_representative(
+        docs, "doc_id", pairs, keep_by="score"
+    )
+    assert {r.doc_id for r in kept.collect()} == {2, 5, 3, 4, 7, 8, 9}
+
+
 def test_empty_pair_set(spark):
     pairs = spark.createDataFrame([], "a: long, b: long")
     assert connected_components(pairs).count() == 0

@@ -56,6 +56,10 @@ def cmd_process(args) -> int:
     from ondine_spark.orchestration.registry import RunState
 
     p = _pipeline(args.config)
+    if getattr(args, "progress", False):
+        from ondine_spark.observability import ProgressObserver
+
+        p.spec.processing.observers.append(ProgressObserver())
     run_id = args.run_id or uuid.uuid4().hex[:12]
     reg = _registry(args) if args.registry else None
     if reg:
@@ -280,12 +284,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--chunked", action="store_true",
                    help="chunked execution with per-chunk durable commits")
     p.add_argument("--chunk-size", type=int, default=10_000)
+    p.add_argument("--progress", action="store_true",
+                   help="render per-chunk progress lines on stderr")
 
     p = add("resume", cmd_resume, help="resume a failed/partial run")
     p.add_argument("run_id")
     p.add_argument("--registry", required=True)
     p.add_argument("--run-id", dest="run_id2", help=argparse.SUPPRESS)
     p.add_argument("--chunk-size", type=int, default=10_000)
+    p.add_argument("--progress", action="store_true",
+                   help="render per-chunk progress lines on stderr")
 
     p = add("status", cmd_status, help="show run state")
     p.add_argument("run_id")

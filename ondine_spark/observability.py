@@ -54,6 +54,57 @@ class CollectingObserver:
         self.events.append(event)
 
 
+class ProgressObserver:
+    """O15: human progress lines on stderr (CLI ``--progress``).
+
+    Renders a bar per committed chunk — driver-side only, fed by the
+    chunk_committed events the chunked runner already emits, so it adds
+    zero executor work. Reference analogue: the Rich progress bars of
+    ondine/ui/progress_display.py, minus the TTY dependency (safe to pipe:
+    one plain line per event, no cursor control)."""
+
+    def __init__(self, stream=None, width: int = 24):
+        import sys as _sys
+
+        self.stream = stream or _sys.stderr
+        self.width = width
+        self.t0 = time.time()
+        self.rows = 0
+
+    def on_event(self, event: PipelineEvent) -> None:
+        p = event.payload
+        if event.kind == "pipeline_start":
+            print(
+                f"[{event.run_id}] start model={p.get('model')} "
+                f"batch_size={p.get('batch_size')}",
+                file=self.stream, flush=True,
+            )
+        elif event.kind == "chunk_committed":
+            done, total = p.get("chunks_done", 0), p.get("chunks_total", 0)
+            self.rows += p.get("rows", 0)
+            frac = done / total if total else 0.0
+            filled = int(self.width * frac)
+            bar = "#" * filled + "-" * (self.width - filled)
+            dt = max(time.time() - self.t0, 1e-9)
+            print(
+                f"[{event.run_id}] |{bar}| chunk {done}/{total} "
+                f"rows={self.rows} ({self.rows / dt:.0f}/s) "
+                f"cost={p.get('cumulative_cost')}",
+                file=self.stream, flush=True,
+            )
+        elif event.kind == "pipeline_end":
+            print(
+                f"[{event.run_id}] done rows={p.get('rows')} "
+                f"cost={p.get('cost')} api_calls={p.get('api_calls')}",
+                file=self.stream, flush=True,
+            )
+        elif event.kind == "error":
+            print(
+                f"[{event.run_id}] ERROR {p.get('error')}",
+                file=self.stream, flush=True,
+            )
+
+
 class EventDispatcher:
     def __init__(self, observers: list[Observer] | None = None):
         self.observers = list(observers or [])

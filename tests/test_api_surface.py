@@ -94,6 +94,27 @@ def test_cli_process_status_resume_flow(spark, tmp_path, reviews_csv):
     assert rc == 0
 
 
+def test_cli_progress_rendering(spark, tmp_path, reviews_csv, capsys):
+    import yaml
+
+    from ondine_spark.cli import main
+
+    cfg_path = tmp_path / "pp.yaml"
+    cfg_path.write_text(yaml.safe_dump(
+        _config(tmp_path, reviews_csv, session_id="prog-sess")
+    ))
+    rc = main([
+        "process", str(cfg_path), "--run-id", "rp",
+        "--chunked", "--chunk-size", "10", "--progress",
+    ])
+    assert rc == 0
+    err = capsys.readouterr().err
+    # one bar line per committed chunk, cumulative rows, final bar full
+    assert err.count("chunk ") == 3
+    assert "chunk 3/3" in err and "rows=30" in err
+    assert "|########################|" in err
+
+
 def test_registry_state_machine(tmp_path):
     reg = RunRegistry(str(tmp_path / "runs.db"))
     reg.create("a")

@@ -6,10 +6,10 @@ LSH-bucketed approximate variant as the scale path. Used by the RAG
 retrieval stage (R3/R4) and exposed directly for ANN workloads.
 
 Scale notes: the brute-force path broadcasts the QUERY side (queries are
-few; the corpus is the 100 TB side and is never shuffled — each corpus
-partition scores against the broadcast queries, then a per-query top-k
-aggregate runs map-side before one tiny shuffle on query_id). The LSH path
-buckets both sides on sign patterns so only matching buckets join.
+few; the corpus is the 100 TB side and is never shuffled to score). With
+``prereduce=True`` an Arrow-batched per-batch top-k shrinks the ranking
+shuffle from |corpus|·|queries| rows to ≤ k·|queries| per batch. The LSH
+path buckets both sides on sign patterns so only matching buckets join.
 """
 
 from __future__ import annotations
@@ -30,10 +30,26 @@ def brute_force_topk(
     corpus_vec: str = "embedding",
     query_id: str = "query_id",
     query_vec: str = "query_vec",
+    prereduce: bool = False,
 ) -> DataFrame:
     """Exact cosine top-k per query. Output: query_id, vec_id (corpus id),
     cos_sim, rank (1-based, ties broken by corpus id ascending —
-    deterministic)."""
+    deterministic).
+
+    ``prereduce=False``: pure-JVM plan — score, then one window shuffle
+    partitioned by query. The shuffle carries EVERY scored row
+    (|corpus| × |queries|), which is the right plan while that product is
+    modest.
+
+    ``prereduce=True``: the scale path. Bounded top-k aggregation has no
+    map-side-combinable built-in (collect_list partials carry the whole
+    list), so an Arrow-batched ``mapInPandas`` keeps each batch's own
+    per-query top-k BEFORE the shuffle — any row outside its batch's
+    top-k is beaten by k rows in that same batch and cannot be in the
+    global top-k, so the result is identical (asserted in
+    tests/test_topk_prereduce.py). Shuffle volume drops from
+    |corpus|·|queries| rows to ≤ k·|queries| per Arrow batch.
+    """
     q = F.broadcast(
         queries.select(F.col(query_id).alias("_qid"), F.col(query_vec).alias("_qv"))
     )
@@ -42,6 +58,21 @@ def brute_force_topk(
     ).crossJoin(q)
     sim = cosine(F.col("_cv"), F.col("_qv"))
     scored = scored.select("_qid", "_cid", sim.alias("cos_sim"))
+    if prereduce:
+        schema = scored.schema
+
+        def batch_topk(batches):
+            for pdf in batches:
+                yield (
+                    pdf.sort_values(
+                        ["_qid", "cos_sim", "_cid"],
+                        ascending=[True, False, True],
+                    )
+                    .groupby("_qid", sort=False)
+                    .head(k)
+                )
+
+        scored = scored.mapInPandas(batch_topk, schema=schema)
     w = Window.partitionBy("_qid").orderBy(F.desc("cos_sim"), F.asc("_cid"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -1,0 +1,50 @@
+"""brute_force_topk prereduce path (Arrow-batched per-batch top-k before
+the ranking shuffle) must be row-identical to the pure-JVM window plan —
+any divergence means the batch-local reduction dropped a global-top-k row.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+
+def _data(spark, n_corpus=500, n_queries=7, dim=8, seed=3):
+    rng = random.Random(seed)
+
+    def vec():
+        return [rng.uniform(-1, 1) for _ in range(dim)]
+
+    corpus = spark.createDataFrame(
+        [(i, vec()) for i in range(n_corpus)],
+        "vec_id: long, embedding: array<double>",
+    ).repartition(8)  # multiple partitions → multiple Arrow batches
+    queries = spark.createDataFrame(
+        [(i, vec()) for i in range(n_queries)],
+        "query_id: long, query_vec: array<double>",
+    )
+    return corpus, queries
+
+
+def test_prereduce_equals_window_plan(spark):
+    from ondine_spark.operators.similarity_search import brute_force_topk
+
+    corpus, queries = _data(spark)
+    kwargs = dict(k=12)
+    plain = brute_force_topk(corpus, queries, **kwargs, prereduce=False)
+    pre = brute_force_topk(corpus, queries, **kwargs, prereduce=True)
+    a = {(r.query_id, r.vec_id, r.rank, round(r.cos_sim, 9)) for r in plain.collect()}
+    b = {(r.query_id, r.vec_id, r.rank, round(r.cos_sim, 9)) for r in pre.collect()}
+    assert a == b
+    assert len(a) == 7 * 12
+
+
+def test_prereduce_k_larger_than_corpus(spark):
+    from ondine_spark.operators.similarity_search import brute_force_topk
+
+    corpus, queries = _data(spark, n_corpus=5, n_queries=2)
+    pre = brute_force_topk(corpus, queries, k=50, prereduce=True)
+    rows = pre.collect()
+    assert len(rows) == 2 * 5  # every corpus row ranked, none lost
+    for r in rows:
+        assert not math.isnan(r.cos_sim)

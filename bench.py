@@ -28,6 +28,7 @@ BENCH_QUERIES = [
     "simhash_pairs",
     "dup_clusters",
     "embedding_topk",
+    "ann_ivf_full",
     "text_stats",
     "fingerprints",
     "lang_id",

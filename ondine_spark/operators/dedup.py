@@ -236,9 +236,11 @@ def minhash_signature(
     """Per-doc MinHash signature: sig[i] = min over shingles of
     md5_long(shingle # i). Portable hashing keeps this oracle-checkable.
 
-    ZERO shuffles: sig[i] is an ``array_min`` over the row's own shingle
-    array — pure map work inside whole-stage codegen, replacing the
-    previous explode + groupBy(id) plan (an exchange of every posting).
+    ZERO algorithmic shuffles: sig[i] is an ``array_min`` over the row's
+    own shingle array — pure map work inside whole-stage codegen,
+    replacing the previous explode + groupBy(id) plan (an exchange of
+    every posting). The only exchange left in the local-mode plan is
+    ``spread_small``'s input widening (a no-op on real multi-split input).
     The shingle array is let-bound so it is computed once per row, not
     once per hash function (no CSE across higher-order lambdas).
     Output: id, sig array<bigint>; docs with no shingles are excluded
@@ -325,7 +327,8 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """64-bit SimHash over word tokens: bit j of the signature is the sign
     of sum over tokens of (bit j of md5_long(token) ? +1 : -1).
 
-    Computed entirely per-row (ZERO shuffles): the distinct token hashes
+    Computed entirely per-row (zero algorithmic shuffles; only
+    ``spread_small``'s input widening appears in local mode): the distinct token hashes
     are let-bound once, then each bit's majority vote is an array count —
     ``vote_j > 0  ⟺  2·|{h : bit_j(h)=1}| > |hashes|``. Replaces the
     previous explode + 60-wide-aggregate plan (one exchange per run and a

@@ -223,6 +223,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ---- dedup ------------------------------------------------------------
 
+    def q_profile_docs(spark, sf_dir):
+        from ondine_spark.operators.quality import profile_table
+
+        return profile_table(
+            _docs(spark, sf_dir), columns=["doc_id", "lang", "n_chars"]
+        )
+
     def q_dedup_exact(spark, sf_dir):
         docs = _docs(spark, sf_dir).withColumn(
             "bucket", F.floor(F.col("n_chars") / 100)
@@ -585,6 +592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
+        "profile_docs": q_profile_docs,
         "dedup_exact": q_dedup_exact,
         "jaccard_pairs": q_jaccard_pairs,
         "minhash_sigs": q_minhash_sigs,
@@ -718,6 +726,26 @@ def oracle_sql() -> dict[str, str]:
                      generate_series(1, length(text) - 7),
                      i -> {_MD5L.format(x="substr(lower(text), i, 8)")})) AS fp_roll
             FROM documents
+        """,
+        "profile_docs": """
+            SELECT * FROM (
+              SELECT 'doc_id' AS "column", count(*) AS n_rows,
+                     sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
+                     count(DISTINCT doc_id) AS n_distinct,
+                     min(doc_id)::VARCHAR AS min_val, max(doc_id)::VARCHAR AS max_val
+              FROM documents
+              UNION ALL
+              SELECT 'lang', count(*),
+                     sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END)::BIGINT,
+                     count(DISTINCT lang), min(lang), max(lang)
+              FROM documents
+              UNION ALL
+              SELECT 'n_chars', count(*),
+                     sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END)::BIGINT,
+                     count(DISTINCT n_chars),
+                     min(n_chars)::VARCHAR, max(n_chars)::VARCHAR
+              FROM documents
+            )
         """,
         "dedup_exact": """
             SELECT doc_id, lang, bucket FROM (

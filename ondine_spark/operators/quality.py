@@ -47,6 +47,60 @@ class RunStats:
     api_calls: int | None = None
 
 
+def profile_table(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    exact_distinct: bool = True,
+) -> DataFrame:
+    """One-pass per-column profile: rows, nulls, distinct count, min, max
+    (min/max stringified so every column fits one schema). The corpus-
+    triage step of a training-data pipeline — run it before dedup/filter
+    decisions.
+
+    Output: column, n_rows, n_nulls, n_distinct, min_val, max_val.
+
+    Scale: a single aggregate over the table; all metrics are map-side
+    combinable except exact distinct counts, which Catalyst computes via
+    one expand (rows × profiled columns). At full-corpus scale pass
+    ``exact_distinct=False`` to use HyperLogLog ``approx_count_distinct``
+    (±2% default error) and keep the pass fully combinable. Atomic
+    columns only (arrays/structs/binary are skipped).
+    """
+    atomic = {
+        f.name for f in df.schema.fields
+        if f.dataType.typeName() not in ("array", "struct", "map", "binary")
+    }
+    cols = [c for c in (columns or df.columns) if c in atomic]
+    if not cols:
+        raise ValueError("no atomic columns to profile")
+    distinct = (
+        (lambda c: F.countDistinct(F.col(c)))
+        if exact_distinct
+        else (lambda c: F.approx_count_distinct(F.col(c)))
+    )
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"_nulls_{c}"),
+            distinct(c).alias(f"_dist_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"_min_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"_max_{c}"),
+        ]
+    row = df.agg(*aggs)
+    per_col = F.array(*[
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col("_n").alias("n_rows"),
+            F.col(f"_nulls_{c}").alias("n_nulls"),
+            F.col(f"_dist_{c}").alias("n_distinct"),
+            F.col(f"_min_{c}").alias("min_val"),
+            F.col(f"_max_{c}").alias("max_val"),
+        )
+        for c in cols
+    ])
+    return row.select(F.explode(per_col).alias("_p")).select("_p.*")
+
+
 def _cell_is_empty(c):
     col = F.col(c).cast("string")
     return col.isNull() | (F.trim(col) == "") | (col == SKIPPED)

@@ -265,6 +265,30 @@ def minhash_signature(
     )
 
 
+def minhash_band_rows(
+    sig: DataFrame, num_hashes: int, bands: int
+) -> DataFrame:
+    """Explode signatures into LSH band rows (_id, sig, band, key): one row
+    per band, key = the band's signature slice joined as a string. Shared
+    by batch pair-finding and the streaming signature store."""
+    if num_hashes % bands:
+        raise ValueError("bands must divide num_hashes")
+    r = num_hashes // bands
+    return sig.select(
+        "_id",
+        "sig",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.concat_ws(",", *[F.col("sig")[i * r + j].cast("string") for j in range(r)]).alias("key"),
+                )
+                for i in range(bands)
+            ])
+        ).alias("bk"),
+    ).select("_id", "sig", "bk.band", "bk.key")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -281,23 +305,8 @@ def minhash_lsh_pairs(
     the usual S-curve (collision prob = 1-(1-s^r)^b).
     Output: a, b, est_jaccard (signature agreement rate).
     """
-    if num_hashes % bands:
-        raise ValueError("bands must divide num_hashes")
-    r = num_hashes // bands
     sig = minhash_signature(df, id_col, text_col, num_hashes, ngram)
-    band_rows = sig.select(
-        "_id",
-        "sig",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(i).alias("band"),
-                    F.concat_ws(",", *[F.col("sig")[i * r + j].cast("string") for j in range(r)]).alias("key"),
-                )
-                for i in range(bands)
-            ])
-        ).alias("bk"),
-    ).select("_id", "sig", "bk.band", "bk.key")
+    band_rows = minhash_band_rows(sig, num_hashes, bands)
     # persist: the band frame self-joins and each side would recompute the
     # signature aggregation (same hazard as simhash_pairs)
     band_rows = band_rows.persist()

@@ -19,14 +19,12 @@ a pair list or a keep-set join, both broadcast-able when small.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ondine_spark.core.partitioning import spread_small
 from ondine_spark.functions.similarity import (
-    char_ngrams,
     cosine,
-    jaccard,
     md5_long,
     seeded_md5_long,
     word_ngrams,

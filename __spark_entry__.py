@@ -419,6 +419,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
         )
 
+    def q_sessions(spark, sf_dir):
+        from ondine_spark.operators.curation import session_stats
+
+        ev = _events(spark, sf_dir)
+        return session_stats(
+            ev, "user_id", "ts", 1800, order_cols=("event_id",), value_col="value"
+        )
+
+    def q_dup_ngram_frac(spark, sf_dir):
+        from ondine_spark.operators.curation import dup_ngram_fraction
+
+        return dup_ngram_fraction(_docs(spark, sf_dir), "doc_id", "text", n=3)
+
+    def q_stratified_sample(spark, sf_dir):
+        from ondine_spark.operators.curation import stratified_hash_sample
+
+        docs = _docs(spark, sf_dir)
+        return stratified_hash_sample(
+            docs,
+            "doc_id",
+            "lang",
+            {"en": 0.3, "de": 0.6, "zh": 1.0},
+            default_fraction=0.2,
+        ).select("doc_id", "lang", "source")
+
+    def q_source_quota(spark, sf_dir):
+        from ondine_spark.operators.curation import cap_per_key
+
+        docs = _docs(spark, sf_dir)
+        return cap_per_key(
+            docs, "source", 5, (F.col("n_chars").desc(), F.col("doc_id"))
+        ).select("source", "doc_id", "n_chars")
+
     def q_revenue_by_nation(spark, sf_dir):
         cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
         nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
@@ -610,6 +643,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rrf_fusion": q_rrf_fusion,
         "window_chunking": q_window_chunking,
         "events_hourly": q_events_hourly,
+        "sessions": q_sessions,
+        "dup_ngram_frac": q_dup_ngram_frac,
+        "stratified_sample": q_stratified_sample,
+        "source_quota": q_source_quota,
         "revenue_by_nation": q_revenue_by_nation,
         "kb_bm25": q_kb_bm25,
         "kb_ngram_cosine": q_kb_ngram_cosine,
@@ -850,6 +887,72 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n,
                    (sum(value::DECIMAL(18,6)))::DOUBLE AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "sessions": """
+            WITH s AS (
+              SELECT user_id, event_id, ts, value,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR floor(epoch(ts))::BIGINT
+                               - floor(epoch(lag(ts) OVER w))::BIGINT > 1800
+                          THEN 1 ELSE 0 END AS ns
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), sess AS (
+              SELECT user_id, ts, value,
+                     sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_seq
+              FROM s
+            )
+            SELECT user_id, session_seq::BIGINT AS session_seq,
+                   count(*) AS n_events,
+                   min(ts) AS session_start, max(ts) AS session_end,
+                   floor(epoch(max(ts)))::BIGINT
+                     - floor(epoch(min(ts)))::BIGINT AS span_seconds,
+                   (sum(value::DECIMAL(18,6)))::DOUBLE AS value_sum
+            FROM sess GROUP BY 1, 2
+        """,
+        "dup_ngram_frac": """
+            WITH toks AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS w
+              FROM documents
+            ), grams AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       generate_series(1, greatest(len(w) - 2, 0)),
+                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+              FROM toks
+            ), posting AS (
+              SELECT doc_id, unnest(g) AS gram FROM grams
+            ), freq AS (
+              SELECT gram, count(*) AS df FROM posting GROUP BY gram
+            )
+            SELECT d.doc_id,
+                   count(p.gram) AS n_grams,
+                   coalesce(sum(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END),
+                            0)::BIGINT AS dup_grams,
+                   CASE WHEN count(p.gram) = 0 THEN 0.0
+                        ELSE sum(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END)::DOUBLE
+                             / count(p.gram)::DOUBLE
+                   END AS dup_frac
+            FROM documents d
+            LEFT JOIN posting p ON p.doc_id = d.doc_id
+            LEFT JOIN freq f ON f.gram = p.gram
+            GROUP BY d.doc_id
+        """,
+        "stratified_sample": f"""
+            SELECT doc_id, lang, source FROM documents
+            WHERE ({_MD5L.format(x="doc_id::VARCHAR || '#' || '0'")})::DOUBLE
+                  / 1152921504606846976.0
+                < CASE lang WHEN 'de' THEN 0.6::DOUBLE
+                            WHEN 'en' THEN 0.3::DOUBLE
+                            WHEN 'zh' THEN 1.0::DOUBLE
+                            ELSE 0.2::DOUBLE END
+        """,
+        "source_quota": """
+            SELECT source, doc_id, n_chars FROM documents
+            QUALIFY row_number() OVER (
+              PARTITION BY source ORDER BY n_chars DESC, doc_id
+            ) <= 5
         """,
         "revenue_by_nation": """
             SELECT n_name,

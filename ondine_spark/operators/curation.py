@@ -1,0 +1,199 @@
+"""Corpus-curation operators: sessionization, duplicate-n-gram fraction,
+deterministic (stratified) hash sampling, per-key quota capping.
+
+Beyond the reference surface (SURVEY.md §7 phase 6) — the selection/shaping
+half of a training-data pipeline, complementing operators/dedup.py (removal)
+and operators/text_analysis.py (scoring). All pure JVM column expressions
+and single-purpose shuffles; nothing touches Python at run time, so every
+operator here scales to the 100 TB tier and has an exact ANSI-SQL oracle.
+
+Scale notes per operator:
+
+- sessionize: ONE shuffle on the entity key (window partition). Skewed
+  power users make one task hot; the window itself is a linear scan after
+  the sort, so the mitigation is AQE skew splitting on the exchange, not a
+  different algorithm.
+- dup_ngram_fraction: two shuffles (gram -> doc). The gram-frequency
+  aggregate is map-side combinable; hot grams ("of the and") concentrate
+  counts, not rows, because grams are distinct-per-doc before exploding.
+- hash_sample / stratified: zero shuffles — a deterministic filter on a
+  hash of the id, pushed into the scan stage. Sampling is reproducible
+  across runs/engines (md5-based, no RNG state).
+- cap_per_key: ONE shuffle on the key. At 100 TB, pre-aggregate with a
+  count-per-key broadcast to short-circuit keys already under quota
+  (not done here: the plain window is exchange-minimal already).
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ondine_spark.functions.similarity import md5_long, word_ngrams
+
+# ------------------------------------------------------------- sessionize
+
+def sessionize(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_seconds: int,
+    order_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Assign gap-based session ids: a new session starts when the time
+    since the previous event of the same key exceeds ``gap_seconds``.
+
+    Adds ``session_seq`` (1-based per key). ``order_cols`` break ts ties
+    deterministically (pass the event id).
+    """
+    order = [F.col(ts_col), *[F.col(c) for c in order_cols]]
+    w = Window.partitionBy(key_col).orderBy(*order)
+    prev = F.lag(F.col(ts_col)).over(w)
+    new_session = (
+        prev.isNull()
+        | (F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(prev) > gap_seconds)
+    ).cast("int")
+    # running sum of session starts = session ordinal; same single shuffle
+    # (both windows share the partitioning + ordering)
+    return df.withColumn(
+        "session_seq",
+        F.sum(new_session).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+
+
+def session_stats(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_seconds: int,
+    order_cols: tuple[str, ...] = (),
+    value_col: str | None = None,
+) -> DataFrame:
+    """Per-session rollup: start/end, event count, span seconds, and the
+    value sum if given. One additional map-side-combinable aggregate after
+    sessionize's window (the groupBy keys are a superset of the window
+    partition key, so AQE keeps it on the same exchange)."""
+    s = sessionize(df, key_col, ts_col, gap_seconds, order_cols)
+    aggs = [
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        (
+            F.unix_timestamp(F.max(ts_col)) - F.unix_timestamp(F.min(ts_col))
+        ).alias("span_seconds"),
+    ]
+    if value_col is not None:
+        # decimal-accumulated so the sum is independent of row arrival order
+        # (double addition isn't associative; shuffle order isn't stable)
+        aggs.append(
+            F.sum(F.col(value_col).cast("decimal(18,6)"))
+            .cast("double")
+            .alias("value_sum")
+        )
+    return s.groupBy(key_col, "session_seq").agg(*aggs)
+
+
+# ---------------------------------------------- duplicate-n-gram fraction
+
+def dup_ngram_fraction(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Per-document duplicate-n-gram fraction: of the document's DISTINCT
+    word n-grams, the fraction that also occur in at least one other
+    document. The Gopher/MassiveText-style repetition signal for corpus
+    triage (docs with high cross-corpus n-gram overlap are boilerplate or
+    near-dup tails that MinHash's doc-level threshold misses).
+
+    Returns (id_col, n_grams, dup_grams, dup_frac); docs shorter than n
+    words report 0 grams and 0.0 fraction.
+    """
+    grams = df.select(
+        F.col(id_col), F.explode_outer(word_ngrams(F.col(text_col), n)).alias("gram")
+    )
+    # distinct-per-doc already (word_ngrams dedups), so count(*) per gram
+    # is the doc frequency; hash the gram to keep the shuffle key compact
+    keyed = grams.select(
+        F.col(id_col),
+        F.when(F.col("gram").isNull(), None).otherwise(md5_long(F.col("gram"))).alias("g"),
+    )
+    freq = (
+        keyed.where(F.col("g").isNotNull())
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    joined = keyed.join(freq, "g", "left")
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count(F.col("g")).alias("n_grams"),
+            F.coalesce(
+                F.sum(F.when(F.col("df") >= 2, 1).otherwise(0)), F.lit(0)
+            ).alias("dup_grams"),
+        )
+        .withColumn(
+            "dup_frac",
+            F.when(F.col("n_grams") == 0, F.lit(0.0)).otherwise(
+                F.col("dup_grams").cast("double") / F.col("n_grams").cast("double")
+            ),
+        )
+    )
+
+
+# ------------------------------------------------- deterministic sampling
+
+def hash_sample(
+    df: DataFrame, id_col: str, fraction: float, seed: int = 0
+) -> DataFrame:
+    """Deterministic Bernoulli sample: keep rows whose md5(id, seed) lands
+    in the lowest ``fraction`` of the hash space. Reproducible across runs
+    and engines (no RNG state), and a plain filter — it pushes past scans
+    and composes with partition pruning."""
+    return df.where(_hash_point(F.col(id_col), seed) < F.lit(float(fraction)))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    fractions: Mapping[str, float],
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. downsample English to 10%
+    but keep all low-resource languages). ``fractions`` maps stratum value
+    -> keep rate; unlisted strata use ``default_fraction``. Zero shuffles:
+    the per-row threshold is a CASE expression over the stratum column."""
+    thr: Column = F.lit(float(default_fraction))
+    for value, frac in sorted(fractions.items()):
+        thr = F.when(F.col(strata_col) == value, F.lit(float(frac))).otherwise(thr)
+    return df.where(_hash_point(F.col(id_col), 0) < thr)
+
+
+def _hash_point(col: Column, seed: int) -> Column:
+    """Uniform point in [0, 1): md5_long of (id '#' seed) over 16^15."""
+    return md5_long(
+        F.concat_ws("#", col.cast("string"), F.lit(str(seed)))
+    ).cast("double") / F.lit(float(16 ** 15))
+
+
+# ------------------------------------------------------------ quota caps
+
+def cap_per_key(
+    df: DataFrame,
+    key_col: str,
+    cap: int,
+    order_by: tuple[Column, ...],
+) -> DataFrame:
+    """Keep at most ``cap`` rows per key, preferring rows first in
+    ``order_by`` (e.g. quality desc, id asc for determinism) — the
+    per-domain / per-source quota pass of corpus curation. One shuffle on
+    the key; rank is computed in a single window scan."""
+    w = Window.partitionBy(key_col).orderBy(*order_by)
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= cap)
+        .drop("_rk")
+    )

@@ -1,0 +1,118 @@
+"""Unit tests for corpus-curation operators (sessions, dup-ngram fraction,
+deterministic sampling, quota caps)."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from ondine_spark.operators.curation import (
+    cap_per_key,
+    dup_ngram_fraction,
+    hash_sample,
+    session_stats,
+    sessionize,
+    stratified_hash_sample,
+)
+
+
+def _ts(minute):
+    return dt.datetime(2026, 1, 1, 12, minute, 0)
+
+
+def _events_df(spark):
+    rows = [
+        # user 1: two sessions split by a 45-min gap
+        (1, 1, _ts(0), 10.0),
+        (2, 1, _ts(10), 20.0),
+        (3, 1, _ts(55), 5.0),
+        # user 2: one session, events exactly at the 30-min boundary (gap
+        # == 1800 s is NOT a new session: strict > )
+        (4, 2, _ts(0), 1.0),
+        (5, 2, _ts(30), 2.0),
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+
+
+def test_sessionize_gap_splits(spark):
+    out = sessionize(
+        _events_df(spark), "user_id", "ts", 1800, order_cols=("event_id",)
+    )
+    got = {
+        (r.event_id): r.session_seq for r in out.collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 2, 4: 1, 5: 1}
+
+
+def test_session_stats_rollup(spark):
+    out = session_stats(
+        _events_df(spark), "user_id", "ts", 1800,
+        order_cols=("event_id",), value_col="value",
+    )
+    rows = {(r.user_id, r.session_seq): r for r in out.collect()}
+    assert set(rows) == {(1, 1), (1, 2), (2, 1)}
+    s11 = rows[(1, 1)]
+    assert s11.n_events == 2
+    assert s11.span_seconds == 600
+    assert s11.value_sum == 30.0
+    assert rows[(2, 1)].n_events == 2  # 1800-s gap stays one session
+
+
+def test_dup_ngram_fraction(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),
+            (2, "the quick brown cat sleeps"),
+            (3, "completely unrelated words here now"),
+            (4, "ab"),  # shorter than n words -> 0 grams
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dup_ngram_fraction(df, "doc_id", "text", 3).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    # docs 1 and 2 share exactly "the quick brown" (1 of 3 grams each)
+    assert out[1].n_grams == 3 and out[1].dup_grams == 1
+    assert out[1].dup_frac == 1 / 3
+    assert out[2].dup_grams == 1
+    assert out[3].dup_grams == 0 and out[3].dup_frac == 0.0
+    assert out[4].n_grams == 0 and out[4].dup_frac == 0.0
+
+
+def test_hash_sample_deterministic_and_monotone(spark):
+    df = spark.range(1000).withColumnRenamed("id", "doc_id")
+    a = {r.doc_id for r in hash_sample(df, "doc_id", 0.3, seed=7).collect()}
+    b = {r.doc_id for r in hash_sample(df, "doc_id", 0.3, seed=7).collect()}
+    assert a == b  # reproducible
+    assert 200 < len(a) < 400  # roughly the asked fraction
+    bigger = {r.doc_id for r in hash_sample(df, "doc_id", 0.6, seed=7).collect()}
+    assert a <= bigger  # nested samples: raising the rate only adds rows
+    assert hash_sample(df, "doc_id", 0.0, seed=7).count() == 0
+
+
+def test_stratified_sample_rates(spark):
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "yo") for i in range(1000)],
+        "doc_id long, lang string",
+    )
+    out = stratified_hash_sample(
+        df, "doc_id", "lang", {"en": 0.0, "yo": 1.0}, default_fraction=0.5
+    )
+    langs = {r.lang for r in out.collect()}
+    assert langs == {"yo"}
+    assert out.count() == 500
+
+
+def test_cap_per_key_keeps_top(spark):
+    df = spark.createDataFrame(
+        [(k, i, 100 - i) for k in ("a", "b") for i in range(10)],
+        "src string, doc_id long, score long",
+    )
+    out = cap_per_key(
+        df, "src", 3, (F.col("score").desc(), F.col("doc_id"))
+    )
+    rows = out.collect()
+    assert len(rows) == 6
+    # highest scores survive; helper column is dropped
+    assert {r.doc_id for r in rows} == {0, 1, 2}
+    assert "_rk" not in out.columns

@@ -111,6 +111,32 @@ def main() -> int:
         bad = ("CartesianProduct" in plan) or ("BroadcastNestedLoopJoin" in plan)
         check(f"dedup.{name}.no_cartesian", not bad)
 
+    # 3b. curation plan shapes: sessionize's two windows share ONE
+    # exchange; stratified sampling is a pure filter (zero exchanges,
+    # reaches the scan as a data filter)
+    from ondine_spark.operators.curation import (
+        session_stats,
+        stratified_hash_sample,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    plan = plan_of(
+        session_stats(ev, "user_id", "ts", 1800, ("event_id",), "value")
+    )
+    n_exchange = len(re.findall(r"\(\d+\) Exchange\b", plan))
+    check("curation.sessions.single_shuffle", n_exchange == 1,
+          f"{n_exchange} exchanges")
+
+    plan = plan_of(
+        stratified_hash_sample(docs, "doc_id", "lang", {"en": 0.5}, 0.1)
+    )
+    n_exchange = len(re.findall(r"\(\d+\) Exchange\b", plan))
+    check("curation.sample.zero_shuffle", n_exchange == 0,
+          f"{n_exchange} exchanges")
+
     # 4. retrieval is a key join, not a crossJoin
     import tempfile
 

@@ -34,6 +34,8 @@ BENCH_QUERIES = [
     "lang_id",
     "window_chunking",
     "events_hourly",
+    "sessions",
+    "dup_ngram_frac",
     "revenue_by_nation",
     "rrf_fusion",
 ]

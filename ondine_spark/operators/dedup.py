@@ -567,6 +567,48 @@ def dedup_keep_representative(
     return df.join(F.broadcast(drop), on=id_col, how="left_anti")
 
 
+def near_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    method: str = "minhash",
+    threshold: float = 0.8,
+    num_hashes: int = 32,
+    bands: int = 8,
+    ngram: int = 3,
+    max_hamming: int = 3,
+    keep_by: str | None = None,
+) -> DataFrame:
+    """One-call corpus near-dedup: find duplicate pairs with the chosen
+    method, resolve them into connected components, and keep one
+    representative per cluster (smallest id, or best row by ``keep_by``).
+
+    ``method``: "minhash" (LSH candidates filtered by signature-estimated
+    Jaccard ≥ threshold — the 100 TB default), "jaccard" (exact n-gram
+    Jaccard ≥ threshold — exact but heavier), or "simhash"
+    (Hamming ≤ max_hamming; threshold unused). The composition inherits
+    each stage's scale story: inverted-index/banding joins (never
+    pairwise), star-rounds components above the driver threshold, and a
+    broadcast anti-join for the final drop set.
+    """
+    if method == "minhash":
+        pairs = minhash_lsh_pairs(
+            df, id_col, text_col, num_hashes, bands, ngram, threshold=threshold
+        )
+    elif method == "jaccard":
+        pairs = ngram_jaccard_pairs(
+            df, id_col, text_col, n=ngram, threshold=threshold
+        )
+    elif method == "simhash":
+        pairs = simhash_pairs(df, id_col, text_col, max_hamming=max_hamming)
+    else:
+        raise ValueError(
+            f"unknown near-dedup method {method!r}: "
+            "expected minhash | jaccard | simhash"
+        )
+    return dedup_keep_representative(df, id_col, pairs, keep_by=keep_by)
+
+
 # ------------------------------------------- embedding cosine near-dup (D5)
 
 def embedding_neardup_pairs(

@@ -101,3 +101,30 @@ def test_keep_representative_by_score(spark):
 def test_empty_pair_set(spark):
     pairs = spark.createDataFrame([], "a: long, b: long")
     assert connected_components(pairs).count() == 0
+
+
+def test_near_dedup_end_to_end(spark):
+    from ondine_spark.operators.dedup import near_dedup
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again", 5),
+        (2, "the quick brown fox jumps over the lazy dog again and again!", 9),
+        (3, "a completely different document about spark shuffles and joins", 1),
+        (4, "short text", 2),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, score long")
+
+    kept = near_dedup(df, "doc_id", "text", method="jaccard", threshold=0.5)
+    ids = {r.doc_id for r in kept.collect()}
+    assert ids == {1, 3, 4}  # 2 collapses into 1 (min-id representative)
+
+    best = near_dedup(
+        df, "doc_id", "text", method="jaccard", threshold=0.5, keep_by="score"
+    )
+    assert {r.doc_id for r in best.collect()} == {2, 3, 4}
+
+    mh = near_dedup(df, "doc_id", "text", method="minhash", threshold=0.5)
+    assert {r.doc_id for r in mh.collect()} == {1, 3, 4}
+
+    with pytest.raises(ValueError):
+        near_dedup(df, "doc_id", "text", method="nope")

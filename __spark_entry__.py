@@ -452,6 +452,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             docs, "source", 5, (F.col("n_chars").desc(), F.col("doc_id"))
         ).select("source", "doc_id", "n_chars")
 
+    def q_asof_purchases(spark, sf_dir):
+        from ondine_spark.operators.asof import asof_join
+
+        ev = _events(spark, sf_dir)
+        purchases = ev.where(F.col("event_type") == "purchase").select(
+            "user_id", "ts", "value"
+        )
+        return asof_join(
+            ev.select("event_id", "user_id", "ts"),
+            purchases,
+            on="user_id",
+            left_ts="ts",
+            right_ts="ts",
+            value_cols=("value",),
+            suffix="_lp",
+        ).select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.col("ts_lp").alias("last_purchase_ts"),
+            F.col("value_lp").alias("last_purchase_value"),
+        )
+
     def q_revenue_by_nation(spark, sf_dir):
         cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
         nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
@@ -647,6 +670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_ngram_frac": q_dup_ngram_frac,
         "stratified_sample": q_stratified_sample,
         "source_quota": q_source_quota,
+        "asof_purchases": q_asof_purchases,
         "revenue_by_nation": q_revenue_by_nation,
         "kb_bm25": q_kb_bm25,
         "kb_ngram_cosine": q_kb_ngram_cosine,
@@ -953,6 +977,17 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY row_number() OVER (
               PARTITION BY source ORDER BY n_chars DESC, doc_id
             ) <= 5
+        """,
+        "asof_purchases": """
+            WITH p AS (
+              SELECT user_id, ts, max(value) AS value
+              FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+            )
+            SELECT e.event_id, e.user_id, e.ts,
+                   p.ts AS last_purchase_ts,
+                   p.value AS last_purchase_value
+            FROM events e ASOF LEFT JOIN p
+              ON e.user_id = p.user_id AND e.ts >= p.ts
         """,
         "revenue_by_nation": """
             SELECT n_name,

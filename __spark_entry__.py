@@ -475,6 +475,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("value_lp").alias("last_purchase_value"),
         )
 
+    def q_range_join_sessions(spark, sf_dir):
+        from ondine_spark.operators.asof import range_join
+        from ondine_spark.operators.curation import session_stats
+
+        ev = _events(spark, sf_dir)
+        spans = session_stats(
+            ev, "user_id", "ts", 1800, order_cols=("event_id",)
+        ).select("user_id", "session_seq", "session_start", "session_end")
+        return range_join(
+            ev.select("event_id", "user_id", "ts"),
+            spans,
+            left_ts="ts",
+            right_start="session_start",
+            right_end="session_end",
+            on="user_id",
+            bucket_seconds=1800,
+        ).select("event_id", "user_id", "session_seq")
+
     def q_revenue_by_nation(spark, sf_dir):
         cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
         nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
@@ -671,6 +689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "source_quota": q_source_quota,
         "asof_purchases": q_asof_purchases,
+        "range_join_sessions": q_range_join_sessions,
         "revenue_by_nation": q_revenue_by_nation,
         "kb_bm25": q_kb_bm25,
         "kb_ngram_cosine": q_kb_ngram_cosine,
@@ -988,6 +1007,30 @@ def oracle_sql() -> dict[str, str]:
                    p.value AS last_purchase_value
             FROM events e ASOF LEFT JOIN p
               ON e.user_id = p.user_id AND e.ts >= p.ts
+        """,
+        "range_join_sessions": """
+            WITH s AS (
+              SELECT user_id, event_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR floor(epoch(ts))::BIGINT
+                               - floor(epoch(lag(ts) OVER w))::BIGINT > 1800
+                          THEN 1 ELSE 0 END AS ns
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), sess AS (
+              SELECT user_id, ts,
+                     sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_seq
+              FROM s
+            ), spans AS (
+              SELECT user_id, session_seq::BIGINT AS session_seq,
+                     min(ts) AS session_start, max(ts) AS session_end
+              FROM sess GROUP BY 1, 2
+            )
+            SELECT e.event_id, e.user_id, sp.session_seq
+            FROM events e JOIN spans sp
+              ON e.user_id = sp.user_id
+             AND e.ts BETWEEN sp.session_start AND sp.session_end
         """,
         "revenue_by_nation": """
             SELECT n_name,

@@ -1,5 +1,8 @@
-"""As-of (point-in-time) join: attach to each left row the most recent
-right row for the same key with right_ts <= left_ts (backward direction).
+"""Temporal joins Spark lacks as built-ins: as-of (point-in-time) and
+range (interval-containment), both expressed without any non-equi join.
+
+As-of: attach to each left row the most recent right row for the same
+key with right_ts <= left_ts (backward direction).
 
 The classic need: enrich events with the latest prior state (price at
 trade time, last model version at request time, last purchase before a
@@ -100,3 +103,51 @@ def asof_join(
         F.col(f"_match.{c}").alias(f"{c}{suffix}") for c in value_cols
     )
     return merged.select(*out_cols)
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_start: str,
+    right_end: str,
+    on: str | None = None,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Interval-containment join: every (left row, right row) pair with
+    ``right_start`` <= ``left_ts`` <= ``right_end`` (inclusive), optionally
+    also matching on an equality key ``on``.
+
+    Spark plans a raw ``BETWEEN`` join predicate as a nested-loop join —
+    quadratic, unusable beyond toy sizes. This instead buckets time into
+    ``bucket_seconds``-wide cells: each interval is exploded to the cells
+    it overlaps, each point belongs to exactly ONE cell, and the pair
+    meets in an equi-join on (cell[, key]) before the exact containment
+    filter. Because a point has a single cell, no post-join dedup is
+    needed. Pick ``bucket_seconds`` near the typical interval length:
+    the explode factor is ~interval/bucket, the candidate rate is
+    ~bucket/interval — cost is ONE equi-join shuffle either way, just with
+    different fan-outs. Left and right column names must not collide
+    (except ``on``).
+    """
+    bs = float(bucket_seconds)
+    start_b = F.floor(F.unix_timestamp(F.col(right_start)) / bs).cast("long")
+    end_b = F.floor(F.unix_timestamp(F.col(right_end)) / bs).cast("long")
+    # guard: sequence(a, b) DESCENDS when b < a (inverted intervals must
+    # match nothing, not throw)
+    cells = F.when(end_b >= start_b, F.sequence(start_b, end_b)).otherwise(
+        F.array().cast("array<long>")
+    )
+    r = right.withColumn("_cell", F.explode(cells))
+    l = left.withColumn(
+        "_cell", F.floor(F.unix_timestamp(F.col(left_ts)) / bs).cast("long")
+    )
+    keys = ["_cell"] + ([on] if on else [])
+    return (
+        l.join(r, on=keys)
+        .where(
+            (F.col(left_ts) >= F.col(right_start))
+            & (F.col(left_ts) <= F.col(right_end))
+        )
+        .drop("_cell")
+    )

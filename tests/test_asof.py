@@ -95,3 +95,66 @@ def test_plan_has_no_join_operator(spark):
     plan = buf.getvalue()
     for bad in ("BroadcastNestedLoopJoin", "CartesianProduct", "SortMergeJoin"):
         assert bad not in plan
+
+
+# ----------------------------------------------------------- range join
+
+def test_range_join_containment(spark):
+    from ondine_spark.operators.asof import range_join
+
+    points = spark.createDataFrame(
+        [(1, 1, _t(10)), (2, 1, _t(59, 59)), (3, 1, _t(0)), (4, 2, _t(10))],
+        "pid long, k long, ts timestamp",
+    )
+    ivals = spark.createDataFrame(
+        [
+            (100, 1, _t(5), _t(15)),    # catches pid 1
+            (101, 1, _t(8), _t(10)),    # ALSO catches pid 1 (overlap ok)
+            (102, 1, _t(59), _t(59, 59)),  # boundary-inclusive: pid 2
+            (103, 2, _t(59, 59), _t(5)),   # inverted: matches nothing
+        ],
+        "iid long, k long, lo timestamp, hi timestamp",
+    )
+    out = range_join(
+        points, ivals, left_ts="ts", right_start="lo", right_end="hi",
+        on="k", bucket_seconds=60,
+    )
+    got = sorted((r.pid, r.iid) for r in out.collect())
+    assert got == [(1, 100), (1, 101), (2, 102)]
+
+
+def test_range_join_no_key_and_wide_interval(spark):
+    from ondine_spark.operators.asof import range_join
+
+    points = spark.createDataFrame(
+        [(1, _t(0)), (2, _t(30)), (3, _t(59, 59))], "pid long, ts timestamp"
+    )
+    # one interval spanning many 60-s buckets: explode covers them all
+    ivals = spark.createDataFrame(
+        [(7, _t(0), _t(45))], "iid long, lo timestamp, hi timestamp"
+    )
+    out = range_join(
+        points, ivals, left_ts="ts", right_start="lo", right_end="hi",
+        bucket_seconds=60,
+    )
+    assert sorted(r.pid for r in out.collect()) == [1, 2]
+
+
+def test_range_join_plan_is_equi_join(spark):
+    import contextlib
+    import io
+
+    from ondine_spark.operators.asof import range_join
+
+    points = spark.createDataFrame([(1, _t(0))], "pid long, ts timestamp")
+    ivals = spark.createDataFrame(
+        [(7, _t(0), _t(45))], "iid long, lo timestamp, hi timestamp"
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        range_join(
+            points, ivals, left_ts="ts", right_start="lo", right_end="hi"
+        ).explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

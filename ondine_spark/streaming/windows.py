@@ -9,6 +9,9 @@ chunked runner:
 - ``windowed_counts``: tumbling event-time windows with a watermark for
   late data over a file/rate/kafka stream (the streaming form of the
   batch ``events_hourly`` query).
+- ``streaming_sessions``: native ``session_window`` gap sessionization
+  with watermark-closed append output — the streaming twin of the batch
+  ``operators.curation.sessionize``.
 - ``streaming_first_seen``: cross-micro-batch exact dedup — emit only the
   FIRST occurrence of each key — via ``applyInPandasWithState`` (the
   custom-stateful-operator surface; state = "seen" flag per key group,
@@ -58,6 +61,49 @@ def windowed_counts(
         F.col("win.end").alias("window_end"),
         *(group_cols or []),
         *[c for c in ("n", "sum_value") if c in out.columns],
+    )
+
+
+def streaming_sessions(
+    stream: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    value_col: str | None = None,
+) -> DataFrame:
+    """Streaming gap-based sessionization: Spark's native
+    ``session_window`` merges events of a key whose gaps are < ``gap``
+    into one growing window; the watermark closes sessions once event
+    time has moved past their end, so state is bounded and results are
+    emitted in append mode (one final row per session). The streaming
+    twin of the batch ``operators.curation.sessionize`` — same gap
+    semantics, incremental emission instead of a full-sort window.
+    """
+    aggs = [
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(ts_col).alias("first_event"),
+        F.max(ts_col).alias("last_event"),
+    ]
+    if value_col is not None:
+        aggs.append(
+            F.sum(F.col(value_col).cast("decimal(18,6)"))
+            .cast("double")
+            .alias("value_sum")
+        )
+    out = (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.session_window(F.col(ts_col), gap).alias("sw"), F.col(key_col)
+        )
+        .agg(*aggs)
+    )
+    return out.select(
+        F.col(key_col),
+        F.col("sw.start").alias("session_start"),
+        F.col("sw.end").alias("session_end"),
+        *[c for c in ("n_events", "first_event", "last_event", "value_sum")
+          if c in out.columns],
     )
 
 

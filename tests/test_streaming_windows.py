@@ -102,3 +102,57 @@ def test_streaming_first_seen_across_batches(spark, tmp_path):
     rows = spark.read.parquet(out).collect()
     ids = sorted(r["id"] for r in rows)
     assert ids == ["a", "b", "c"]  # 'a' emitted exactly once, ever
+
+
+def test_streaming_sessions_match_batch_session_window(spark, tmp_path):
+    from ondine_spark.streaming.windows import streaming_sessions
+
+    src = str(tmp_path / "sess_in")
+    out = str(tmp_path / "sess_out")
+    ckpt = str(tmp_path / "sess_ckpt")
+    import datetime as dt
+
+    base = dt.datetime(2026, 1, 1, 10, 0, 0)
+    rows = []
+    # user A: bursts at 10:00-10:04 (5 events) and 11:00-11:01 (2 events),
+    # then a far-future event to push the watermark past both sessions
+    for i in range(5):
+        rows.append(("A", base + dt.timedelta(minutes=i), "click", 1.0))
+    for i in range(2):
+        rows.append(
+            ("A", base + dt.timedelta(hours=1, minutes=i), "click", 2.0)
+        )
+    rows.append(("B", base + dt.timedelta(hours=9), "click", 0.0))
+    spark.createDataFrame(
+        rows, "id STRING, ts TIMESTAMP, event_type STRING, value DOUBLE"
+    ).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(
+        "id STRING, ts TIMESTAMP, event_type STRING, value DOUBLE"
+    ).parquet(src)
+    q = (
+        streaming_sessions(
+            stream, "id", "ts", gap="10 minutes", watermark="1 hour",
+            value_col="value",
+        )
+        .writeStream.format("parquet")
+        .option("checkpointLocation", ckpt)
+        .option("path", out)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r.id, r.session_start): r
+        for r in spark.read.parquet(out).collect()
+    }
+    # both A-sessions closed (watermark driven past by B's late event)
+    s1 = got[("A", base)]
+    assert s1.n_events == 5 and s1.value_sum == 5.0
+    assert s1.last_event == base + dt.timedelta(minutes=4)
+    # session_window end = last event + gap
+    assert s1.session_end == base + dt.timedelta(minutes=14)
+    s2 = got[("A", base + dt.timedelta(hours=1))]
+    assert s2.n_events == 2 and s2.value_sum == 4.0

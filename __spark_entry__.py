@@ -208,6 +208,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ta.quality_score(t).alias("quality"),
         )
 
+    def q_intra_dup_chars(spark, sf_dir):
+        from ondine_spark.operators.text_analysis import intra_dup_ngram_chars
+
+        return intra_dup_ngram_chars(_docs(spark, sf_dir), "doc_id", "text", n=2)
+
+    def q_gopher_filter(spark, sf_dir):
+        t = F.col("text")
+        kw = dict(min_words=30, max_words=5000, max_punct_ratio=0.2)
+        rules = ta.quality_rules(t, **kw)
+        return _docs(spark, sf_dir).select(
+            "doc_id",
+            *[c.alias(k) for k, c in rules.items()],
+            ta.passes_quality(t, **kw).alias("keep"),
+        )
+
     def q_lang_id(spark, sf_dir):
         return _docs(spark, sf_dir).select(
             "doc_id", ta.lang_id(F.col("text")).alias("lang_pred")
@@ -664,6 +679,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resume_anti_join": q_resume_anti_join,
         "contradiction_groups": q_contradiction_groups,
         "text_stats": q_text_stats,
+        "intra_dup_chars": q_intra_dup_chars,
+        "gopher_filter": q_gopher_filter,
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
         "profile_docs": q_profile_docs,
@@ -797,6 +814,69 @@ def oracle_sql() -> dict[str, str]:
                         ELSE length(regexp_replace(text, '[^.,;:!?''"()\\-]', '', 'g'))::DOUBLE / length(text)::DOUBLE END) * 10.0, 1.0))
                    AS quality
             FROM t
+        """,
+        "intra_dup_chars": """
+            WITH toks AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS w
+              FROM documents
+            ), grams AS (
+              SELECT doc_id,
+                     unnest(list_transform(
+                       generate_series(1, greatest(len(w) - 1, 0)),
+                       i -> w[i] || ' ' || w[i+1])) AS gram
+              FROM toks
+            ), per AS (
+              SELECT doc_id, gram, count(*) AS cnt,
+                     count(*) * length(gram) AS chars
+              FROM grams GROUP BY 1, 2
+            )
+            SELECT d.doc_id,
+                   coalesce(sum(p.chars), 0)::BIGINT AS total_chars,
+                   coalesce(sum(CASE WHEN p.cnt >= 2 THEN p.chars END),
+                            0)::BIGINT AS dup_chars,
+                   CASE WHEN coalesce(sum(p.chars), 0) = 0 THEN 0.0
+                        ELSE coalesce(sum(CASE WHEN p.cnt >= 2
+                                          THEN p.chars END), 0)::DOUBLE
+                             / sum(p.chars)::DOUBLE
+                   END AS intra_dup_frac
+            FROM documents d
+            LEFT JOIN per p ON p.doc_id = d.doc_id
+            GROUP BY d.doc_id
+        """,
+        "gopher_filter": """
+            WITH t AS (
+              SELECT doc_id, text,
+                     regexp_extract_all(text, '\\S+') AS w,
+                     regexp_extract_all(lower(text), '\\S+') AS wl
+              FROM documents
+            ), m AS (
+              SELECT doc_id,
+                     len(w) AS words,
+                     CASE WHEN len(w) = 0 THEN 0.0
+                          ELSE list_aggregate(
+                                 list_transform(w, x -> length(x)),
+                                 'sum')::DOUBLE / len(w)::DOUBLE
+                     END AS mwl,
+                     CASE WHEN length(text) = 0 THEN 0.0
+                          ELSE length(regexp_replace(
+                                 text, '[^.,;:!?''"()\\-]', '', 'g'))::DOUBLE
+                               / length(text)::DOUBLE
+                     END AS punct,
+                     len(list_filter(wl, x -> x IN
+                       ('the','a','an','and','or','of','to','in','is','it',
+                        'for','on','with','as','at','by','from','that','this')
+                     )) AS sw
+              FROM t
+            )
+            SELECT doc_id,
+                   words >= 30 AND words <= 5000 AS rule_word_count,
+                   mwl >= 3.0 AND mwl <= 10.0 AS rule_mean_word_len,
+                   punct <= 0.2 AS rule_punct,
+                   sw >= 2 AS rule_stopwords,
+                   (words >= 30 AND words <= 5000)
+                   AND (mwl >= 3.0 AND mwl <= 10.0)
+                   AND punct <= 0.2 AND sw >= 2 AS keep
+            FROM m
         """,
         "lang_id": _lang_id_sql(),
         "fingerprints": f"""

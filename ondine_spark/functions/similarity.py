@@ -72,9 +72,20 @@ def word_ngrams(col: Column, n: int) -> Column:
     The token array is let-bound so the split runs once per row; grams are
     built positionally with element_at (O(L·n) total, no array copies) —
     the shingle construction is the hot loop of every dedup operator."""
+    return _word_ngrams(col, n, distinct=True)
+
+
+def word_ngrams_all(col: Column, n: int) -> Column:
+    """Positional (NON-distinct) word n-grams — one entry per window, in
+    order. For repetition metrics where multiplicity is the signal."""
+    return _word_ngrams(col, n, distinct=False)
+
+
+def _word_ngrams(col: Column, n: int, distinct: bool) -> Column:
+    dedup = F.array_distinct if distinct else (lambda c: c)
     toks = tokens(col)
     if n == 1:
-        return F.array_distinct(toks)
+        return dedup(toks)
 
     def build(t: Column) -> Column:
         # guard: sequence(1, m) with m < 1 is DESCENDING ([1, 0]) and the
@@ -84,7 +95,7 @@ def word_ngrams(col: Column, n: int) -> Column:
         idx = F.when(m >= 1, F.sequence(F.lit(1), m)).otherwise(
             F.array().cast("array<int>")
         )
-        return F.array_distinct(
+        return dedup(
             F.transform(
                 idx,
                 lambda i: F.concat_ws(

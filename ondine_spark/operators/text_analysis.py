@@ -126,3 +126,97 @@ def fingerprint_rolling(col: Column, n: int = 8) -> Column:
     grams = char_ngrams(col, n)
     hashed = F.transform(grams, lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("bigint"))
     return F.array_min(hashed)
+
+
+# --------------------------------------- repetition / quality rule filters
+
+def mean_word_length(col: Column) -> Column:
+    """Mean characters per whitespace token (0.0 for empty text)."""
+    toks = F.filter(F.split(F.trim(col), r"\s+"), lambda x: x != "")
+
+    def stats(t: Column) -> Column:
+        total = F.aggregate(
+            t, F.lit(0), lambda acc, x: acc + F.length(x)
+        ).cast("double")
+        return F.when(F.size(t) == 0, F.lit(0.0)).otherwise(
+            total / F.size(t).cast("double")
+        )
+
+    from ondine_spark.functions.similarity import let_bind
+
+    return let_bind(toks, stats)
+
+
+def intra_dup_ngram_chars(
+    df, id_col: str, text_col: str, n: int = 2
+):
+    """Per-document intra-doc repetition: the fraction of n-gram-window
+    characters that belong to windows occurring ≥2 times WITHIN the doc
+    (Gopher's duplicate-n-gram-character signal; dup_ngram_fraction is
+    the cross-doc complement). Weighted by multiplicity: a gram occurring
+    k ≥ 2 times contributes all k·len(gram) characters to the numerator.
+
+    Returns (id_col, total_chars, dup_chars, intra_dup_frac). Shuffles
+    once on (doc, gram) — map-side combinable — then once on doc.
+    """
+    from ondine_spark.functions.similarity import word_ngrams_all
+
+    grams = df.select(
+        F.col(id_col),
+        F.explode_outer(word_ngrams_all(F.col(text_col), n)).alias("gram"),
+    )
+    per_gram = grams.groupBy(id_col, "gram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    chars = F.col("cnt") * F.length("gram")
+    return (
+        per_gram.groupBy(id_col)
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("gram").isNotNull(), chars)), F.lit(0)
+            ).alias("total_chars"),
+            F.coalesce(
+                F.sum(F.when(F.col("cnt") >= 2, chars)), F.lit(0)
+            ).alias("dup_chars"),
+        )
+        .withColumn(
+            "intra_dup_frac",
+            F.when(F.col("total_chars") == 0, F.lit(0.0)).otherwise(
+                F.col("dup_chars").cast("double")
+                / F.col("total_chars").cast("double")
+            ),
+        )
+    )
+
+
+def quality_rules(
+    col: Column,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_punct_ratio: float = 0.3,
+    min_stopword_hits: int = 2,
+) -> dict[str, Column]:
+    """Gopher/MassiveText-style quality rule booleans (word-count bounds,
+    mean-word-length bounds, punctuation-soup cap, must contain function
+    words). Each rule is its own boolean column so corpora can be triaged
+    per rule; AND them (``passes_quality``) for the filter."""
+    words = token_count_ws(col)
+    mwl = mean_word_length(col)
+    return {
+        "rule_word_count": (words >= min_words) & (words <= max_words),
+        "rule_mean_word_len": (mwl >= min_mean_word_len)
+        & (mwl <= max_mean_word_len),
+        "rule_punct": punct_ratio(col) <= max_punct_ratio,
+        "rule_stopwords": stopword_hits(col) >= min_stopword_hits,
+    }
+
+
+def passes_quality(col: Column, **thresholds) -> Column:
+    """AND of all quality_rules."""
+    rules = quality_rules(col, **thresholds)
+    out = F.lit(True)
+    for c in rules.values():
+        out = out & c
+    return out

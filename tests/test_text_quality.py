@@ -1,0 +1,72 @@
+"""Quality-rule filters and intra-doc repetition metrics."""
+
+from pyspark.sql import functions as F
+
+from ondine_spark.operators.text_analysis import (
+    intra_dup_ngram_chars,
+    mean_word_length,
+    passes_quality,
+    quality_rules,
+)
+
+
+def test_mean_word_length(spark):
+    df = spark.createDataFrame(
+        [(1, "ab cd ef"), (2, ""), (3, "  spaced   out  ")],
+        "id long, text string",
+    )
+    got = {
+        r.id: r.mwl
+        for r in df.select(
+            "id", mean_word_length(F.col("text")).alias("mwl")
+        ).collect()
+    }
+    assert got[1] == 2.0
+    assert got[2] == 0.0
+    assert got[3] == (6 + 3) / 2  # "spaced", "out"
+
+
+def test_intra_dup_ngram_chars(spark):
+    df = spark.createDataFrame(
+        [
+            # "a b" occurs twice (positions 1 and 3): 2 windows of 3 chars
+            # duplicated out of 4 windows total
+            (1, "a b a b c"),
+            (2, "x y z"),        # no repeated bigram
+            (3, "solo"),          # < 2 words -> zero windows
+        ],
+        "id long, text string",
+    )
+    out = {r.id: r for r in intra_dup_ngram_chars(df, "id", "text", 2).collect()}
+    # windows doc1: "a b","b a","a b","b c" -> total chars 12, dup 6
+    assert out[1].total_chars == 12 and out[1].dup_chars == 6
+    assert out[1].intra_dup_frac == 0.5
+    assert out[2].dup_chars == 0 and out[2].intra_dup_frac == 0.0
+    assert out[3].total_chars == 0 and out[3].intra_dup_frac == 0.0
+
+
+def test_quality_rules_and_filter(spark):
+    good = "the quick brown fox jumps over the lazy dog " * 5  # 45 words
+    df = spark.createDataFrame(
+        [
+            (1, good),
+            (2, "word " * 5),                     # too few words
+            (3, "!!! ??? ... ;;; " * 40),         # punctuation soup
+            (4, ("zz " * 40) + "qq"),             # no stopwords
+        ],
+        "id long, text string",
+    )
+    kw = dict(min_words=30, max_words=1000, max_punct_ratio=0.2)
+    rules = quality_rules(F.col("text"), **kw)
+    out = {
+        r.id: r
+        for r in df.select(
+            "id",
+            *[c.alias(k) for k, c in rules.items()],
+            passes_quality(F.col("text"), **kw).alias("keep"),
+        ).collect()
+    }
+    assert out[1].keep
+    assert not out[2].rule_word_count and not out[2].keep
+    assert not out[3].rule_punct and not out[3].keep
+    assert not out[4].rule_stopwords and not out[4].keep

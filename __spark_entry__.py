@@ -459,6 +459,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             default_fraction=0.2,
         ).select("doc_id", "lang", "source")
 
+    def q_token_budget_mix(spark, sf_dir):
+        from ondine_spark.operators.curation import sample_to_token_budget
+
+        docs = _docs(spark, sf_dir).withColumn(
+            "n_tokens", ta.token_count_ws(F.col("text"))
+        )
+        return sample_to_token_budget(
+            docs, "doc_id", "lang", "n_tokens", budget=3000,
+            budgets={"en": 6000},
+        ).select("doc_id", "lang", "n_tokens")
+
     def q_source_quota(spark, sf_dir):
         from ondine_spark.operators.curation import cap_per_key
 
@@ -705,6 +716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_ngram_frac": q_dup_ngram_frac,
         "stratified_sample": q_stratified_sample,
         "source_quota": q_source_quota,
+        "token_budget_mix": q_token_budget_mix,
         "asof_purchases": q_asof_purchases,
         "range_join_sessions": q_range_join_sessions,
         "revenue_by_nation": q_revenue_by_nation,
@@ -1076,6 +1088,23 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY row_number() OVER (
               PARTITION BY source ORDER BY n_chars DESC, doc_id
             ) <= 5
+        """,
+        "token_budget_mix": f"""
+            WITH t AS (
+              SELECT doc_id, lang,
+                     len(regexp_extract_all(trim(text), '\\S+'))::INT AS n_tokens,
+                     {_MD5L.format(x="doc_id::VARCHAR || '#' || '0'")} AS h
+              FROM documents
+            ), c AS (
+              SELECT doc_id, lang, n_tokens,
+                     sum(n_tokens::BIGINT) OVER (
+                       PARTITION BY lang ORDER BY h, doc_id
+                       ROWS UNBOUNDED PRECEDING) AS cum
+              FROM t
+            )
+            SELECT doc_id, lang, n_tokens FROM c
+            WHERE cum - n_tokens < CASE lang WHEN 'en' THEN 6000
+                                             ELSE 3000 END
         """,
         "asof_purchases": """
             WITH p AS (

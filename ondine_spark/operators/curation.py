@@ -179,6 +179,45 @@ def _hash_point(col: Column, seed: int) -> Column:
     ).cast("double") / F.lit(float(16 ** 15))
 
 
+def sample_to_token_budget(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    token_col: str,
+    budget: int,
+    budgets: Mapping[str, int] | None = None,
+    seed: int = 0,
+) -> DataFrame:
+    """Build a data mix: per stratum (e.g. language), keep a deterministic
+    unbiased prefix of documents whose cumulative token count stays under
+    the stratum's budget. Rows are ordered by md5(id, seed) — a
+    reproducible random permutation — and a row is kept while the budget
+    is not yet exhausted BEFORE it, so each stratum overshoots by at most
+    one document (and a budget > 0 always yields at least one doc).
+
+    ``budgets`` overrides the default ``budget`` per stratum value. ONE
+    shuffle (the per-stratum window); the cumulative sum is exact integer
+    arithmetic, so engines agree bit-for-bit.
+    """
+    thr: Column = F.lit(int(budget))
+    for value, b in sorted((budgets or {}).items()):
+        thr = F.when(F.col(strata_col) == value, F.lit(int(b))).otherwise(thr)
+    shuffle_key = md5_long(
+        F.concat_ws("#", F.col(id_col).cast("string"), F.lit(str(seed)))
+    )
+    w = (
+        Window.partitionBy(strata_col)
+        .orderBy(shuffle_key, F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.col(token_col).cast("long")).over(w)
+    return (
+        df.withColumn("_cum", cum)
+        .where(F.col("_cum") - F.col(token_col) < thr)
+        .drop("_cum")
+    )
+
+
 # ------------------------------------------------------------ quota caps
 
 def cap_per_key(

@@ -116,3 +116,32 @@ def test_cap_per_key_keeps_top(spark):
     # highest scores survive; helper column is dropped
     assert {r.doc_id for r in rows} == {0, 1, 2}
     assert "_rk" not in out.columns
+
+
+def test_sample_to_token_budget(spark):
+    from ondine_spark.operators.curation import sample_to_token_budget
+
+    df = spark.createDataFrame(
+        [(i, "en" if i < 50 else "fr", 100) for i in range(100)],
+        "doc_id long, lang string, n_tokens long",
+    )
+    out = sample_to_token_budget(
+        df, "doc_id", "lang", "n_tokens", budget=1000, budgets={"fr": 250}
+    )
+    by_lang = {
+        r.lang: r.total
+        for r in out.groupBy("lang")
+        .agg(F.sum("n_tokens").alias("total"), F.count("*").alias("n"))
+        .collect()
+    }
+    assert by_lang["en"] == 1000   # exact fill: 10 docs of 100 tokens
+    assert by_lang["fr"] == 300    # 250 budget -> 2 full docs + overshoot 1
+    # deterministic: same call returns the same ids
+    a = sorted(r.doc_id for r in out.collect())
+    b = sorted(
+        r.doc_id
+        for r in sample_to_token_budget(
+            df, "doc_id", "lang", "n_tokens", budget=1000, budgets={"fr": 250}
+        ).collect()
+    )
+    assert a == b

@@ -223,6 +223,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ta.passes_quality(t, **kw).alias("keep"),
         )
 
+    def q_redact_pii(spark, sf_dir):
+        # the synthetic docs contain no PII-shaped strings, so append
+        # deterministic ones derived from doc_id — BOTH engines build the
+        # same input, and the gate checks the regex chains agree on it
+        piitext = F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@ex.com via https://x.io/p?q="),
+            F.col("doc_id").cast("string"),
+            F.lit(" call 0123-456-7890 now"),
+        )
+        counts = ta.pii_counts(piitext)
+        return _docs(spark, sf_dir).select(
+            "doc_id",
+            ta.redact_pii(piitext).alias("redacted"),
+            *[c.alias(f"n_{k}") for k, c in counts.items()],
+        )
+
     def q_lang_id(spark, sf_dir):
         return _docs(spark, sf_dir).select(
             "doc_id", ta.lang_id(F.col("text")).alias("lang_pred")
@@ -470,6 +489,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             budgets={"en": 6000},
         ).select("doc_id", "lang", "n_tokens")
 
+    def q_strip_boilerplate(spark, sf_dir):
+        from ondine_spark.operators.curation import remove_boilerplate_lines
+
+        # synthetic docs are single-line, so wrap each in shared template
+        # chrome (same construction in the oracle): the operator must
+        # strip exactly the chrome and return the body untouched
+        page = _docs(spark, sf_dir).select(
+            "doc_id",
+            F.concat(
+                F.lit("Cookie Notice: We Use Cookies\n"),
+                F.col("text"),
+                F.lit("\nCopyright 2026 Example Corp"),
+            ).alias("page"),
+        )
+        return remove_boilerplate_lines(
+            page, "doc_id", "page", max_docs=50
+        ).select("doc_id", F.col("page").alias("cleaned"))
+
     def q_source_quota(spark, sf_dir):
         from ondine_spark.operators.curation import cap_per_key
 
@@ -692,6 +729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "intra_dup_chars": q_intra_dup_chars,
         "gopher_filter": q_gopher_filter,
+        "redact_pii": q_redact_pii,
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
         "profile_docs": q_profile_docs,
@@ -717,6 +755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "source_quota": q_source_quota,
         "token_budget_mix": q_token_budget_mix,
+        "strip_boilerplate": q_strip_boilerplate,
         "asof_purchases": q_asof_purchases,
         "range_join_sessions": q_range_join_sessions,
         "revenue_by_nation": q_revenue_by_nation,
@@ -889,6 +928,37 @@ def oracle_sql() -> dict[str, str]:
                    AND (mwl >= 3.0 AND mwl <= 10.0)
                    AND punct <= 0.2 AND sw >= 2 AS keep
             FROM m
+        """,
+        "redact_pii": _redact_sql(),
+        "strip_boilerplate": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     'Cookie Notice: We Use Cookies' || chr(10) || text
+                       || chr(10) || 'Copyright 2026 Example Corp' AS page
+              FROM documents
+            ), s AS (
+              SELECT doc_id, string_split(page, chr(10)) AS l FROM t
+            ), ps AS (
+              SELECT doc_id, l,
+                     unnest(generate_series(1, len(l))) AS pos
+              FROM s
+            ), lines AS (
+              SELECT doc_id, pos, l[pos] AS line,
+                     {_MD5L.format(x="trim(lower(l[pos]))")} AS k
+              FROM ps
+            ), freq AS (
+              SELECT k FROM (
+                SELECT k, count(DISTINCT doc_id) AS c FROM lines GROUP BY k
+              ) WHERE c > 50
+            ), kept AS (
+              SELECT doc_id, pos, line FROM lines
+              WHERE k NOT IN (SELECT k FROM freq)
+            ), rebuilt AS (
+              SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS cleaned
+              FROM kept GROUP BY doc_id
+            )
+            SELECT d.doc_id, coalesce(r.cleaned, '') AS cleaned
+            FROM documents d LEFT JOIN rebuilt r ON r.doc_id = d.doc_id
         """,
         "lang_id": _lang_id_sql(),
         "fingerprints": f"""
@@ -1531,6 +1601,26 @@ def _grounding_sql(threshold: float = 0.3) -> str:
                coalesce(scored.score, 0.0) >= {threshold} AS grounded
         FROM documents d LEFT JOIN scored ON d.doc_id = scored.doc_id
     """
+
+
+def _redact_sql() -> str:
+    """Mirror q_redact_pii: same synthetic PII suffix, same regex chain
+    (patterns imported from the operator so the two can't drift)."""
+    from ondine_spark.operators.text_analysis import REDACT_PATTERNS
+
+    x = (
+        "text || ' contact user' || doc_id::VARCHAR || "
+        "'@ex.com via https://x.io/p?q=' || doc_id::VARCHAR || "
+        "' call 0123-456-7890 now'"
+    )
+    red = x
+    for _, pat, token in REDACT_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '{token}', 'g')"
+    counts = ", ".join(
+        f"len(regexp_extract_all({x}, '{pat}'))::INT AS n_{name}"
+        for name, pat, _ in REDACT_PATTERNS
+    )
+    return f"SELECT doc_id, {red} AS redacted, {counts} FROM documents"
 
 
 def _lang_id_sql() -> str:

@@ -218,6 +218,55 @@ def sample_to_token_budget(
     )
 
 
+def remove_boilerplate_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_docs: int,
+    out_col: str | None = None,
+) -> DataFrame:
+    """CCNet-style boilerplate stripping: a LINE (normalized: trimmed,
+    lowercased) that occurs in MORE than ``max_docs`` distinct documents
+    is presumed template chrome (headers, footers, cookie banners, nav)
+    and removed from every document; remaining lines are rejoined in
+    their original order. Documents losing all lines become ''.
+
+    Scale shape: explode to (doc, pos, line) → distinct-pair count per
+    line hash (map-side combinable) → anti-join on the small
+    frequent-line set (broadcast: boilerplate is by definition few
+    DISTINCT lines) → per-doc ordered re-assembly in one aggregate.
+    ``max_docs`` is absolute; callers derive it from corpus size (e.g.
+    0.5% of docs) so the operator never needs a driver-side count().
+    """
+    out_col = out_col or text_col
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_line"),
+    ).withColumn("_k", md5_long(F.trim(F.lower(F.col("_line")))))
+    freq = (
+        lines.select(id_col, "_k")
+        .dropDuplicates([id_col, "_k"])
+        .groupBy("_k")
+        .agg(F.count(F.lit(1)).alias("_docs"))
+        .where(F.col("_docs") > max_docs)
+        .select("_k")
+    )
+    kept = lines.join(F.broadcast(freq), on="_k", how="left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_line"))),
+                lambda s: s["_line"],
+            ),
+            "\n",
+        ).alias("_rebuilt")
+    )
+    others = [c for c in df.columns if c != out_col]
+    return df.join(rebuilt, on=id_col, how="left").select(
+        *others, F.coalesce(F.col("_rebuilt"), F.lit("")).alias(out_col)
+    )
+
+
 # ------------------------------------------------------------ quota caps
 
 def cap_per_key(

@@ -220,3 +220,33 @@ def passes_quality(col: Column, **thresholds) -> Column:
     for c in rules.values():
         out = out & c
     return out
+
+
+# ----------------------------------------------------------- redaction
+
+#: conservative patterns: emails, URLs, long digit runs (phone/card-ish).
+#: Deliberately simple & deterministic — SQL-replayable, no catastrophic
+#: backtracking at corpus scale.
+REDACT_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("url", r"https?://[^\s]+", "<URL>"),
+    ("number", r"\b[0-9][0-9 ()+.-]{7,}[0-9]\b", "<NUMBER>"),
+)
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace emails, URLs, and long digit runs with typed placeholder
+    tokens — the standard scrub before LLM training. Pure JVM regexp
+    chain; order matters (emails before bare numbers)."""
+    out = col
+    for _, pat, token in REDACT_PATTERNS:
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
+def pii_counts(col: Column) -> dict[str, Column]:
+    """Per-kind match counts (for corpus PII audits)."""
+    return {
+        name: F.size(F.regexp_extract_all(col, F.lit(pat), 0))
+        for name, pat, _ in REDACT_PATTERNS
+    }

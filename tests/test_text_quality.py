@@ -70,3 +70,49 @@ def test_quality_rules_and_filter(spark):
     assert not out[2].rule_word_count and not out[2].keep
     assert not out[3].rule_punct and not out[3].keep
     assert not out[4].rule_stopwords and not out[4].keep
+
+
+def test_redact_pii(spark):
+    from ondine_spark.operators.text_analysis import pii_counts, redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at bob.smith+x@corp.example.org today"),
+            (2, "see https://a.example/path?q=1#frag and http://b.io"),
+            (3, "call +1 (555) 123-4567 or 08 123 456 789"),
+            (4, "clean text with no identifiers at all"),
+        ],
+        "id long, text string",
+    )
+    counts = pii_counts(F.col("text"))
+    out = {
+        r.id: r
+        for r in df.select(
+            "id",
+            redact_pii(F.col("text")).alias("red"),
+            *[c.alias(k) for k, c in counts.items()],
+        ).collect()
+    }
+    assert out[1].red == "mail me at <EMAIL> today" and out[1].email == 1
+    assert out[2].red == "see <URL> and <URL>" and out[2].url == 2
+    assert "<NUMBER>" in out[3].red and out[3].number == 2
+    assert out[4].red == out[4].asDict()["red"] and out[4].email == 0
+    assert "no identifiers" in out[4].red
+
+
+def test_remove_boilerplate_lines(spark):
+    from ondine_spark.operators.curation import remove_boilerplate_lines
+
+    rows = [
+        (i, f"HEADER\nunique body {i}\nFOOTER") for i in range(10)
+    ]
+    rows.append((99, "HEADER\nFOOTER"))  # doc that is ALL boilerplate
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {
+        r.id: r.text
+        for r in remove_boilerplate_lines(df, "id", "text", max_docs=5).collect()
+    }
+    assert out[0] == "unique body 0"
+    assert out[7] == "unique body 7"
+    assert out[99] == ""           # everything stripped -> empty doc
+    assert len(out) == 11          # no rows lost

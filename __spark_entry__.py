@@ -489,6 +489,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             budgets={"en": 6000},
         ).select("doc_id", "lang", "n_tokens")
 
+    def q_pack_sequences(spark, sf_dir):
+        from ondine_spark.operators.curation import pack_sequences
+
+        docs = _docs(spark, sf_dir).withColumn(
+            "n_tokens", ta.token_count_ws(F.col("text"))
+        )
+        return pack_sequences(
+            docs, "doc_id", "n_tokens", seq_len=2048, n_shards=8
+        ).select("doc_id", "n_tokens", "shard", "pack_id", "offset")
+
     def q_strip_boilerplate(spark, sf_dir):
         from ondine_spark.operators.curation import remove_boilerplate_lines
 
@@ -755,6 +765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "source_quota": q_source_quota,
         "token_budget_mix": q_token_budget_mix,
+        "pack_sequences": q_pack_sequences,
         "strip_boilerplate": q_strip_boilerplate,
         "asof_purchases": q_asof_purchases,
         "range_join_sessions": q_range_join_sessions,
@@ -930,6 +941,24 @@ def oracle_sql() -> dict[str, str]:
             FROM m
         """,
         "redact_pii": _redact_sql(),
+        "pack_sequences": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(trim(text), '\\S+'))::INT AS n_tokens,
+                     {_MD5L.format(x="doc_id::VARCHAR || '#' || '0'")} AS h
+              FROM documents
+            ), c AS (
+              SELECT doc_id, n_tokens, h, (h % 8)::INT AS shard,
+                     sum(n_tokens::BIGINT) OVER (
+                       PARTITION BY (h % 8) ORDER BY h, doc_id
+                       ROWS UNBOUNDED PRECEDING) - n_tokens AS start
+              FROM t
+            )
+            SELECT doc_id, n_tokens, shard,
+                   floor(start::DOUBLE / 2048)::BIGINT AS pack_id,
+                   (start % 2048)::INT AS "offset"
+            FROM c
+        """,
         "strip_boilerplate": f"""
             WITH t AS (
               SELECT doc_id,

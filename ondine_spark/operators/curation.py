@@ -267,6 +267,49 @@ def remove_boilerplate_lines(
     )
 
 
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    seq_len: int,
+    n_shards: int = 256,
+    seed: int = 0,
+) -> DataFrame:
+    """Assign documents to fixed-length training sequences ("packing"):
+    documents are dealt into ``n_shards`` independent shards by a
+    deterministic hash, laid end-to-end within each shard in a
+    reproducible md5 order, and cut into ``seq_len``-token packs. A doc
+    belongs to the pack where it STARTS (``offset`` = its start position
+    within that pack); consumers that forbid boundary-crossing can filter
+    ``offset + tokens > seq_len``.
+
+    Sharding is what makes this scale: packing is inherently sequential
+    (a running offset), so instead of one global ordering — a
+    single-partition window — each shard packs independently and in
+    parallel, exactly how a 1000-executor job would lay out a 100 TB
+    corpus. ONE shuffle (the per-shard window); integer arithmetic
+    throughout, so the layout is engine-exact and restart-stable.
+
+    Output: input columns + shard, pack_id (per-shard ordinal), offset.
+    """
+    h = md5_long(
+        F.concat_ws("#", F.col(id_col).cast("string"), F.lit(str(seed)))
+    )
+    shard = F.pmod(h, F.lit(int(n_shards))).cast("int")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(h, F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.col(token_col).cast("long")).over(w)
+    start = cum - F.col(token_col)
+    return (
+        df.withColumn("shard", shard)
+        .withColumn("pack_id", F.floor(start / F.lit(int(seq_len))))
+        .withColumn("offset", (start % F.lit(int(seq_len))).cast("int"))
+    )
+
+
 # ------------------------------------------------------------ quota caps
 
 def cap_per_key(

@@ -145,3 +145,27 @@ def test_sample_to_token_budget(spark):
         ).collect()
     )
     assert a == b
+
+
+def test_pack_sequences_layout(spark):
+    from ondine_spark.operators.curation import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, 100) for i in range(40)], "doc_id long, n_tokens long"
+    )
+    out = pack_sequences(df, "doc_id", "n_tokens", seq_len=250, n_shards=2)
+    rows = out.collect()
+    assert len(rows) == 40
+    for shard in (0, 1):
+        layout = sorted(
+            ((r.pack_id, r.offset) for r in rows if r.shard == shard)
+        )
+        # contiguous: each doc starts where the previous ended (mod 250)
+        pos = 0
+        for pack_id, offset in layout:
+            assert pack_id == pos // 250
+            assert offset == pos % 250
+            pos += 100
+    # deterministic across invocations
+    again = pack_sequences(df, "doc_id", "n_tokens", seq_len=250, n_shards=2)
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again.collect()))

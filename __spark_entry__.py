@@ -466,6 +466,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return dup_ngram_fraction(_docs(spark, sf_dir), "doc_id", "text", n=3)
 
+    def q_decontaminate(spark, sf_dir):
+        from ondine_spark.operators.curation import decontaminate
+
+        docs = _docs(spark, sf_dir)
+        return decontaminate(
+            docs.where(F.col("source") != "src0"),
+            docs.where(F.col("source") == "src0"),
+            "doc_id",
+            "text",
+            n=4,
+        )
+
+    def q_unigram_ppl(spark, sf_dir):
+        from ondine_spark.operators.text_analysis import unigram_perplexity
+
+        return unigram_perplexity(_docs(spark, sf_dir), "doc_id", "text")
+
     def q_stratified_sample(spark, sf_dir):
         from ondine_spark.operators.curation import stratified_hash_sample
 
@@ -762,6 +779,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "sessions": q_sessions,
         "dup_ngram_frac": q_dup_ngram_frac,
+        "decontaminate": q_decontaminate,
+        "unigram_ppl": q_unigram_ppl,
         "stratified_sample": q_stratified_sample,
         "source_quota": q_source_quota,
         "token_budget_mix": q_token_budget_mix,
@@ -1172,6 +1191,75 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN posting p ON p.doc_id = d.doc_id
             LEFT JOIN freq f ON f.gram = p.gram
             GROUP BY d.doc_id
+        """,
+        "decontaminate": """
+            WITH toks AS (
+              SELECT doc_id, source,
+                     regexp_extract_all(lower(text), '\\S+') AS w
+              FROM documents
+            ), grams AS (
+              SELECT doc_id, source,
+                     list_distinct(list_transform(
+                       generate_series(1, greatest(len(w) - 3, 0)),
+                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                            || ' ' || w[i+3])) AS g
+              FROM toks
+            ), bench AS (
+              SELECT DISTINCT unnest(g) AS gram FROM grams
+              WHERE source = 'src0'
+            ), train AS (
+              SELECT doc_id, unnest(g) AS gram FROM grams
+              WHERE source <> 'src0'
+            )
+            SELECT d.doc_id,
+                   count(t.gram) AS n_grams,
+                   coalesce(sum(CASE WHEN b.gram IS NOT NULL
+                                     THEN 1 ELSE 0 END), 0)::BIGINT
+                     AS contaminated_grams,
+                   CASE WHEN count(t.gram) = 0 THEN 0.0
+                        ELSE sum(CASE WHEN b.gram IS NOT NULL
+                                      THEN 1 ELSE 0 END)::DOUBLE
+                             / count(t.gram)::DOUBLE
+                   END AS contamination_frac,
+                   coalesce(sum(CASE WHEN b.gram IS NOT NULL
+                                     THEN 1 ELSE 0 END), 0) > 0
+                     AS is_contaminated
+            FROM (SELECT doc_id FROM documents WHERE source <> 'src0') d
+            LEFT JOIN train t ON t.doc_id = d.doc_id
+            LEFT JOIN bench b ON b.gram = t.gram
+            GROUP BY d.doc_id
+        """,
+        "unigram_ppl": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(trim(text)), '\\S+'))
+                       AS tok
+              FROM documents
+            ), dc AS (
+              SELECT doc_id, tok, count(*) AS c_dw FROM toks GROUP BY 1, 2
+            ), vocab AS (
+              SELECT tok, sum(c_dw) AS c_w FROM dc GROUP BY tok
+            ), tot AS (
+              SELECT sum(c_w)::DOUBLE AS n, count(*)::DOUBLE AS v
+              FROM vocab
+            ), lp AS (
+              SELECT tok, log2((c_w + 1.0) / (n + 1.0 * v)) AS logp
+              FROM vocab, tot
+            ), per AS (
+              SELECT d.doc_id,
+                     coalesce(sum(dc.c_dw), 0)::BIGINT AS n_tokens,
+                     sum(dc.c_dw * lp.logp) AS slp
+              FROM documents d
+              LEFT JOIN dc ON dc.doc_id = d.doc_id
+              LEFT JOIN lp ON lp.tok = dc.tok
+              GROUP BY d.doc_id
+            )
+            SELECT doc_id, n_tokens,
+                   CASE WHEN n_tokens = 0 THEN NULL
+                        ELSE -slp / n_tokens END AS cross_entropy,
+                   CASE WHEN n_tokens = 0 THEN NULL
+                        ELSE pow(2.0, -slp / n_tokens) END AS perplexity
+            FROM per
         """,
         "stratified_sample": f"""
             SELECT doc_id, lang, source FROM documents

@@ -328,3 +328,64 @@ def cap_per_key(
         .where(F.col("_rk") <= cap)
         .drop("_rk")
     )
+
+
+# ------------------------------------------------------ decontamination
+
+def decontaminate(
+    train_df: DataFrame,
+    bench_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 4,
+    bench_text_col: str | None = None,
+) -> DataFrame:
+    """Benchmark decontamination: per training document, how many of its
+    distinct word n-grams also occur in the benchmark/eval corpus
+    (GPT-3/Gopher-style n-gram contamination check; they use 8-13-grams
+    on full-size documents).
+
+    Returns (id_col, n_grams, contaminated_grams, contamination_frac,
+    is_contaminated) — one row per training doc, ``is_contaminated`` when
+    any n-gram overlaps. Docs shorter than ``n`` words report 0 grams.
+
+    Scale shape: the benchmark side is tiny (eval sets are MBs against a
+    100 TB corpus), so its distinct gram-hash set is broadcast — the train
+    side never shuffles for the join; the only exchange is the map-side
+    combinable per-doc aggregate. Grams are md5_long-hashed so the
+    broadcast and the agg keys are fixed-width bigints, not strings.
+    """
+    bt = bench_text_col or text_col
+    bench_grams = (
+        bench_df.select(F.explode(word_ngrams(F.col(bt), n)).alias("gram"))
+        .select(md5_long(F.col("gram")).alias("g"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    train_grams = train_df.select(
+        F.col(id_col),
+        F.explode_outer(word_ngrams(F.col(text_col), n)).alias("gram"),
+    ).select(
+        F.col(id_col),
+        F.when(F.col("gram").isNull(), None)
+        .otherwise(md5_long(F.col("gram")))
+        .alias("g"),
+    )
+    joined = train_grams.join(F.broadcast(bench_grams), "g", "left")
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count(F.col("g")).alias("n_grams"),
+            F.coalesce(F.sum(F.col("_hit")), F.lit(0)).cast("bigint").alias(
+                "contaminated_grams"
+            ),
+        )
+        .withColumn(
+            "contamination_frac",
+            F.when(F.col("n_grams") == 0, F.lit(0.0)).otherwise(
+                F.col("contaminated_grams").cast("double")
+                / F.col("n_grams").cast("double")
+            ),
+        )
+        .withColumn("is_contaminated", F.col("contaminated_grams") > 0)
+    )

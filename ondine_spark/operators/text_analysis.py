@@ -250,3 +250,73 @@ def pii_counts(col: Column) -> dict[str, Column]:
         name: F.size(F.regexp_extract_all(col, F.lit(pat), 0))
         for name, pat, _ in REDACT_PATTERNS
     }
+
+
+# ------------------------------------------------- unigram LM perplexity
+
+def unigram_perplexity(
+    df, id_col: str, text_col: str, alpha: float = 1.0
+):
+    """Per-document perplexity under an add-alpha-smoothed unigram LM fit
+    on the corpus itself — the cheap stand-in for CCNet's KenLM quality
+    signal: fluent prose full of common words scores low, gibberish and
+    rare-token soup scores high.
+
+    p(w) = (c(w) + alpha) / (N + alpha * V); per doc,
+    cross_entropy = -(1/T) * sum_w c_dw * log2 p(w); ppl = 2^H.
+    Returns (id_col, n_tokens, cross_entropy, perplexity); empty docs get
+    NULL entropy/perplexity.
+
+    Scale shape: tokens are pre-aggregated per (doc, token) before the
+    vocabulary join, so the join carries type counts, not token instances.
+    The vocabulary frame (one row per distinct corpus token) grows
+    sub-linearly with corpus size (~1e8 types at 100 TB) — too big to
+    broadcast, so it shuffle-joins on the token; both inputs are already
+    hash-partitioned on that key by their aggregates, so the join adds no
+    extra exchange. The corpus totals (N, V) are two scalars cross-joined
+    as a 1-row broadcast.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode_outer(
+            F.filter(
+                F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+                lambda x: x != "",
+            )
+        ).alias("tok"),
+    )
+    doc_counts = toks.groupBy(id_col, "tok").agg(
+        F.count(F.when(F.col("tok").isNotNull(), 1)).alias("c_dw")
+    )
+    vocab = (
+        doc_counts.where(F.col("tok").isNotNull())
+        .groupBy("tok")
+        .agg(F.sum("c_dw").alias("c_w"))
+    )
+    totals = vocab.agg(
+        F.sum("c_w").cast("double").alias("corpus_n"),
+        F.count(F.lit(1)).cast("double").alias("vocab_v"),
+    )
+    logp = vocab.crossJoin(F.broadcast(totals)).select(
+        "tok",
+        F.log2(
+            (F.col("c_w") + F.lit(float(alpha)))
+            / (F.col("corpus_n") + F.lit(float(alpha)) * F.col("vocab_v"))
+        ).alias("logp"),
+    )
+    joined = doc_counts.join(logp, "tok", "left")
+    per_doc = joined.groupBy(id_col).agg(
+        F.coalesce(F.sum("c_dw"), F.lit(0)).cast("bigint").alias("n_tokens"),
+        F.sum(F.col("c_dw") * F.col("logp")).alias("_sum_logp"),
+    )
+    h = -F.col("_sum_logp") / F.col("n_tokens").cast("double")
+    return per_doc.select(
+        F.col(id_col),
+        "n_tokens",
+        F.when(F.col("n_tokens") == 0, F.lit(None).cast("double"))
+        .otherwise(h)
+        .alias("cross_entropy"),
+        F.when(F.col("n_tokens") == 0, F.lit(None).cast("double"))
+        .otherwise(F.pow(F.lit(2.0), h))
+        .alias("perplexity"),
+    )

@@ -169,3 +169,47 @@ def test_pack_sequences_layout(spark):
     # deterministic across invocations
     again = pack_sequences(df, "doc_id", "n_tokens", seq_len=250, n_shards=2)
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again.collect()))
+
+
+# ------------------------------------------------------ decontamination
+
+def test_decontaminate_flags_overlapping_ngrams(spark):
+    train = spark.createDataFrame(
+        [
+            (1, "x a b c d e"),      # grams "a b c d" + "b c d e" overlap
+            (2, "p q r s t u"),      # clean
+            (3, "a b c"),            # shorter than n=4 -> 0 grams
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame([(100, "a b c d e")], ["doc_id", "text"])
+
+    from ondine_spark.operators.curation import decontaminate
+
+    got = {
+        r["doc_id"]: r
+        for r in decontaminate(train, bench, "doc_id", "text", n=4).collect()
+    }
+    assert got[1]["n_grams"] == 3
+    assert got[1]["contaminated_grams"] == 2
+    assert got[1]["is_contaminated"] is True
+    assert got[2]["contaminated_grams"] == 0
+    assert got[2]["is_contaminated"] is False
+    assert got[3]["n_grams"] == 0
+    assert got[3]["contamination_frac"] == 0.0
+
+
+def test_decontaminate_counts_distinct_grams_once(spark):
+    # repeated contaminated gram in one doc counts once (distinct shingles)
+    train = spark.createDataFrame(
+        [(1, "a b c d a b c d")], ["doc_id", "text"]
+    )
+    bench = spark.createDataFrame([(9, "a b c d")], ["doc_id", "text"])
+
+    from ondine_spark.operators.curation import decontaminate
+
+    row = decontaminate(train, bench, "doc_id", "text", n=4).collect()[0]
+    # distinct grams of the train doc: "a b c d", "b c d a", "c d a b",
+    # "d a b c" -> only "a b c d" is in the bench set
+    assert row["n_grams"] == 4
+    assert row["contaminated_grams"] == 1

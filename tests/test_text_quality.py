@@ -116,3 +116,30 @@ def test_remove_boilerplate_lines(spark):
     assert out[7] == "unique body 7"
     assert out[99] == ""           # everything stripped -> empty doc
     assert len(out) == 11          # no rows lost
+
+
+# ------------------------------------------------- unigram LM perplexity
+
+def test_unigram_perplexity_hand_computed(spark):
+    import math
+
+    from ondine_spark.operators.text_analysis import unigram_perplexity
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c"), (3, "   ")], ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: r
+        for r in unigram_perplexity(df, "doc_id", "text").collect()
+    }
+    # corpus: a=2, b=2, c=1 -> N=5, V=3; add-1: p(a)=p(b)=3/8, p(c)=2/8
+    h1 = -math.log2(3 / 8)  # all three tokens of doc 1 have p=3/8
+    assert got[1]["n_tokens"] == 3
+    assert abs(got[1]["cross_entropy"] - h1) < 1e-12
+    assert abs(got[1]["perplexity"] - 8 / 3) < 1e-12
+    h2 = -(math.log2(3 / 8) + math.log2(2 / 8)) / 2
+    assert abs(got[2]["cross_entropy"] - h2) < 1e-12
+    # whitespace-only doc: present, NULL entropy/perplexity
+    assert got[3]["n_tokens"] == 0
+    assert got[3]["cross_entropy"] is None
+    assert got[3]["perplexity"] is None

@@ -255,6 +255,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ta.fingerprint_rolling(t, 8).alias("fp_roll"),
         )
 
+    def q_winnow_fps(spark, sf_dir):
+        from ondine_spark.functions.similarity import let_bind, winnow_fingerprints
+
+        def summarize(f):
+            return F.struct(
+                F.size(f).cast("bigint").alias("n_fps"),
+                F.aggregate(
+                    f,
+                    F.lit(0).cast("bigint"),
+                    lambda acc, x: acc + x % F.lit(1000000007),
+                ).alias("fp_sum"),
+            )
+
+        # explode(array(struct)) pins the expensive winnow to ONE evaluation:
+        # extracting two struct fields in a plain select would re-inline the
+        # whole tree per field after projection collapse
+        s = let_bind(winnow_fingerprints(F.col("text"), 12, 8), summarize)
+        return (
+            _docs(spark, sf_dir)
+            .select("doc_id", F.explode(F.array(s)).alias("_s"))
+            .select("doc_id", "_s.n_fps", "_s.fp_sum")
+        )
+
+    def q_winnow_pairs(spark, sf_dir):
+        from ondine_spark.operators.dedup import winnow_overlap_pairs
+
+        return winnow_overlap_pairs(
+            _docs(spark, sf_dir), "doc_id", "text",
+            k=12, w=8, min_shared=10, max_df=20,
+        )
+
     # ---- dedup ------------------------------------------------------------
 
     def q_profile_docs(spark, sf_dir):
@@ -482,6 +513,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from ondine_spark.operators.text_analysis import unigram_perplexity
 
         return unigram_perplexity(_docs(spark, sf_dir), "doc_id", "text")
+
+    def q_bigram_ppl(spark, sf_dir):
+        from ondine_spark.operators.text_analysis import bigram_perplexity
+
+        return bigram_perplexity(_docs(spark, sf_dir), "doc_id", "text")
 
     def q_stratified_sample(spark, sf_dir):
         from ondine_spark.operators.curation import stratified_hash_sample
@@ -759,6 +795,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_pii": q_redact_pii,
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
+        "winnow_fps": q_winnow_fps,
+        "winnow_pairs": q_winnow_pairs,
         "profile_docs": q_profile_docs,
         "dedup_exact": q_dedup_exact,
         "jaccard_pairs": q_jaccard_pairs,
@@ -781,6 +819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_ngram_frac": q_dup_ngram_frac,
         "decontaminate": q_decontaminate,
         "unigram_ppl": q_unigram_ppl,
+        "bigram_ppl": q_bigram_ppl,
         "stratified_sample": q_stratified_sample,
         "source_quota": q_source_quota,
         "token_budget_mix": q_token_budget_mix,
@@ -1016,6 +1055,63 @@ def oracle_sql() -> dict[str, str]:
                      generate_series(1, length(text) - 7),
                      i -> {_MD5L.format(x="substr(lower(text), i, 8)")})) AS fp_roll
             FROM documents
+        """,
+        "winnow_fps": f"""
+            WITH g AS (
+              SELECT doc_id, lower(text) AS s,
+                     greatest(length(text) - 11, 0) AS p
+              FROM documents
+            ), h AS (
+              SELECT doc_id, p,
+                     list_transform(generate_series(1, p),
+                       i -> {_MD5L.format(x="substr(s, i::INT, 12)")}) AS hs
+              FROM g WHERE p >= 1
+            ), fps AS (
+              SELECT doc_id,
+                CASE WHEN p >= 8
+                  THEN list_distinct(list_transform(
+                         generate_series(1, p - 7),
+                         j -> list_min(hs[j:j+7])))
+                  ELSE [list_min(hs)] END AS fps
+              FROM h
+            )
+            SELECT d.doc_id,
+                   coalesce(len(f.fps), 0)::BIGINT AS n_fps,
+                   coalesce(list_sum(list_transform(f.fps,
+                     x -> x % 1000000007)), 0)::BIGINT AS fp_sum
+            FROM documents d LEFT JOIN fps f USING (doc_id)
+        """,
+        "winnow_pairs": f"""
+            WITH g AS (
+              SELECT doc_id, lower(text) AS s,
+                     greatest(length(text) - 11, 0) AS p
+              FROM documents
+            ), h AS (
+              SELECT doc_id, p,
+                     list_transform(generate_series(1, p),
+                       i -> {_MD5L.format(x="substr(s, i::INT, 12)")}) AS hs
+              FROM g WHERE p >= 1
+            ), fps AS (
+              SELECT doc_id,
+                CASE WHEN p >= 8
+                  THEN list_distinct(list_transform(
+                         generate_series(1, p - 7),
+                         j -> list_min(hs[j:j+7])))
+                  ELSE [list_min(hs)] END AS fps
+              FROM h
+            ), e AS (
+              SELECT doc_id, unnest(fps) AS fp FROM fps
+            ), fdf AS (
+              SELECT fp, count(*) AS dfc FROM e GROUP BY fp
+            ), kept AS (
+              SELECT e.doc_id, e.fp FROM e JOIN fdf USING (fp)
+              WHERE fdf.dfc <= 20
+            )
+            SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS shared
+            FROM kept a JOIN kept b
+              ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+            HAVING count(*) >= 10
         """,
         "profile_docs": """
             SELECT * FROM (
@@ -1259,6 +1355,49 @@ def oracle_sql() -> dict[str, str]:
                         ELSE -slp / n_tokens END AS cross_entropy,
                    CASE WHEN n_tokens = 0 THEN NULL
                         ELSE pow(2.0, -slp / n_tokens) END AS perplexity
+            FROM per
+        """,
+        "bigram_ppl": """
+            WITH t AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(trim(text)), '\\S+') AS l
+              FROM documents
+            ), bg AS (
+              SELECT doc_id, l[i] || ' ' || l[i + 1] AS bg
+              FROM (
+                SELECT doc_id, l,
+                       unnest(generate_series(1, len(l) - 1)) AS i
+                FROM t
+              )
+            ), dc AS (
+              SELECT doc_id, bg, count(*) AS c_db FROM bg GROUP BY 1, 2
+            ), corpus AS (
+              SELECT bg, sum(c_db) AS c_b FROM dc GROUP BY bg
+            ), ctx AS (
+              SELECT split_part(bg, ' ', 1) AS w1, sum(c_b) AS c_w1
+              FROM corpus GROUP BY 1
+            ), vv AS (
+              SELECT count(DISTINCT tok)::DOUBLE AS v
+              FROM (SELECT unnest(l) AS tok FROM t)
+            ), lp AS (
+              SELECT corpus.bg,
+                     log2((c_b + 1.0) / (c_w1 + 1.0 * v)) AS logp
+              FROM corpus
+              JOIN ctx ON split_part(corpus.bg, ' ', 1) = ctx.w1, vv
+            ), per AS (
+              SELECT d.doc_id,
+                     coalesce(sum(dc.c_db), 0)::BIGINT AS n_bigrams,
+                     sum(dc.c_db * lp.logp) AS slp
+              FROM documents d
+              LEFT JOIN dc ON dc.doc_id = d.doc_id
+              LEFT JOIN lp ON lp.bg = dc.bg
+              GROUP BY d.doc_id
+            )
+            SELECT doc_id, n_bigrams,
+                   CASE WHEN n_bigrams = 0 THEN NULL
+                        ELSE -slp / n_bigrams END AS cross_entropy,
+                   CASE WHEN n_bigrams = 0 THEN NULL
+                        ELSE pow(2.0, -slp / n_bigrams) END AS perplexity
             FROM per
         """,
         "stratified_sample": f"""

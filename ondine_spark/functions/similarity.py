@@ -145,6 +145,52 @@ def seeded_md5_long(col: Column, seed: int) -> Column:
     return md5_long(F.concat(col, F.lit(f"#{seed}")))
 
 
+def winnow_fingerprints(col: Column, k: int = 12, w: int = 8) -> Column:
+    """Winnowing fingerprint set (Schleimer/Wilkerson/Aiken, SIGMOD 2003 —
+    the MOSS algorithm): hash every character ``k``-gram of the lowercased
+    text, slide a window of ``w`` consecutive hashes, keep each window's
+    minimum, return the distinct minima as ``array<bigint>``.
+
+    Guarantees: any shared substring of length >= k + w - 1 between two
+    documents yields at least one shared fingerprint, so overlap on this
+    set detects *substring-level* duplication (the signal suffix-array
+    dedup uses) with ~1/w of the k-grams retained. Pure JVM expression;
+    portable to the DuckDB oracle via ``md5_long``.
+
+    Texts shorter than ``k`` get an empty set; texts with fewer than ``w``
+    k-grams degrade to the single global minimum (one fingerprint).
+
+    Every intermediate array is let-bound: Catalyst does not share
+    subexpressions across higher-order lambdas, so an unbound ``hashes``
+    array would be rebuilt (len(text) md5 calls) once *per window*,
+    turning O(P·w) work into O(P²).
+    """
+
+    def build(s: Column) -> Column:
+        p = F.greatest(F.length(s) - F.lit(k - 1), F.lit(0))
+
+        def select_minima(hs: Column) -> Column:
+            nw = F.size(hs) - F.lit(w - 1)
+            wins = F.transform(
+                F.sequence(F.lit(1), nw),
+                lambda j: F.array_min(F.slice(hs, j, w)),
+            )
+            return F.when(nw >= 1, F.array_distinct(wins)).otherwise(
+                F.array(F.array_min(hs))
+            )
+
+        hashes = F.transform(
+            F.sequence(F.lit(1), p),
+            lambda i: md5_long(F.substring(s, i, F.lit(k))),
+        )
+        # p >= 1 guard: sequence(1, 0) DESCENDS under ANSI — never build it
+        return F.when(p >= 1, let_bind(hashes, select_minima)).otherwise(
+            F.array().cast("array<bigint>")
+        )
+
+    return let_bind(F.lower(col), build)
+
+
 # ------------------------------------------------- TF-IDF pair cosine (F10)
 
 _WORD_RE = re.compile(r"[a-z0-9]+")

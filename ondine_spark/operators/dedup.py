@@ -328,6 +328,84 @@ def minhash_lsh_pairs(
     return out
 
 
+# ----------------------------------------------- winnowing substring overlap
+
+def winnow_fingerprint_rows(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 12,
+    w: int = 8,
+) -> DataFrame:
+    """One row per (document, winnowed fingerprint): ``_id``, ``fp``.
+
+    The per-doc set is distinct by construction, so ``count(*)`` grouped by
+    ``fp`` IS the document frequency — no count-distinct needed downstream.
+    """
+    from ondine_spark.functions.similarity import winnow_fingerprints
+
+    return df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(winnow_fingerprints(F.col(text_col), k, w)).alias("fp"),
+    )
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 12,
+    w: int = 8,
+    min_shared: int = 10,
+    max_df: int = 20,
+) -> DataFrame:
+    """Substring-level near-dup pairs: documents sharing >= ``min_shared``
+    winnowed fingerprints (any shared substring of length k+w-1 or more
+    contributes — the signal suffix-array dedup pipelines use, without the
+    suffix array).
+
+    Scale shape: explode → one shuffle to count document frequency per
+    fingerprint → drop "stop-grams" seen in more than ``max_df`` documents
+    (these are boilerplate/common phrases; without the cap a fingerprint in
+    f docs emits C(f,2) candidate pairs and one hot gram can dominate the
+    whole job) → self-join on fp → count per pair. All keys are bigints;
+    both shuffles hash-partition on ``fp``.
+
+    Output: ``a``, ``b``, ``shared`` (number of co-occurring fingerprints).
+    """
+    rows = winnow_fingerprint_rows(df, id_col, text_col, k, w)
+    fdf = rows.groupBy("fp").agg(
+        F.count("*").alias("_df"), F.collect_list("_id").alias("_ids")
+    )
+    # posting lists are already grouped per fingerprint — emit pairs from
+    # each (capped) list instead of self-joining the exploded rows, which
+    # would shuffle the corpus-sized row set twice
+    kept = fdf.filter(F.col("_df") <= max_df)
+    pairs = kept.select(
+        F.explode(
+            F.filter(
+                F.flatten(
+                    F.transform(
+                        F.col("_ids"),
+                        lambda x: F.transform(
+                            F.col("_ids"),
+                            lambda y: F.struct(
+                                x.alias("a"), y.alias("b")
+                            ),
+                        ),
+                    )
+                ),
+                lambda s: s["a"] < s["b"],
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    return (
+        pairs.groupBy("a", "b")
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
+
+
 # ------------------------------------------------------------- SimHash (D4)
 
 def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -320,3 +320,73 @@ def unigram_perplexity(
         .otherwise(F.pow(F.lit(2.0), h))
         .alias("perplexity"),
     )
+
+
+def bigram_perplexity(
+    df, id_col: str, text_col: str, alpha: float = 1.0
+):
+    """Per-document perplexity under an add-alpha-smoothed *bigram* LM fit
+    on the corpus — one step closer to CCNet's KenLM signal than
+    :func:`unigram_perplexity`: it scores word ORDER, so shuffled or
+    templated text stands out even when its word frequencies look normal.
+
+    p(w2|w1) = (c(w1 w2) + alpha) / (c(w1 ·) + alpha * V), V = unigram
+    vocabulary size; per doc H = -(1/T) * sum c_d(w1 w2) * log2 p, T = the
+    doc's bigram instance count; ppl = 2^H. Docs with < 2 tokens get NULL.
+    Returns (id_col, n_bigrams, cross_entropy, perplexity).
+
+    Scale shape mirrors the unigram operator: the corpus is reduced to
+    per-(doc, bigram) type counts before any join; the bigram LM frame is
+    built by one groupBy over those counts plus a re-aggregation on the
+    context word, and joins back on the bigram key — both sides already
+    hash-partitioned on it. V is a 1-row broadcast.
+    """
+    from ondine_spark.functions.similarity import tokens, word_ngrams_all
+
+    bg = df.select(
+        F.col(id_col),
+        F.explode_outer(word_ngrams_all(F.col(text_col), 2)).alias("bg"),
+    )
+    doc_counts = bg.groupBy(id_col, "bg").agg(
+        F.count(F.when(F.col("bg").isNotNull(), 1)).alias("c_db")
+    )
+    corpus = (
+        doc_counts.where(F.col("bg").isNotNull())
+        .groupBy("bg")
+        .agg(F.sum("c_db").alias("c_b"))
+    )
+    ctx = corpus.groupBy(F.split(F.col("bg"), " ")[0].alias("w1")).agg(
+        F.sum("c_b").alias("c_w1")
+    )
+    vocab = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+        .agg(F.count_distinct("tok").cast("double").alias("vocab_v"))
+    )
+    a = F.lit(float(alpha))
+    logp = (
+        corpus.join(ctx, F.split(F.col("bg"), " ")[0] == F.col("w1"))
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "bg",
+            F.log2((F.col("c_b") + a) / (F.col("c_w1") + a * F.col("vocab_v"))).alias("logp"),
+        )
+    )
+    per_doc = (
+        doc_counts.join(logp, "bg", "left")
+        .groupBy(id_col)
+        .agg(
+            F.coalesce(F.sum("c_db"), F.lit(0)).cast("bigint").alias("n_bigrams"),
+            F.sum(F.col("c_db") * F.col("logp")).alias("_sum_logp"),
+        )
+    )
+    h = -F.col("_sum_logp") / F.col("n_bigrams").cast("double")
+    return per_doc.select(
+        F.col(id_col),
+        "n_bigrams",
+        F.when(F.col("n_bigrams") == 0, F.lit(None).cast("double"))
+        .otherwise(h)
+        .alias("cross_entropy"),
+        F.when(F.col("n_bigrams") == 0, F.lit(None).cast("double"))
+        .otherwise(F.pow(F.lit(2.0), h))
+        .alias("perplexity"),
+    )

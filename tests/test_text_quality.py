@@ -143,3 +143,52 @@ def test_unigram_perplexity_hand_computed(spark):
     assert got[3]["n_tokens"] == 0
     assert got[3]["cross_entropy"] is None
     assert got[3]["perplexity"] is None
+
+
+# ------------------------------------------------- bigram LM perplexity
+
+def test_bigram_perplexity_hand_computed(spark):
+    import math
+
+    from ondine_spark.operators.text_analysis import bigram_perplexity
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "b a"), (3, "solo"), (4, " ")],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: r for r in bigram_perplexity(df, "doc_id", "text").collect()
+    }
+    # corpus bigrams: "a b"=2, "b a"=2; contexts: a->2, b->2; V = 3 (a,b,solo)
+    # p(b|a) = (2+1)/(2+3) = 3/5 ; p(a|b) = (2+1)/(2+3) = 3/5
+    assert got[1]["n_bigrams"] == 3
+    h1 = -math.log2(3 / 5)
+    assert abs(got[1]["cross_entropy"] - h1) < 1e-12
+    assert abs(got[1]["perplexity"] - 5 / 3) < 1e-12
+    assert got[2]["n_bigrams"] == 1
+    assert abs(got[2]["cross_entropy"] - h1) < 1e-12
+    # single-token and empty docs: present, NULL scores
+    for d in (3, 4):
+        assert got[d]["n_bigrams"] == 0
+        assert got[d]["cross_entropy"] is None
+        assert got[d]["perplexity"] is None
+
+
+def test_bigram_ranks_shuffled_text_worse(spark):
+    # word order is the whole point: a corpus of one repeated fluent
+    # sentence vs one doc with the same words scrambled — the scrambled
+    # doc must score strictly higher perplexity, while the unigram LM
+    # cannot distinguish them at all.
+    from ondine_spark.operators.text_analysis import (
+        bigram_perplexity,
+        unigram_perplexity,
+    )
+
+    fluent = "the cat sat on the mat"
+    scrambled = "mat the on sat cat the"
+    rows = [(i, fluent) for i in range(5)] + [(99, scrambled)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    bg = {r["doc_id"]: r["perplexity"] for r in bigram_perplexity(df, "doc_id", "text").collect()}
+    ug = {r["doc_id"]: r["perplexity"] for r in unigram_perplexity(df, "doc_id", "text").collect()}
+    assert bg[99] > bg[0]
+    assert abs(ug[99] - ug[0]) < 1e-9

@@ -283,7 +283,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return winnow_overlap_pairs(
             _docs(spark, sf_dir), "doc_id", "text",
-            k=12, w=8, min_shared=10, max_df=20,
+            k=12, w=8, min_shared=10, max_df=20, impl="expr",
+        )
+
+    def q_winnow_pairs_fast(spark, sf_dir):
+        """Arrow/numpy winnowing kernel (polynomial hashes — deterministic
+        but not SQL-expressible, so no oracle entry: rows-only check)."""
+        from ondine_spark.operators.dedup import winnow_overlap_pairs
+
+        return winnow_overlap_pairs(
+            _docs(spark, sf_dir), "doc_id", "text",
+            k=12, w=8, min_shared=10, max_df=20, impl="arrow",
         )
 
     # ---- dedup ------------------------------------------------------------
@@ -402,6 +412,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         res = ivf_topk(emb, queries_df, k=5, centroids=cents, nprobe=8)
         return res.select(
             "query_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim_r"), "rank"
+        )
+
+    def q_semantic_clusters(spark, sf_dir):
+        from ondine_spark.operators.dedup import seed_centroids
+        from ondine_spark.operators.similarity_search import (
+            _nearest_centroids_expr,
+        )
+
+        emb = _emb(spark, sf_dir)
+        cents = seed_centroids(emb, "vec_id", "embedding", k=8)
+        return emb.select(
+            "vec_id",
+            _nearest_centroids_expr("embedding", cents, 1)[0]
+            .cast("bigint")
+            .alias("cell"),
+        )
+
+    def q_semantic_dup_pairs(spark, sf_dir):
+        from ondine_spark.operators.dedup import seed_centroids, semantic_dup_pairs
+
+        emb = _emb(spark, sf_dir)
+        cents = seed_centroids(emb, "vec_id", "embedding", k=8)
+        out = semantic_dup_pairs(emb, "vec_id", "embedding", cents, threshold=0.35)
+        return out.select(
+            "a", "b", F.col("cell").cast("bigint").alias("cell"),
+            F.round("cos_sim", 6).alias("cos_sim_r"),
         )
 
     def q_embedding_sim_pairs(spark, sf_dir):
@@ -797,6 +833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": q_fingerprints,
         "winnow_fps": q_winnow_fps,
         "winnow_pairs": q_winnow_pairs,
+        "winnow_pairs_fast": q_winnow_pairs_fast,
         "profile_docs": q_profile_docs,
         "dedup_exact": q_dedup_exact,
         "jaccard_pairs": q_jaccard_pairs,
@@ -810,6 +847,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "ann_ivf_full": q_ann_ivf_full,
         "embedding_sim_pairs": q_embedding_sim_pairs,
+        "semantic_clusters": q_semantic_clusters,
+        "semantic_dup_pairs": q_semantic_dup_pairs,
         "filter_select_events": q_filter_select_events,
         "topk_orders": q_topk_orders,
         "rrf_fusion": q_rrf_fusion,
@@ -1195,6 +1234,64 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i]))
                   / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
                      * sqrt(list_sum(list_transform(b.v, x -> x * x)))) >= 0.5
+        """,
+        "semantic_clusters": f"""
+            WITH emb AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ), seeds AS (
+              SELECT v AS cv,
+                     row_number() OVER (
+                       ORDER BY {_MD5L.format(x="vec_id::VARCHAR")}
+                     ) - 1 AS cell
+              FROM emb QUALIFY cell < 8
+            ), scored AS (
+              SELECT emb.vec_id, seeds.cell,
+                     list_sum(list_transform(generate_series(1, len(emb.v)),
+                       i -> emb.v[i] * seeds.cv[i]))
+                     / (sqrt(list_sum(list_transform(emb.v, x -> x * x)))
+                        * sqrt(list_sum(list_transform(seeds.cv, x -> x * x))))
+                       AS cs
+              FROM emb CROSS JOIN seeds
+            )
+            SELECT vec_id, cell::BIGINT AS cell FROM scored
+            QUALIFY row_number() OVER (
+              PARTITION BY vec_id ORDER BY cs DESC, cell DESC
+            ) = 1
+        """,
+        "semantic_dup_pairs": f"""
+            WITH emb AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ), seeds AS (
+              SELECT v AS cv,
+                     row_number() OVER (
+                       ORDER BY {_MD5L.format(x="vec_id::VARCHAR")}
+                     ) - 1 AS cell
+              FROM emb QUALIFY cell < 8
+            ), scored AS (
+              SELECT emb.vec_id, emb.v, seeds.cell,
+                     list_sum(list_transform(generate_series(1, len(emb.v)),
+                       i -> emb.v[i] * seeds.cv[i]))
+                     / (sqrt(list_sum(list_transform(emb.v, x -> x * x)))
+                        * sqrt(list_sum(list_transform(seeds.cv, x -> x * x))))
+                       AS cs
+              FROM emb CROSS JOIN seeds
+            ), assigned AS (
+              SELECT vec_id, v, cell FROM scored
+              QUALIFY row_number() OVER (
+                PARTITION BY vec_id ORDER BY cs DESC, cell DESC
+              ) = 1
+            ), pairs AS (
+              SELECT a.vec_id AS a, b.vec_id AS b, a.cell::BIGINT AS cell,
+                     list_sum(list_transform(generate_series(1, len(a.v)),
+                       i -> a.v[i] * b.v[i]))
+                     / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+                        * sqrt(list_sum(list_transform(b.v, x -> x * x))))
+                       AS cs
+              FROM assigned a JOIN assigned b
+                ON a.cell = b.cell AND a.vec_id < b.vec_id
+            )
+            SELECT a, b, cell, round(cs, 6) AS cos_sim_r
+            FROM pairs WHERE cs >= 0.35
         """,
         "filter_select_events": (
             "SELECT event_id, user_id, value FROM events "

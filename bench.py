@@ -27,7 +27,7 @@ BENCH_QUERIES = [
     "minhash_sigs",
     "simhash_pairs",
     "dup_clusters",
-    "winnow_pairs",
+    "winnow_pairs_fast",
     "embedding_topk",
     "ann_ivf_full",
     "text_stats",

@@ -330,18 +330,86 @@ def minhash_lsh_pairs(
 
 # ----------------------------------------------- winnowing substring overlap
 
+def _winnow_arrow_fn(k: int, w: int):
+    """Arrow-batch winnowing kernel: byte-level polynomial k-gram hashes
+    (two 31-bit rolling hashes packed into one 62-bit int) + numpy
+    sliding-window min. Everything is vectorized — k multiply-add-mod
+    passes over the byte array, then one strided window-min — so the cost
+    is O(len·k) at C speed, vs the expression path's O(len·w) interpreted
+    per-element evaluation (measured ~4× on the docs corpus)."""
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        m1, b1 = 2147483647, 131
+        m2, b2 = 2147483629, 137
+        pw1 = np.array([pow(b1, k - 1 - j, m1) for j in range(k)], dtype=np.int64)
+        pw2 = np.array([pow(b2, k - 1 - j, m2) for j in range(k)], dtype=np.int64)
+        for pdf in batches:
+            ids: list = []
+            fps_out: list = []
+            for did, text in zip(pdf["_id"].values, pdf["_text"].values):
+                if text is None:
+                    continue
+                s = np.frombuffer(
+                    text.lower().encode("utf-8", "surrogatepass"), dtype=np.uint8
+                ).astype(np.int64)
+                p = len(s) - k + 1
+                if p < 1:
+                    continue
+                h1 = np.zeros(p, dtype=np.int64)
+                h2 = np.zeros(p, dtype=np.int64)
+                for j in range(k):
+                    h1 = (h1 + s[j : j + p] * pw1[j]) % m1
+                    h2 = (h2 + s[j : j + p] * pw2[j]) % m2
+                hs = (h1 << 31) | h2
+                if p < w:
+                    fps = hs.min(keepdims=True)
+                else:
+                    fps = np.unique(sliding_window_view(hs, w).min(axis=1))
+                ids.extend([did] * len(fps))
+                fps_out.append(fps)
+            yield pd.DataFrame(
+                {
+                    "_id": pd.Series(ids, dtype=pdf["_id"].dtype),
+                    "fp": np.concatenate(fps_out)
+                    if fps_out
+                    else np.array([], dtype=np.int64),
+                }
+            )
+
+    return gen
+
+
 def winnow_fingerprint_rows(
     df: DataFrame,
     id_col: str,
     text_col: str,
     k: int = 12,
     w: int = 8,
+    impl: str = "arrow",
 ) -> DataFrame:
     """One row per (document, winnowed fingerprint): ``_id``, ``fp``.
 
+    ``impl="arrow"`` (default): vectorized numpy kernel over mapInPandas —
+    the throughput path. ``impl="expr"``: pure JVM expression built on
+    ``md5_long`` — bit-reproducible in ANSI SQL, used by the correctness
+    gates. Same algorithm, different hash functions, so fingerprint VALUES
+    differ between impls but the selected substring windows are the same.
+
     The per-doc set is distinct by construction, so ``count(*)`` grouped by
     ``fp`` IS the document frequency — no count-distinct needed downstream.
+    62-bit hashes: at ~10¹² corpus fingerprints birthday collisions exist
+    but only add noise pairs that the ``min_shared`` co-occurrence floor
+    filters out.
     """
+    if impl == "arrow":
+        id_type = dict(df.dtypes)[id_col]
+        return df.select(
+            F.col(id_col).alias("_id"), F.col(text_col).alias("_text")
+        ).mapInPandas(_winnow_arrow_fn(k, w), f"_id {id_type}, fp long")
     from ondine_spark.functions.similarity import winnow_fingerprints
 
     return df.select(
@@ -358,6 +426,7 @@ def winnow_overlap_pairs(
     w: int = 8,
     min_shared: int = 10,
     max_df: int = 20,
+    impl: str = "arrow",
 ) -> DataFrame:
     """Substring-level near-dup pairs: documents sharing >= ``min_shared``
     winnowed fingerprints (any shared substring of length k+w-1 or more
@@ -373,7 +442,7 @@ def winnow_overlap_pairs(
 
     Output: ``a``, ``b``, ``shared`` (number of co-occurring fingerprints).
     """
-    rows = winnow_fingerprint_rows(df, id_col, text_col, k, w)
+    rows = winnow_fingerprint_rows(df, id_col, text_col, k, w, impl=impl)
     fdf = rows.groupBy("fp").agg(
         F.count("*").alias("_df"), F.collect_list("_id").alias("_ids")
     )
@@ -740,4 +809,84 @@ def embedding_neardup_pairs(
         .filter(F.col("cos_sim") >= threshold)
         .select("a", "b", "cos_sim")
         .dropDuplicates(["a", "b"])
+    )
+
+
+# ------------------------------------------- semantic dedup (SemDeDup-style)
+
+def seed_centroids(
+    df: DataFrame, id_col: str, vec_col: str, k: int = 8
+) -> list[list[float]]:
+    """Deterministic centroid seeds: the ``k`` corpus vectors with the
+    smallest ``md5_long(id)``. A hash order is as arbitrary as a random
+    draw but reproducible across engines and runs — no RNG state to ship,
+    and the SQL oracle can re-derive the exact same seeds. Centroid index
+    = rank in hash order. Driver-side collect of k rows (k is small);
+    the sort is a TakeOrderedAndProject, not a full shuffle."""
+    rows = (
+        df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .orderBy(md5_long(F.col("_id").cast("string")))
+        .limit(k)
+        .collect()
+    )
+    return [list(map(float, r["_v"])) for r in rows]
+
+
+def semantic_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+    threshold: float = 0.9,
+) -> DataFrame:
+    """SemDeDup-style semantic near-dup candidates (Abbas et al., 2023):
+    assign every embedding to its nearest centroid (cosine, ties to the
+    higher centroid id), then compare pairs ONLY within a cluster and keep
+    those with cosine >= ``threshold``.
+
+    This is the standard trick for making embedding dedup sub-quadratic:
+    pairwise cost drops from O(N²) to O(Σ cluster²). Centroids come from
+    :func:`seed_centroids` (deterministic) or
+    ``similarity_search.train_ivf_centroids`` (k-means, better balance).
+    At scale, cluster count should grow ~√N so expected cluster size stays
+    bounded; the intra-cluster join shuffles once on the small int cell id.
+    A pathologically hot cell (most of the corpus in one cluster) degrades
+    to the quadratic join — re-train with larger k or switch to
+    ``embedding_neardup_pairs`` (LSH) if cluster sizes skew.
+
+    Output: ``a``, ``b``, ``cell``, ``cos_sim``.
+    """
+    from ondine_spark.operators.similarity_search import _nearest_centroids_expr
+
+    assigned = df.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+    ).withColumn("cell", _nearest_centroids_expr("_v", centroids, 1)[0])
+    # persist: the assignment (k × dim multiply-adds per row) feeds both
+    # self-join sides
+    assigned = assigned.persist()
+    a = assigned.select(F.col("_id").alias("a"), F.col("_v").alias("_va"), "cell")
+    b = assigned.select(F.col("_id").alias("b"), F.col("_v").alias("_vb"), "cell")
+    return (
+        a.join(b, on="cell")
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("cos_sim", cosine(F.col("_va"), F.col("_vb")))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("a", "b", "cell", "cos_sim")
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+    threshold: float = 0.9,
+    keep_by: str | None = None,
+) -> DataFrame:
+    """Full SemDeDup: semantic pair candidates → connected components →
+    keep one representative per duplicate set (smallest id, or best by
+    ``keep_by``). Returns the deduplicated frame (all original columns)."""
+    pairs = semantic_dup_pairs(df, id_col, vec_col, centroids, threshold)
+    return dedup_keep_representative(
+        df, id_col, pairs.select("a", "b"), keep_by=keep_by
     )

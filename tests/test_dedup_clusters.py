@@ -128,3 +128,52 @@ def test_near_dedup_end_to_end(spark):
 
     with pytest.raises(ValueError):
         near_dedup(df, "doc_id", "text", method="nope")
+
+
+# ---------------------------------------------- SemDeDup-style semantic dedup
+
+def _unit(*xs):
+    import math
+
+    n = math.sqrt(sum(x * x for x in xs))
+    return [x / n for x in xs]
+
+
+def test_seed_centroids_deterministic_hash_order(spark):
+    import hashlib
+
+    from ondine_spark.operators.dedup import seed_centroids
+
+    rows = [(i, _unit(float(i + 1), 1.0, 0.0)) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = seed_centroids(df, "vec_id", "embedding", k=4)
+    want_order = sorted(
+        range(20), key=lambda i: int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+    )[:4]
+    assert cents == [rows[i][1] for i in want_order]
+
+
+def test_semantic_dup_pairs_and_dedup(spark):
+    from ondine_spark.operators.dedup import semantic_dedup, semantic_dup_pairs
+
+    # two tight semantic groups around orthogonal directions + one loner;
+    # centroids = the group axes, so assignment is unambiguous
+    g1 = [_unit(1.0, 0.01 * i, 0.0) for i in range(3)]     # ids 0,1,2
+    g2 = [_unit(0.0, 1.0, 0.01 * i) for i in range(2)]     # ids 3,4
+    loner = [_unit(1.0, 1.0, 1.0)]                          # id 5
+    vecs = g1 + g2 + loner
+    df = spark.createDataFrame(
+        list(enumerate(vecs)), "vec_id long, embedding array<double>"
+    )
+    cents = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]
+    pairs = semantic_dup_pairs(df, "vec_id", "embedding", cents, threshold=0.99)
+    got = {(r["a"], r["b"]) for r in pairs.collect()}
+    assert got == {(0, 1), (0, 2), (1, 2), (3, 4)}
+    # cross-group pairs can never appear even at threshold 0 (different cells)
+    all_pairs = semantic_dup_pairs(df, "vec_id", "embedding", cents, threshold=-1.0)
+    assert all(
+        not ({r["a"], r["b"]} & {0, 1, 2}) or not ({r["a"], r["b"]} & {3, 4})
+        for r in all_pairs.collect()
+    )
+    kept = semantic_dedup(df, "vec_id", "embedding", cents, threshold=0.99)
+    assert sorted(r["vec_id"] for r in kept.collect()) == [0, 3, 5]

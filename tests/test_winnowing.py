@@ -98,7 +98,7 @@ def test_overlap_pairs_counts(spark):
     got = {
         (r["a"], r["b"]): r["shared"]
         for r in winnow_overlap_pairs(
-            df, "id", "text", k=k, w=w, min_shared=3, max_df=100
+            df, "id", "text", k=k, w=w, min_shared=3, max_df=100, impl="expr"
         ).collect()
     }
     assert got == expect
@@ -116,3 +116,59 @@ def test_overlap_max_df_drops_hot_fingerprints(spark):
     assert (
         winnow_overlap_pairs(df, "id", "text", min_shared=1, max_df=10).count() == 6
     )
+
+
+# --------------------------------------------------------- arrow fast path
+
+def _winnow_poly_py(text: str, k: int, w: int) -> set[int]:
+    """Python oracle for the Arrow kernel's polynomial hash variant."""
+    m1, b1 = 2147483647, 131
+    m2, b2 = 2147483629, 137
+    s = text.lower().encode("utf-8", "surrogatepass")
+    if len(s) < k:
+        return set()
+    hs = []
+    for i in range(len(s) - k + 1):
+        h1 = h2 = 0
+        for c in s[i : i + k]:
+            h1 = (h1 * b1 + c) % m1
+            h2 = (h2 * b2 + c) % m2
+        hs.append((h1 << 31) | h2)
+    if len(hs) < w:
+        return {min(hs)}
+    return {min(hs[j : j + w]) for j in range(len(hs) - w + 1)}
+
+
+@pytest.mark.parametrize("k,w", [(12, 8), (5, 4)])
+def test_arrow_impl_matches_poly_oracle(spark, k, w):
+    from ondine_spark.operators.dedup import winnow_fingerprint_rows
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "id long, text string"
+    )
+    rows = winnow_fingerprint_rows(df, "id", "text", k, w, impl="arrow").collect()
+    got: dict[int, set[int]] = {}
+    for r in rows:
+        got.setdefault(r["_id"], set()).add(r["fp"])
+    for i, t in enumerate(TEXTS):
+        want = _winnow_poly_py(t, k, w)
+        assert got.get(i, set()) == want, f"text #{i}"
+
+
+def test_arrow_and_expr_find_same_pairs(spark):
+    # hash functions differ, so fingerprint VALUES differ — but both impls
+    # select window minima over the same k-gram positions, so clear
+    # substring near-dups must surface as pairs under either.
+    from ondine_spark.operators.dedup import winnow_overlap_pairs
+
+    core = "the quick brown fox jumps over the lazy dog by the river bank today"
+    texts = {
+        1: "A " + core + " tail one",
+        2: "B " + core + " tail two",
+        3: "nothing like the others at all here truly",
+    }
+    df = spark.createDataFrame(list(texts.items()), "id long, text string")
+    kw = dict(k=12, w=8, min_shared=3, max_df=10)
+    p_expr = {(r["a"], r["b"]) for r in winnow_overlap_pairs(df, "id", "text", impl="expr", **kw).collect()}
+    p_arrow = {(r["a"], r["b"]) for r in winnow_overlap_pairs(df, "id", "text", impl="arrow", **kw).collect()}
+    assert p_expr == p_arrow == {(1, 2)}

@@ -455,11 +455,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---- relational / window / streaming-parity ops ------------------------
 
     def _events(spark, sf_dir):
-        # the events table stores TIMESTAMP(NANOS) which Spark's parquet
-        # reader rejects by default; read nanos as long and convert.
+        # older testdata stored ts as TIMESTAMP(NANOS), which Spark's parquet
+        # reader only accepts as long; newer testdata stores timestamp[us].
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-        return ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if dict(ev.dtypes)["ts"] in ("bigint", "long"):
+            ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return ev
 
     def q_filter_select_events(spark, sf_dir):
         ev = _events(spark, sf_dir)

@@ -688,9 +688,13 @@ def dedup_keep_representative(
 
     ``keep_by=None`` keeps the smallest id. With ``keep_by=<score col>``
     the representative is the cluster's best row by that column (ties →
-    larger id, via max over struct(score, id) — deterministic). The drop
-    set is (dup count) rows — typically a small fraction of the corpus —
-    so the anti-join broadcasts."""
+    larger id, via max over struct(score, id) — deterministic). The final
+    anti-join carries no broadcast hint: at web-corpus drop rates (30-50%
+    of a 100 TB corpus) the drop set is billions of rows, so a forced
+    broadcast would OOM the executors. AQE broadcasts it automatically
+    whenever its runtime size is under
+    ``spark.sql.autoBroadcastJoinThreshold`` and falls back to a shuffled
+    join otherwise (asserted by tests/test_dedup.py plan test)."""
     comp = connected_components(pairs, a, b)
     if keep_by is None:
         drop = comp.filter(F.col("node") != F.col("component")).select(
@@ -711,7 +715,7 @@ def dedup_keep_representative(
             .filter(F.col("node") != F.col("_rep"))
             .select(F.col("node").alias(id_col))
         )
-    return df.join(F.broadcast(drop), on=id_col, how="left_anti")
+    return df.join(drop, on=id_col, how="left_anti")
 
 
 def near_dedup(
@@ -735,8 +739,9 @@ def near_dedup(
     Jaccard ≥ threshold — exact but heavier), or "simhash"
     (Hamming ≤ max_hamming; threshold unused). The composition inherits
     each stage's scale story: inverted-index/banding joins (never
-    pairwise), star-rounds components above the driver threshold, and a
-    broadcast anti-join for the final drop set.
+    pairwise), star-rounds components above the driver threshold, and an
+    unhinted anti-join for the final drop set (AQE broadcasts small drop
+    sets at runtime, shuffles large ones).
     """
     if method == "minhash":
         pairs = minhash_lsh_pairs(

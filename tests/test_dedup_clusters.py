@@ -98,6 +98,29 @@ def test_keep_representative_by_score(spark):
     assert {r.doc_id for r in kept.collect()} == {2, 5, 3, 4, 7, 8, 9}
 
 
+def test_keep_reps_no_forced_broadcast(spark):
+    """SCALE.md claims the final drop-set anti-join falls back to a shuffle
+    join automatically: with broadcasting disabled (simulating a drop set
+    over autoBroadcastJoinThreshold — billions of rows at 100 TB) the
+    physical plan must be a SortMergeJoin LeftAnti, i.e. no F.broadcast
+    hint survives to force an executor-OOM broadcast."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        docs = spark.range(200).withColumnRenamed("id", "doc_id")
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(50)], "a: long, b: long"
+        )
+        kept = dedup_keep_representative(docs, "doc_id", pairs)
+        plan = kept._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan, plan
+        assert "SortMergeJoin LeftAnti" in plan or "LeftAnti" in plan, plan
+        # and the answer is unchanged under the shuffled strategy
+        assert {r.doc_id for r in kept.collect()} == {0} | set(range(51, 200))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_empty_pair_set(spark):
     pairs = spark.createDataFrame([], "a: long, b: long")
     assert connected_components(pairs).count() == 0

@@ -117,11 +117,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ---- pipeline spine (LLM path under deterministic mock client) ------
 
-    def q_enrich_sentiment(spark, sf_dir):
-        return _enrich_result(spark, sf_dir, batch_size=1)
-
-    def q_enrich_batched(spark, sf_dir):
-        return _enrich_result(spark, sf_dir, batch_size=25)
+    def q_enrich_modes(spark, sf_dir):
+        """Unbatched (1 call/row) and mega-batched (25 rows/call) pipeline
+        runs joined per row — one gate proves both invocation modes produce
+        the identical enrichment (aggregator/disaggregator lose nothing)."""
+        un = _enrich_result(spark, sf_dir, batch_size=1)
+        ba = _enrich_result(spark, sf_dir, batch_size=25).select(
+            "doc_id", F.col("sentiment").alias("sentiment_batched")
+        )
+        return un.join(ba, on="doc_id")
 
     def q_enrich_json_multicol(spark, sf_dir):
         return _enrich_result(spark, sf_dir, batch_size=1, json_fields=True)
@@ -167,7 +171,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ---- merge / resume / contradiction (J1/J5/A6) -----------------------
 
-    def q_merge_update(spark, sf_dir):
+    def q_merge_resume(spark, sf_dir):
+        """UPDATE-strategy merge (fill only the nulls) + resume anti-join
+        (rows NOT in the response cache) flagged per row — J1 and J5 in one
+        gate."""
         docs = _docs(spark, sf_dir)
         from ondine_spark.sources.readers import ROW_ID
 
@@ -180,13 +187,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("doc_id").cast("string").alias(ROW_ID), F.lit("xx").alias("lang")
         )
         merged = merge_results(original, results, ["lang"], MergeStrategy.UPDATE)
-        return merged.select("doc_id", "lang")
-
-    def q_resume_anti_join(spark, sf_dir):
-        docs = _docs(spark, sf_dir)
         cached_ids = docs.filter(F.col("doc_id") % 5 == 0).select("doc_id")
-        todo = docs.join(F.broadcast(cached_ids), on="doc_id", how="left_anti")
-        return todo.select("doc_id", "lang")
+        todo = docs.join(
+            F.broadcast(cached_ids), on="doc_id", how="left_anti"
+        ).select("doc_id", F.lit(True).alias("_t"))
+        return (
+            merged.select("doc_id", "lang")
+            .join(todo, on="doc_id", how="left")
+            .select(
+                "doc_id", "lang",
+                F.coalesce(F.col("_t"), F.lit(False)).alias("todo"),
+            )
+        )
 
     def q_contradiction_groups(spark, sf_dir):
         orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
@@ -197,8 +209,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ---- text analysis ----------------------------------------------------
 
-    def q_text_stats(spark, sf_dir):
+    def q_text_quality(spark, sf_dir):
+        """Token/stopword/quality stats + Gopher-style rule booleans in one
+        projection — F16 and the quality-rule operator share a gate."""
         t = F.col("text")
+        kw = dict(min_words=30, max_words=5000, max_punct_ratio=0.2)
+        rules = ta.quality_rules(t, **kw)
         return _docs(spark, sf_dir).select(
             "doc_id",
             ta.token_count_ws(t).alias("tok_ws"),
@@ -206,22 +222,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ta.estimate_llm_tokens(t).alias("est_llm_tokens"),
             ta.stopword_hits(t).alias("sw_hits"),
             ta.quality_score(t).alias("quality"),
-        )
-
-    def q_intra_dup_chars(spark, sf_dir):
-        from ondine_spark.operators.text_analysis import intra_dup_ngram_chars
-
-        return intra_dup_ngram_chars(_docs(spark, sf_dir), "doc_id", "text", n=2)
-
-    def q_gopher_filter(spark, sf_dir):
-        t = F.col("text")
-        kw = dict(min_words=30, max_words=5000, max_punct_ratio=0.2)
-        rules = ta.quality_rules(t, **kw)
-        return _docs(spark, sf_dir).select(
-            "doc_id",
             *[c.alias(k) for k, c in rules.items()],
             ta.passes_quality(t, **kw).alias("keep"),
         )
+
+    def q_dup_chars_grams(spark, sf_dir):
+        """Intra-doc duplicate-bigram characters + corpus-level duplicate
+        3-gram fraction, joined per doc."""
+        from ondine_spark.operators.curation import dup_ngram_fraction
+        from ondine_spark.operators.text_analysis import intra_dup_ngram_chars
+
+        docs = _docs(spark, sf_dir)
+        chars = intra_dup_ngram_chars(docs, "doc_id", "text", n=2)
+        frac = dup_ngram_fraction(docs, "doc_id", "text", n=3)
+        return chars.join(frac, on="doc_id")
 
     def q_redact_pii(spark, sf_dir):
         # the synthetic docs contain no PII-shaped strings, so append
@@ -242,15 +256,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             *[c.alias(f"n_{k}") for k, c in counts.items()],
         )
 
-    def q_lang_id(spark, sf_dir):
-        return _docs(spark, sf_dir).select(
-            "doc_id", ta.lang_id(F.col("text")).alias("lang_pred")
-        )
-
-    def q_fingerprints(spark, sf_dir):
+    def q_lang_fingerprints(spark, sf_dir):
+        """Language-ID + exact/rolling document fingerprints in one
+        projection."""
         t = F.col("text")
         return _docs(spark, sf_dir).select(
             "doc_id",
+            ta.lang_id(t).alias("lang_pred"),
             ta.fingerprint_exact(t).alias("fp_exact"),
             ta.fingerprint_rolling(t, 8).alias("fp_roll"),
         )
@@ -279,21 +291,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def q_winnow_pairs(spark, sf_dir):
+        """Both winnowing implementations in one oracle-checked gate: the
+        SQL-expressible md5 path (``impl='expr'``) carries the shared-count
+        values, and the Arrow/numpy kernel (``impl='arrow'``, polynomial
+        hashes — not SQL-expressible on its own) is gated through pair-SET
+        agreement: the full outer join emits an extra row with a null flag
+        whenever either implementation finds a pair the other misses, which
+        fails the row-count/hash compare against the expr-only oracle."""
         from ondine_spark.operators.dedup import winnow_overlap_pairs
 
-        return winnow_overlap_pairs(
-            _docs(spark, sf_dir), "doc_id", "text",
-            k=12, w=8, min_shared=10, max_df=20, impl="expr",
-        )
-
-    def q_winnow_pairs_fast(spark, sf_dir):
-        """Arrow/numpy winnowing kernel (polynomial hashes — deterministic
-        but not SQL-expressible, so no oracle entry: rows-only check)."""
-        from ondine_spark.operators.dedup import winnow_overlap_pairs
-
-        return winnow_overlap_pairs(
-            _docs(spark, sf_dir), "doc_id", "text",
-            k=12, w=8, min_shared=10, max_df=20, impl="arrow",
+        kw = dict(k=12, w=8, min_shared=10, max_df=20)
+        docs = _docs(spark, sf_dir)
+        expr = winnow_overlap_pairs(
+            docs, "doc_id", "text", impl="expr", **kw
+        ).withColumn("in_expr", F.lit(True))
+        fast = winnow_overlap_pairs(
+            docs, "doc_id", "text", impl="arrow", **kw
+        ).select("a", "b", F.lit(True).alias("in_fast"))
+        return expr.join(fast, on=["a", "b"], how="full_outer").select(
+            "a", "b", "shared",
+            F.coalesce("in_expr", F.lit(False)).alias("in_expr"),
+            F.coalesce("in_fast", F.lit(False)).alias("in_fast"),
         )
 
     # ---- dedup ------------------------------------------------------------
@@ -350,21 +368,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return connected_components(_lsh_pairs(spark, sf_dir))
 
-    def q_dedup_keep_reps(spark, sf_dir):
+    def q_dedup_keep(spark, sf_dir):
+        """Keep-representative dedup under both policies (min-id and
+        best-by-score) as per-doc survival flags — every doc appears, with
+        in_reps / in_best telling whether it survives each policy."""
         from ondine_spark.operators.dedup import dedup_keep_representative
 
         docs = _docs(spark, sf_dir)
-        return dedup_keep_representative(
+        reps = dedup_keep_representative(
             docs, "doc_id", _lsh_pairs(spark, sf_dir)
-        ).select("doc_id", "lang")
-
-    def q_dedup_keep_best(spark, sf_dir):
-        from ondine_spark.operators.dedup import dedup_keep_representative
-
-        docs = _docs(spark, sf_dir)
-        return dedup_keep_representative(
+        ).select("doc_id", F.lit(True).alias("_r"))
+        best = dedup_keep_representative(
             docs, "doc_id", _lsh_pairs(spark, sf_dir), keep_by="n_chars"
-        ).select("doc_id", "n_chars")
+        ).select("doc_id", F.lit(True).alias("_b"))
+        return (
+            docs.select("doc_id", "lang", "n_chars")
+            .join(reps, on="doc_id", how="left")
+            .join(best, on="doc_id", how="left")
+            .select(
+                "doc_id", "lang", "n_chars",
+                F.coalesce(F.col("_r"), F.lit(False)).alias("in_reps"),
+                F.coalesce(F.col("_b"), F.lit(False)).alias("in_best"),
+            )
+        )
 
     # ---- embedding similarity ----------------------------------------------
 
@@ -376,29 +402,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "label",
         )
 
-    def q_embedding_topk(spark, sf_dir):
-        emb = _emb(spark, sf_dir)
-        queries_df = emb.filter(F.col("vec_id") < 10).select(
-            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
-        )
-        res = brute_force_topk(emb, queries_df, k=5)
-        return res.select(
-            "query_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim_r"), "rank"
-        )
-
-    def q_embedding_neardup(spark, sf_dir):
-        from ondine_spark.operators.dedup import embedding_neardup_pairs
-
-        emb = _emb(spark, sf_dir)
-        out = embedding_neardup_pairs(
-            emb, "vec_id", "embedding", threshold=0.35, num_planes=4, seed=42
-        )
-        return out.select("a", "b", F.round("cos_sim", 6).alias("cos_sim_r"))
-
-    def q_ann_ivf_full(spark, sf_dir):
-        """IVF ANN with nprobe = nlist: exact regardless of centroid
-        placement (every cell probed), so the brute-force oracle applies —
-        the gate proves the IVF plumbing loses nothing."""
+    def q_topk_brute_vs_ivf(spark, sf_dir):
+        """Brute-force cosine top-k and IVF top-k with nprobe = nlist (every
+        cell probed → exact regardless of centroid placement) joined on
+        (query_id, rank): one gate proves both ANN paths return the exact
+        brute-force answer the oracle computes."""
         from ondine_spark.operators.similarity_search import (
             ivf_topk,
             train_ivf_centroids,
@@ -408,11 +416,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         queries_df = emb.filter(F.col("vec_id") < 10).select(
             F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
         )
-        cents = train_ivf_centroids(emb, nlist=8)
-        res = ivf_topk(emb, queries_df, k=5, centroids=cents, nprobe=8)
-        return res.select(
-            "query_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim_r"), "rank"
+        brute = brute_force_topk(emb, queries_df, k=5).select(
+            "query_id", "rank", "vec_id",
+            F.round("cos_sim", 6).alias("cos_sim_r"),
         )
+        cents = train_ivf_centroids(emb, nlist=8)
+        ivf = ivf_topk(emb, queries_df, k=5, centroids=cents, nprobe=8).select(
+            "query_id", "rank",
+            F.col("vec_id").alias("vec_id_ivf"),
+            F.round("cos_sim", 6).alias("cos_sim_ivf_r"),
+        )
+        return brute.join(ivf, on=["query_id", "rank"])
+
+    def q_embedding_neardup(spark, sf_dir):
+        from ondine_spark.operators.dedup import embedding_neardup_pairs
+
+        emb = _emb(spark, sf_dir)
+        out = embedding_neardup_pairs(
+            emb, "vec_id", "embedding", threshold=0.35, num_planes=4, seed=42
+        )
+        return out.select("a", "b", F.round("cos_sim", 6).alias("cos_sim_r"))
 
     def q_semantic_clusters(spark, sf_dir):
         from ondine_spark.operators.dedup import seed_centroids
@@ -456,12 +479,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def _events(spark, sf_dir):
         # older testdata stored ts as TIMESTAMP(NANOS), which Spark's parquet
-        # reader only accepts as long; newer testdata stores timestamp[us].
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-        if dict(ev.dtypes)["ts"] in ("bigint", "long"):
+        # reader only accepts as long (and only with nanosAsLong set); newer
+        # testdata stores timestamp[us]. Try the native read first so the
+        # legacy conf is scoped to the legacy data path instead of silently
+        # degrading every other NANOS column in the session.
+        path = f"{sf_dir}/events.parquet"
+        try:
+            ev = spark.read.parquet(path)
+            ev.schema  # force footer/schema resolution
+        except Exception:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            ev = spark.read.parquet(path)
+        if dict(ev.dtypes)["ts"] == "bigint":
             ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return ev
+        # timestamp[us] with isAdjustedToUTC=false infers TIMESTAMP_NTZ in
+        # Spark; cast so both data vintages emit the same TimestampType
+        # (values agree under the pinned UTC session timezone).
+        return ev.withColumn("ts", F.col("ts").cast("timestamp"))
 
     def q_filter_select_events(spark, sf_dir):
         ev = _events(spark, sf_dir)
@@ -547,38 +581,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             n=4,
         )
 
-    def q_unigram_ppl(spark, sf_dir):
-        from ondine_spark.operators.text_analysis import unigram_perplexity
-
-        return unigram_perplexity(_docs(spark, sf_dir), "doc_id", "text")
-
-    def q_bigram_ppl(spark, sf_dir):
-        from ondine_spark.operators.text_analysis import bigram_perplexity
-
-        return bigram_perplexity(_docs(spark, sf_dir), "doc_id", "text")
-
-    def q_stratified_sample(spark, sf_dir):
-        from ondine_spark.operators.curation import stratified_hash_sample
+    def q_lm_perplexity(spark, sf_dir):
+        """Unigram + bigram LM cross-entropy/perplexity joined per doc."""
+        from ondine_spark.operators.text_analysis import (
+            bigram_perplexity,
+            unigram_perplexity,
+        )
 
         docs = _docs(spark, sf_dir)
-        return stratified_hash_sample(
-            docs,
-            "doc_id",
-            "lang",
-            {"en": 0.3, "de": 0.6, "zh": 1.0},
-            default_fraction=0.2,
-        ).select("doc_id", "lang", "source")
+        uni = unigram_perplexity(docs, "doc_id", "text").select(
+            "doc_id", "n_tokens",
+            F.col("cross_entropy").alias("ce_unigram"),
+            F.col("perplexity").alias("ppl_unigram"),
+        )
+        bi = bigram_perplexity(docs, "doc_id", "text").select(
+            "doc_id", "n_bigrams",
+            F.col("cross_entropy").alias("ce_bigram"),
+            F.col("perplexity").alias("ppl_bigram"),
+        )
+        return uni.join(bi, on="doc_id")
 
-    def q_token_budget_mix(spark, sf_dir):
-        from ondine_spark.operators.curation import sample_to_token_budget
+    def q_sample_mix(spark, sf_dir):
+        """Stratified hash-sampling, per-source quota capping, and
+        token-budget mixing as per-doc membership flags — the three
+        deterministic samplers share one gate over the full corpus."""
+        from ondine_spark.operators.curation import (
+            cap_per_key,
+            sample_to_token_budget,
+            stratified_hash_sample,
+        )
 
         docs = _docs(spark, sf_dir).withColumn(
-            "n_tokens", ta.token_count_ws(F.col("text"))
+            "n_tokens", ta.token_count_ws(F.trim(F.col("text")))
         )
-        return sample_to_token_budget(
+        strat = stratified_hash_sample(
+            docs, "doc_id", "lang",
+            {"en": 0.3, "de": 0.6, "zh": 1.0}, default_fraction=0.2,
+        ).select("doc_id", F.lit(True).alias("_s"))
+        quota = cap_per_key(
+            docs, "source", 5, (F.col("n_chars").desc(), F.col("doc_id"))
+        ).select("doc_id", F.lit(True).alias("_q"))
+        budget = sample_to_token_budget(
             docs, "doc_id", "lang", "n_tokens", budget=3000,
             budgets={"en": 6000},
-        ).select("doc_id", "lang", "n_tokens")
+        ).select("doc_id", F.lit(True).alias("_b"))
+        return (
+            docs.select("doc_id", "lang", "source", "n_chars", "n_tokens")
+            .join(strat, on="doc_id", how="left")
+            .join(quota, on="doc_id", how="left")
+            .join(budget, on="doc_id", how="left")
+            .select(
+                "doc_id", "lang", "source", "n_chars", "n_tokens",
+                F.coalesce(F.col("_s"), F.lit(False)).alias("in_stratified"),
+                F.coalesce(F.col("_q"), F.lit(False)).alias("in_quota"),
+                F.coalesce(F.col("_b"), F.lit(False)).alias("in_budget"),
+            )
+        )
 
     def q_pack_sequences(spark, sf_dir):
         from ondine_spark.operators.curation import pack_sequences
@@ -607,14 +665,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return remove_boilerplate_lines(
             page, "doc_id", "page", max_docs=50
         ).select("doc_id", F.col("page").alias("cleaned"))
-
-    def q_source_quota(spark, sf_dir):
-        from ondine_spark.operators.curation import cap_per_key
-
-        docs = _docs(spark, sf_dir)
-        return cap_per_key(
-            docs, "source", 5, (F.col("n_chars").desc(), F.col("doc_id"))
-        ).select("source", "doc_id", "n_chars")
 
     def q_asof_purchases(spark, sf_dir):
         from ondine_spark.operators.asof import asof_join
@@ -678,21 +728,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ---------------------------------------------- knowledge / context ops
 
-    def q_kb_bm25(spark, sf_dir):
-        from ondine_spark.knowledge.store import bm25_frame
+    def q_kb_scores(spark, sf_dir):
+        """BM25 keyword scores + hashed-3gram cosine scores in one gate —
+        full outer join on doc_id since each retriever matches a different
+        doc subset."""
+        from ondine_spark.knowledge.store import bm25_frame, ngram_cosine_frame
 
         docs = _docs(spark, sf_dir)
-        return bm25_frame(
+        bm = bm25_frame(
             docs, "doc_id", "text", "spark join window table data"
         ).select("doc_id", F.round("score", 6).alias("bm25_r"))
-
-    def q_kb_ngram_cosine(spark, sf_dir):
-        from ondine_spark.knowledge.store import ngram_cosine_frame
-
-        docs = _docs(spark, sf_dir)
-        return ngram_cosine_frame(
+        nc = ngram_cosine_frame(
             docs, "doc_id", "text", "spark window query join", dim=2048
         ).select("doc_id", F.round("score", 6).alias("cos_r"))
+        return bm.join(nc, on="doc_id", how="full_outer")
 
     def q_kb_hybrid_rrf(spark, sf_dir):
         from pyspark.sql import Window
@@ -722,21 +771,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("doc_id", F.round("rrf_score", 9).alias("rrf_r"), "rank")
         )
 
-    def q_chunk_fixed(spark, sf_dir):
-        from ondine_spark.knowledge.chunker import fixed_chunks
+    def q_chunks(spark, sf_dir):
+        """Fixed-window (16-token) and semantic (64-token cap) chunking in
+        one gate — full outer join on (doc_id, chunk_idx) since the two
+        strategies produce different chunkings of the same doc."""
+        from ondine_spark.knowledge.chunker import fixed_chunks, semantic_chunks
 
         docs = _docs(spark, sf_dir)
-        return fixed_chunks(docs, "doc_id", "text", max_tokens=16).select(
-            "doc_id", "chunk_idx", "chunk_id", "chunk_tokens", "chunk_text"
+        fx = fixed_chunks(docs, "doc_id", "text", max_tokens=16).select(
+            "doc_id",
+            F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+            "chunk_id",
+            F.col("chunk_tokens").alias("tokens_fixed"),
+            "chunk_text",
         )
-
-    def q_chunk_semantic(spark, sf_dir):
-        from ondine_spark.knowledge.chunker import semantic_chunks
-
-        docs = _docs(spark, sf_dir)
-        return semantic_chunks(docs, "doc_id", "text", max_tokens=64).select(
-            "doc_id", "chunk_idx", "chunk_tokens"
+        sm = semantic_chunks(docs, "doc_id", "text", max_tokens=64).select(
+            "doc_id",
+            F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+            F.col("chunk_tokens").alias("tokens_sem"),
         )
+        return fx.join(sm, on=["doc_id", "chunk_idx"], how="full_outer")
 
     def q_grounding_tfidf(spark, sf_dir):
         from ondine_spark.context.grounding import grounding_scores
@@ -773,18 +827,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ------------------------------------------------------ multimodal ops
 
-    def q_mm_meta(spark, sf_dir):
-        from ondine_spark.operators.multimodal import media_meta, with_binary_column
+    def q_mm_meta_hist(spark, sf_dir):
+        """Binary-column metadata extraction + byte-histogram features at
+        (doc, bucket) grain — the per-doc meta columns repeat on every
+        non-empty bucket row."""
+        from ondine_spark.operators.multimodal import (
+            byte_histogram_features,
+            media_meta,
+            with_binary_column,
+        )
 
         docs = with_binary_column(_docs(spark, sf_dir), "text")
-        out = media_meta(docs, "media_bytes")
-        return out.select(
+        meta = media_meta(docs, "media_bytes").select(
             "doc_id",
             F.col("media_meta.byte_len").alias("byte_len"),
             F.col("media_meta.md5").alias("md5_hex"),
             F.col("media_meta.width").alias("width"),
             F.col("media_meta.height").alias("height"),
         )
+        hist = (
+            byte_histogram_features(docs, "media_bytes", buckets=16, normalize=False)
+            .select("doc_id", F.posexplode("features").alias("bucket", "cnt"))
+            .select("doc_id", "bucket", F.col("cnt").cast("long").alias("cnt"))
+            .filter(F.col("cnt") > 0)
+        )
+        return hist.join(meta, on="doc_id")
 
     def q_mm_frames(spark, sf_dir):
         from ondine_spark.operators.multimodal import frame_sample, with_binary_column
@@ -800,96 +867,299 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("f.frame_md5").alias("frame_md5"),
         )
 
-    def q_mm_byte_hist(spark, sf_dir):
-        from ondine_spark.operators.multimodal import (
-            byte_histogram_features,
-            with_binary_column,
-        )
-
-        docs = with_binary_column(_docs(spark, sf_dir), "text")
-        out = byte_histogram_features(
-            docs, "media_bytes", buckets=16, normalize=False
-        )
-        return out.select(
-            "doc_id", F.posexplode("features").alias("bucket", "cnt")
-        ).select(
-            "doc_id", "bucket", F.col("cnt").cast("long").alias("cnt")
-        ).filter(F.col("cnt") > 0)
-
-    return {
-        "enrich_sentiment": q_enrich_sentiment,
-        "enrich_batched": q_enrich_batched,
-        "enrich_json_multicol": q_enrich_json_multicol,
-        "enrich_cost_agg": q_enrich_cost_agg,
-        "prompt_render": q_prompt_render,
-        "router_distribution": q_router_distribution,
-        "preprocess_truncate": q_preprocess_truncate,
-        "merge_update": q_merge_update,
-        "resume_anti_join": q_resume_anti_join,
-        "contradiction_groups": q_contradiction_groups,
-        "text_stats": q_text_stats,
-        "intra_dup_chars": q_intra_dup_chars,
-        "gopher_filter": q_gopher_filter,
-        "redact_pii": q_redact_pii,
-        "lang_id": q_lang_id,
-        "fingerprints": q_fingerprints,
-        "winnow_fps": q_winnow_fps,
-        "winnow_pairs": q_winnow_pairs,
-        "winnow_pairs_fast": q_winnow_pairs_fast,
-        "profile_docs": q_profile_docs,
-        "dedup_exact": q_dedup_exact,
-        "jaccard_pairs": q_jaccard_pairs,
-        "minhash_sigs": q_minhash_sigs,
-        "minhash_lsh_pairs": q_minhash_lsh_pairs,
-        "simhash_pairs": q_simhash_pairs,
-        "dup_clusters": q_dup_clusters,
-        "dedup_keep_reps": q_dedup_keep_reps,
-        "dedup_keep_best": q_dedup_keep_best,
-        "embedding_topk": q_embedding_topk,
-        "embedding_neardup": q_embedding_neardup,
-        "ann_ivf_full": q_ann_ivf_full,
-        "embedding_sim_pairs": q_embedding_sim_pairs,
-        "semantic_clusters": q_semantic_clusters,
-        "semantic_dup_pairs": q_semantic_dup_pairs,
-        "filter_select_events": q_filter_select_events,
-        "topk_orders": q_topk_orders,
-        "rrf_fusion": q_rrf_fusion,
-        "window_chunking": q_window_chunking,
-        "events_hourly": q_events_hourly,
-        "sessions": q_sessions,
-        "dup_ngram_frac": q_dup_ngram_frac,
-        "decontaminate": q_decontaminate,
-        "unigram_ppl": q_unigram_ppl,
-        "bigram_ppl": q_bigram_ppl,
-        "stratified_sample": q_stratified_sample,
-        "source_quota": q_source_quota,
-        "token_budget_mix": q_token_budget_mix,
-        "pack_sequences": q_pack_sequences,
-        "strip_boilerplate": q_strip_boilerplate,
-        "asof_purchases": q_asof_purchases,
-        "range_join_sessions": q_range_join_sessions,
-        "revenue_by_nation": q_revenue_by_nation,
-        "kb_bm25": q_kb_bm25,
-        "kb_ngram_cosine": q_kb_ngram_cosine,
-        "kb_hybrid_rrf": q_kb_hybrid_rrf,
-        "chunk_fixed": q_chunk_fixed,
-        "chunk_semantic": q_chunk_semantic,
-        "grounding_tfidf": q_grounding_tfidf,
-        "confidence_blend": q_confidence_blend,
-        "mm_meta": q_mm_meta,
-        "mm_frames": q_mm_frames,
-        "mm_byte_hist": q_mm_byte_hist,
-    }
+    # 48 gates (consolidated from 62 by joining same-grain operators into
+    # wide oracle-checked results — the driver records at most 50 gates, so
+    # every operator family must fit inside that cap). The dict is ordered
+    # round-robin across operator families so that ANY prefix of it still
+    # exercises every family, should the cap ever shrink.
+    families: list[list[tuple[str, Callable]]] = [
+        [  # pipeline spine / LLM path
+            ("enrich_modes", q_enrich_modes),
+            ("enrich_json_multicol", q_enrich_json_multicol),
+            ("enrich_cost_agg", q_enrich_cost_agg),
+            ("prompt_render", q_prompt_render),
+            ("router_distribution", q_router_distribution),
+            ("preprocess_truncate", q_preprocess_truncate),
+            ("merge_resume", q_merge_resume),
+            ("contradiction_groups", q_contradiction_groups),
+        ],
+        [  # text analysis
+            ("text_quality", q_text_quality),
+            ("dup_chars_grams", q_dup_chars_grams),
+            ("redact_pii", q_redact_pii),
+            ("lang_fingerprints", q_lang_fingerprints),
+            ("winnow_fps", q_winnow_fps),
+            ("winnow_pairs", q_winnow_pairs),
+            ("profile_docs", q_profile_docs),
+            ("lm_perplexity", q_lm_perplexity),
+        ],
+        [  # dedup
+            ("dedup_exact", q_dedup_exact),
+            ("jaccard_pairs", q_jaccard_pairs),
+            ("minhash_sigs", q_minhash_sigs),
+            ("minhash_lsh_pairs", q_minhash_lsh_pairs),
+            ("simhash_pairs", q_simhash_pairs),
+            ("dup_clusters", q_dup_clusters),
+            ("dedup_keep", q_dedup_keep),
+        ],
+        [  # embedding similarity / ANN
+            ("topk_brute_vs_ivf", q_topk_brute_vs_ivf),
+            ("embedding_neardup", q_embedding_neardup),
+            ("embedding_sim_pairs", q_embedding_sim_pairs),
+            ("semantic_clusters", q_semantic_clusters),
+            ("semantic_dup_pairs", q_semantic_dup_pairs),
+        ],
+        [  # relational / window / curation
+            ("filter_select_events", q_filter_select_events),
+            ("topk_orders", q_topk_orders),
+            ("rrf_fusion", q_rrf_fusion),
+            ("window_chunking", q_window_chunking),
+            ("events_hourly", q_events_hourly),
+            ("sessions", q_sessions),
+            ("decontaminate", q_decontaminate),
+            ("sample_mix", q_sample_mix),
+            ("pack_sequences", q_pack_sequences),
+            ("strip_boilerplate", q_strip_boilerplate),
+            ("asof_purchases", q_asof_purchases),
+            ("range_join_sessions", q_range_join_sessions),
+            ("revenue_by_nation", q_revenue_by_nation),
+        ],
+        [  # knowledge / context
+            ("kb_scores", q_kb_scores),
+            ("kb_hybrid_rrf", q_kb_hybrid_rrf),
+            ("chunks", q_chunks),
+            ("grounding_tfidf", q_grounding_tfidf),
+            ("confidence_blend", q_confidence_blend),
+        ],
+        [  # multimodal
+            ("mm_meta_hist", q_mm_meta_hist),
+            ("mm_frames", q_mm_frames),
+        ],
+    ]
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for i in range(max(len(f) for f in families)):
+        for fam in families:
+            if i < len(fam):
+                name, fn = fam[i]
+                out[name] = fn
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
     toks_text = _TOKS.format(col="text")
 
-    enrich = f"SELECT doc_id, {_CASE} AS sentiment FROM documents"
+    intra_sql = """
+        WITH toks AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS w
+          FROM documents
+        ), grams AS (
+          SELECT doc_id,
+                 unnest(list_transform(
+                   generate_series(1, greatest(len(w) - 1, 0)),
+                   i -> w[i] || ' ' || w[i+1])) AS gram
+          FROM toks
+        ), per AS (
+          SELECT doc_id, gram, count(*) AS cnt,
+                 count(*) * length(gram) AS chars
+          FROM grams GROUP BY 1, 2
+        )
+        SELECT d.doc_id,
+               coalesce(sum(p.chars), 0)::BIGINT AS total_chars,
+               coalesce(sum(CASE WHEN p.cnt >= 2 THEN p.chars END),
+                        0)::BIGINT AS dup_chars,
+               CASE WHEN coalesce(sum(p.chars), 0) = 0 THEN 0.0
+                    ELSE coalesce(sum(CASE WHEN p.cnt >= 2
+                                      THEN p.chars END), 0)::DOUBLE
+                         / sum(p.chars)::DOUBLE
+               END AS intra_dup_frac
+        FROM documents d
+        LEFT JOIN per p ON p.doc_id = d.doc_id
+        GROUP BY d.doc_id
+    """
+    dupfrac_sql = """
+        WITH toks AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS w
+          FROM documents
+        ), grams AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                   generate_series(1, greatest(len(w) - 2, 0)),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+          FROM toks
+        ), posting AS (
+          SELECT doc_id, unnest(g) AS gram FROM grams
+        ), freq AS (
+          SELECT gram, count(*) AS df FROM posting GROUP BY gram
+        )
+        SELECT d.doc_id,
+               count(p.gram) AS n_grams,
+               coalesce(sum(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END),
+                        0)::BIGINT AS dup_grams,
+               CASE WHEN count(p.gram) = 0 THEN 0.0
+                    ELSE sum(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END)::DOUBLE
+                         / count(p.gram)::DOUBLE
+               END AS dup_frac
+        FROM documents d
+        LEFT JOIN posting p ON p.doc_id = d.doc_id
+        LEFT JOIN freq f ON f.gram = p.gram
+        GROUP BY d.doc_id
+    """
+    uni_ppl_sql = """
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(lower(trim(text)), '\\S+'))
+                   AS tok
+          FROM documents
+        ), dc AS (
+          SELECT doc_id, tok, count(*) AS c_dw FROM toks GROUP BY 1, 2
+        ), vocab AS (
+          SELECT tok, sum(c_dw) AS c_w FROM dc GROUP BY tok
+        ), tot AS (
+          SELECT sum(c_w)::DOUBLE AS n, count(*)::DOUBLE AS v
+          FROM vocab
+        ), lp AS (
+          SELECT tok, log2((c_w + 1.0) / (n + 1.0 * v)) AS logp
+          FROM vocab, tot
+        ), per AS (
+          SELECT d.doc_id,
+                 coalesce(sum(dc.c_dw), 0)::BIGINT AS n_tokens,
+                 sum(dc.c_dw * lp.logp) AS slp
+          FROM documents d
+          LEFT JOIN dc ON dc.doc_id = d.doc_id
+          LEFT JOIN lp ON lp.tok = dc.tok
+          GROUP BY d.doc_id
+        )
+        SELECT doc_id, n_tokens,
+               CASE WHEN n_tokens = 0 THEN NULL
+                    ELSE -slp / n_tokens END AS cross_entropy,
+               CASE WHEN n_tokens = 0 THEN NULL
+                    ELSE pow(2.0, -slp / n_tokens) END AS perplexity
+        FROM per
+    """
+    bi_ppl_sql = """
+        WITH t AS (
+          SELECT doc_id,
+                 regexp_extract_all(lower(trim(text)), '\\S+') AS l
+          FROM documents
+        ), bg AS (
+          SELECT doc_id, l[i] || ' ' || l[i + 1] AS bg
+          FROM (
+            SELECT doc_id, l,
+                   unnest(generate_series(1, len(l) - 1)) AS i
+            FROM t
+          )
+        ), dc AS (
+          SELECT doc_id, bg, count(*) AS c_db FROM bg GROUP BY 1, 2
+        ), corpus AS (
+          SELECT bg, sum(c_db) AS c_b FROM dc GROUP BY bg
+        ), ctx AS (
+          SELECT split_part(bg, ' ', 1) AS w1, sum(c_b) AS c_w1
+          FROM corpus GROUP BY 1
+        ), vv AS (
+          SELECT count(DISTINCT tok)::DOUBLE AS v
+          FROM (SELECT unnest(l) AS tok FROM t)
+        ), lp AS (
+          SELECT corpus.bg,
+                 log2((c_b + 1.0) / (c_w1 + 1.0 * v)) AS logp
+          FROM corpus
+          JOIN ctx ON split_part(corpus.bg, ' ', 1) = ctx.w1, vv
+        ), per AS (
+          SELECT d.doc_id,
+                 coalesce(sum(dc.c_db), 0)::BIGINT AS n_bigrams,
+                 sum(dc.c_db * lp.logp) AS slp
+          FROM documents d
+          LEFT JOIN dc ON dc.doc_id = d.doc_id
+          LEFT JOIN lp ON lp.bg = dc.bg
+          GROUP BY d.doc_id
+        )
+        SELECT doc_id, n_bigrams,
+               CASE WHEN n_bigrams = 0 THEN NULL
+                    ELSE -slp / n_bigrams END AS cross_entropy,
+               CASE WHEN n_bigrams = 0 THEN NULL
+                    ELSE pow(2.0, -slp / n_bigrams) END AS perplexity
+        FROM per
+    """
+    strat_sql = f"""
+        SELECT doc_id FROM documents
+        WHERE ({_MD5L.format(x="doc_id::VARCHAR || '#' || '0'")})::DOUBLE
+              / 1152921504606846976.0
+            < CASE lang WHEN 'de' THEN 0.6::DOUBLE
+                        WHEN 'en' THEN 0.3::DOUBLE
+                        WHEN 'zh' THEN 1.0::DOUBLE
+                        ELSE 0.2::DOUBLE END
+    """
+    quota_sql = """
+        SELECT doc_id FROM documents
+        QUALIFY row_number() OVER (
+          PARTITION BY source ORDER BY n_chars DESC, doc_id
+        ) <= 5
+    """
+    budget_sql = f"""
+        WITH t AS (
+          SELECT doc_id, lang,
+                 len(regexp_extract_all(trim(text), '\\S+'))::INT AS n_tokens,
+                 {_MD5L.format(x="doc_id::VARCHAR || '#' || '0'")} AS h
+          FROM documents
+        ), c AS (
+          SELECT doc_id, lang, n_tokens,
+                 sum(n_tokens::BIGINT) OVER (
+                   PARTITION BY lang ORDER BY h, doc_id
+                   ROWS UNBOUNDED PRECEDING) AS cum
+          FROM t
+        )
+        SELECT doc_id FROM c
+        WHERE cum - n_tokens < CASE lang WHEN 'en' THEN 6000
+                                         ELSE 3000 END
+    """
+    fixed_chunk_sql = """
+        WITH w AS (
+          SELECT doc_id, regexp_extract_all(trim(text), '\\S+') AS toks
+          FROM documents
+        ), idx AS (
+          SELECT doc_id, toks,
+                 unnest(generate_series(0, ((len(toks) + 15) // 16) - 1))
+                   AS chunk_idx
+          FROM w
+        ), pieces AS (
+          SELECT doc_id, chunk_idx,
+                 array_to_string(
+                   list_slice(toks, chunk_idx*16+1, (chunk_idx+1)*16), ' ')
+                   AS chunk_text,
+                 least(16, len(toks) - chunk_idx*16)::INT AS chunk_tokens
+          FROM idx
+        )
+        SELECT doc_id, chunk_idx,
+               ('0x' || substr(md5(doc_id::VARCHAR || ':' ||
+                 chunk_idx::VARCHAR), 1, 15))::BIGINT AS chunk_id,
+               chunk_tokens, chunk_text
+        FROM pieces
+    """
+    mm_meta_sql = """
+        SELECT doc_id,
+               length(text)::BIGINT AS byte_len,
+               md5(text) AS md5_hex,
+               (length(text) % 640 + 16)::INT AS width,
+               (length(text) % 480 + 16)::INT AS height
+        FROM documents
+    """
+    mm_hist_sql = """
+        WITH chars AS (
+          SELECT doc_id,
+                 ascii(substr(text, i::INT, 1)) % 16 AS bucket
+          FROM (SELECT doc_id, text,
+                       unnest(generate_series(1, length(text))) AS i
+                FROM documents)
+        )
+        SELECT doc_id, bucket::INT AS bucket, count(*)::BIGINT AS cnt
+        FROM chars GROUP BY doc_id, bucket
+    """
 
     sql: dict[str, str] = {
-        "enrich_sentiment": enrich,
-        "enrich_batched": enrich,
+        # both invocation modes must equal the rule CASE independently
+        "enrich_modes": (
+            f"SELECT doc_id, {_CASE} AS sentiment, "
+            f"{_CASE} AS sentiment_batched FROM documents"
+        ),
         "enrich_json_multicol": (
             f"SELECT doc_id, {_CASE} AS label, "
             f"(3 + {toks_text})::VARCHAR AS n_words FROM documents"
@@ -944,12 +1214,10 @@ def oracle_sql() -> dict[str, str]:
                    END AS clean_text
             FROM pos
         """,
-        "merge_update": (
-            "SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN 'xx' ELSE lang END AS lang "
-            "FROM documents"
-        ),
-        "resume_anti_join": (
-            "SELECT doc_id, lang FROM documents WHERE doc_id % 5 <> 0"
+        "merge_resume": (
+            "SELECT doc_id, "
+            "CASE WHEN doc_id % 3 = 0 THEN 'xx' ELSE lang END AS lang, "
+            "doc_id % 5 <> 0 AS todo FROM documents"
         ),
         "contradiction_groups": """
             SELECT o_custkey,
@@ -957,61 +1225,14 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT o_orderstatus) > 1 AS contradiction
             FROM orders GROUP BY o_custkey
         """,
-        "text_stats": f"""
+        "text_quality": """
             WITH t AS (
               SELECT doc_id, text,
-                     regexp_extract_all(lower(text), '\\S+') AS toks
-              FROM documents
-            )
-            SELECT doc_id,
-                   len(toks)::INT AS tok_ws,
-                   len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\\s]'))::INT AS tok_bpe,
-                   ceil(len(toks) * 1.3)::INT AS est_llm_tokens,
-                   len(list_filter(toks, x -> x IN ('the','a','an','and','or','of','to','in','is','it','for','on','with','as','at','by','from','that','this')))::INT AS sw_hits,
-                   0.4 * least(length(text)::DOUBLE / 1000.0, 1.0)
-                   + 0.3 * least((CASE WHEN len(toks) = 0 THEN 0.0
-                        ELSE len(list_filter(toks, x -> x IN ('the','a','an','and','or','of','to','in','is','it','for','on','with','as','at','by','from','that','this')))::DOUBLE / len(toks)::DOUBLE END) / 0.05, 1.0)
-                   + 0.3 * (1.0 - least((CASE WHEN length(text) = 0 THEN 0.0
-                        ELSE length(regexp_replace(text, '[^.,;:!?''"()\\-]', '', 'g'))::DOUBLE / length(text)::DOUBLE END) * 10.0, 1.0))
-                   AS quality
-            FROM t
-        """,
-        "intra_dup_chars": """
-            WITH toks AS (
-              SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS w
-              FROM documents
-            ), grams AS (
-              SELECT doc_id,
-                     unnest(list_transform(
-                       generate_series(1, greatest(len(w) - 1, 0)),
-                       i -> w[i] || ' ' || w[i+1])) AS gram
-              FROM toks
-            ), per AS (
-              SELECT doc_id, gram, count(*) AS cnt,
-                     count(*) * length(gram) AS chars
-              FROM grams GROUP BY 1, 2
-            )
-            SELECT d.doc_id,
-                   coalesce(sum(p.chars), 0)::BIGINT AS total_chars,
-                   coalesce(sum(CASE WHEN p.cnt >= 2 THEN p.chars END),
-                            0)::BIGINT AS dup_chars,
-                   CASE WHEN coalesce(sum(p.chars), 0) = 0 THEN 0.0
-                        ELSE coalesce(sum(CASE WHEN p.cnt >= 2
-                                          THEN p.chars END), 0)::DOUBLE
-                             / sum(p.chars)::DOUBLE
-                   END AS intra_dup_frac
-            FROM documents d
-            LEFT JOIN per p ON p.doc_id = d.doc_id
-            GROUP BY d.doc_id
-        """,
-        "gopher_filter": """
-            WITH t AS (
-              SELECT doc_id, text,
-                     regexp_extract_all(text, '\\S+') AS w,
-                     regexp_extract_all(lower(text), '\\S+') AS wl
+                     regexp_extract_all(lower(text), '\\S+') AS wl,
+                     regexp_extract_all(text, '\\S+') AS w
               FROM documents
             ), m AS (
-              SELECT doc_id,
+              SELECT doc_id, text, wl,
                      len(w) AS words,
                      CASE WHEN len(w) = 0 THEN 0.0
                           ELSE list_aggregate(
@@ -1030,6 +1251,14 @@ def oracle_sql() -> dict[str, str]:
               FROM t
             )
             SELECT doc_id,
+                   len(wl)::INT AS tok_ws,
+                   len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\\s]'))::INT AS tok_bpe,
+                   ceil(len(wl) * 1.3)::INT AS est_llm_tokens,
+                   sw::INT AS sw_hits,
+                   0.4 * least(length(text)::DOUBLE / 1000.0, 1.0)
+                   + 0.3 * least((CASE WHEN len(wl) = 0 THEN 0.0
+                        ELSE sw::DOUBLE / len(wl)::DOUBLE END) / 0.05, 1.0)
+                   + 0.3 * (1.0 - least(punct * 10.0, 1.0)) AS quality,
                    words >= 30 AND words <= 5000 AS rule_word_count,
                    mwl >= 3.0 AND mwl <= 10.0 AS rule_mean_word_len,
                    punct <= 0.2 AS rule_punct,
@@ -1038,6 +1267,12 @@ def oracle_sql() -> dict[str, str]:
                    AND (mwl >= 3.0 AND mwl <= 10.0)
                    AND punct <= 0.2 AND sw >= 2 AS keep
             FROM m
+        """,
+        "dup_chars_grams": f"""
+            SELECT a.doc_id, a.total_chars, a.dup_chars, a.intra_dup_frac,
+                   b.n_grams, b.dup_grams, b.dup_frac
+            FROM ({intra_sql}) a JOIN ({dupfrac_sql}) b
+              ON a.doc_id = b.doc_id
         """,
         "redact_pii": _redact_sql(),
         "pack_sequences": f"""
@@ -1088,14 +1323,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, coalesce(r.cleaned, '') AS cleaned
             FROM documents d LEFT JOIN rebuilt r ON r.doc_id = d.doc_id
         """,
-        "lang_id": _lang_id_sql(),
-        "fingerprints": f"""
-            SELECT doc_id,
-                   md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp_exact,
-                   list_min(list_transform(
-                     generate_series(1, length(text) - 7),
-                     i -> {_MD5L.format(x="substr(lower(text), i, 8)")})) AS fp_roll
-            FROM documents
+        "lang_fingerprints": f"""
+            SELECT l.doc_id, l.lang_pred, f.fp_exact, f.fp_roll
+            FROM ({_lang_id_sql()}) l
+            JOIN (
+              SELECT doc_id,
+                     md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp_exact,
+                     list_min(list_transform(
+                       generate_series(1, length(text) - 7),
+                       i -> {_MD5L.format(x="substr(lower(text), i, 8)")})) AS fp_roll
+              FROM documents
+            ) f ON l.doc_id = f.doc_id
         """,
         "winnow_fps": f"""
             WITH g AS (
@@ -1148,7 +1386,8 @@ def oracle_sql() -> dict[str, str]:
               SELECT e.doc_id, e.fp FROM e JOIN fdf USING (fp)
               WHERE fdf.dfc <= 20
             )
-            SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS shared
+            SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS shared,
+                   true AS in_expr, true AS in_fast
             FROM kept a JOIN kept b
               ON a.fp = b.fp AND a.doc_id < b.doc_id
             GROUP BY 1, 2
@@ -1185,11 +1424,13 @@ def oracle_sql() -> dict[str, str]:
         "minhash_sigs": _minhash_sql(num_hashes=8),
         "minhash_lsh_pairs": _minhash_lsh_sql(8, 4, 0.25),
         "dup_clusters": _dup_clusters_sql(final="clusters"),
-        "dedup_keep_reps": _dup_clusters_sql(final="kept"),
-        "dedup_keep_best": _dup_clusters_sql(final="kept_best"),
+        "dedup_keep": _dup_clusters_sql(final="flags"),
         "embedding_neardup": _embedding_neardup_sql(0.35, 4, 42),
         "simhash_pairs": _simhash_pairs_sql(max_hamming=3),
-        "embedding_topk": """
+        # IVF with nprobe = nlist is exact, so one brute-force oracle gates
+        # both paths; any brute/IVF divergence breaks the (query_id, rank)
+        # join in the Spark query and fails the row-count compare
+        "topk_brute_vs_ivf": """
             WITH emb AS (
               SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
             ), q AS (
@@ -1200,28 +1441,14 @@ def oracle_sql() -> dict[str, str]:
                      / (sqrt(list_sum(list_transform(emb.v, x -> x * x)))
                         * sqrt(list_sum(list_transform(q.qv, x -> x * x)))) AS cos_sim
               FROM emb CROSS JOIN q
+            ), ranked AS (
+              SELECT query_id, vec_id, cos_sim,
+                     row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC)::INT AS rank
+              FROM scored
             )
-            SELECT query_id, vec_id, round(cos_sim, 6) AS cos_sim_r,
-                   row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC)::INT AS rank
-            FROM scored
-            QUALIFY rank <= 5
-        """,
-        "ann_ivf_full": """
-            WITH emb AS (
-              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-            ), q AS (
-              SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < 10
-            ), scored AS (
-              SELECT q.query_id, emb.vec_id,
-                     list_sum(list_transform(generate_series(1, len(emb.v)), i -> emb.v[i] * q.qv[i]))
-                     / (sqrt(list_sum(list_transform(emb.v, x -> x * x)))
-                        * sqrt(list_sum(list_transform(q.qv, x -> x * x)))) AS cos_sim
-              FROM emb CROSS JOIN q
-            )
-            SELECT query_id, vec_id, round(cos_sim, 6) AS cos_sim_r,
-                   row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC)::INT AS rank
-            FROM scored
-            QUALIFY rank <= 5
+            SELECT query_id, rank, vec_id, round(cos_sim, 6) AS cos_sim_r,
+                   vec_id AS vec_id_ivf, round(cos_sim, 6) AS cos_sim_ivf_r
+            FROM ranked WHERE rank <= 5
         """,
         "embedding_sim_pairs": """
             WITH emb AS (
@@ -1359,34 +1586,6 @@ def oracle_sql() -> dict[str, str]:
                    (sum(value::DECIMAL(18,6)))::DOUBLE AS value_sum
             FROM sess GROUP BY 1, 2
         """,
-        "dup_ngram_frac": """
-            WITH toks AS (
-              SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS w
-              FROM documents
-            ), grams AS (
-              SELECT doc_id,
-                     list_distinct(list_transform(
-                       generate_series(1, greatest(len(w) - 2, 0)),
-                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
-              FROM toks
-            ), posting AS (
-              SELECT doc_id, unnest(g) AS gram FROM grams
-            ), freq AS (
-              SELECT gram, count(*) AS df FROM posting GROUP BY gram
-            )
-            SELECT d.doc_id,
-                   count(p.gram) AS n_grams,
-                   coalesce(sum(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END),
-                            0)::BIGINT AS dup_grams,
-                   CASE WHEN count(p.gram) = 0 THEN 0.0
-                        ELSE sum(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END)::DOUBLE
-                             / count(p.gram)::DOUBLE
-                   END AS dup_frac
-            FROM documents d
-            LEFT JOIN posting p ON p.doc_id = d.doc_id
-            LEFT JOIN freq f ON f.gram = p.gram
-            GROUP BY d.doc_id
-        """,
         "decontaminate": """
             WITH toks AS (
               SELECT doc_id, source,
@@ -1424,112 +1623,31 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN bench b ON b.gram = t.gram
             GROUP BY d.doc_id
         """,
-        "unigram_ppl": """
-            WITH toks AS (
-              SELECT doc_id,
-                     unnest(regexp_extract_all(lower(trim(text)), '\\S+'))
-                       AS tok
+        "lm_perplexity": f"""
+            SELECT u.doc_id, u.n_tokens,
+                   u.cross_entropy AS ce_unigram,
+                   u.perplexity AS ppl_unigram,
+                   b.n_bigrams,
+                   b.cross_entropy AS ce_bigram,
+                   b.perplexity AS ppl_bigram
+            FROM ({uni_ppl_sql}) u JOIN ({bi_ppl_sql}) b
+              ON u.doc_id = b.doc_id
+        """,
+        "sample_mix": f"""
+            WITH base AS (
+              SELECT doc_id, lang, source, n_chars,
+                     len(regexp_extract_all(trim(text), '\\S+'))::INT
+                       AS n_tokens
               FROM documents
-            ), dc AS (
-              SELECT doc_id, tok, count(*) AS c_dw FROM toks GROUP BY 1, 2
-            ), vocab AS (
-              SELECT tok, sum(c_dw) AS c_w FROM dc GROUP BY tok
-            ), tot AS (
-              SELECT sum(c_w)::DOUBLE AS n, count(*)::DOUBLE AS v
-              FROM vocab
-            ), lp AS (
-              SELECT tok, log2((c_w + 1.0) / (n + 1.0 * v)) AS logp
-              FROM vocab, tot
-            ), per AS (
-              SELECT d.doc_id,
-                     coalesce(sum(dc.c_dw), 0)::BIGINT AS n_tokens,
-                     sum(dc.c_dw * lp.logp) AS slp
-              FROM documents d
-              LEFT JOIN dc ON dc.doc_id = d.doc_id
-              LEFT JOIN lp ON lp.tok = dc.tok
-              GROUP BY d.doc_id
             )
-            SELECT doc_id, n_tokens,
-                   CASE WHEN n_tokens = 0 THEN NULL
-                        ELSE -slp / n_tokens END AS cross_entropy,
-                   CASE WHEN n_tokens = 0 THEN NULL
-                        ELSE pow(2.0, -slp / n_tokens) END AS perplexity
-            FROM per
-        """,
-        "bigram_ppl": """
-            WITH t AS (
-              SELECT doc_id,
-                     regexp_extract_all(lower(trim(text)), '\\S+') AS l
-              FROM documents
-            ), bg AS (
-              SELECT doc_id, l[i] || ' ' || l[i + 1] AS bg
-              FROM (
-                SELECT doc_id, l,
-                       unnest(generate_series(1, len(l) - 1)) AS i
-                FROM t
-              )
-            ), dc AS (
-              SELECT doc_id, bg, count(*) AS c_db FROM bg GROUP BY 1, 2
-            ), corpus AS (
-              SELECT bg, sum(c_db) AS c_b FROM dc GROUP BY bg
-            ), ctx AS (
-              SELECT split_part(bg, ' ', 1) AS w1, sum(c_b) AS c_w1
-              FROM corpus GROUP BY 1
-            ), vv AS (
-              SELECT count(DISTINCT tok)::DOUBLE AS v
-              FROM (SELECT unnest(l) AS tok FROM t)
-            ), lp AS (
-              SELECT corpus.bg,
-                     log2((c_b + 1.0) / (c_w1 + 1.0 * v)) AS logp
-              FROM corpus
-              JOIN ctx ON split_part(corpus.bg, ' ', 1) = ctx.w1, vv
-            ), per AS (
-              SELECT d.doc_id,
-                     coalesce(sum(dc.c_db), 0)::BIGINT AS n_bigrams,
-                     sum(dc.c_db * lp.logp) AS slp
-              FROM documents d
-              LEFT JOIN dc ON dc.doc_id = d.doc_id
-              LEFT JOIN lp ON lp.bg = dc.bg
-              GROUP BY d.doc_id
-            )
-            SELECT doc_id, n_bigrams,
-                   CASE WHEN n_bigrams = 0 THEN NULL
-                        ELSE -slp / n_bigrams END AS cross_entropy,
-                   CASE WHEN n_bigrams = 0 THEN NULL
-                        ELSE pow(2.0, -slp / n_bigrams) END AS perplexity
-            FROM per
-        """,
-        "stratified_sample": f"""
-            SELECT doc_id, lang, source FROM documents
-            WHERE ({_MD5L.format(x="doc_id::VARCHAR || '#' || '0'")})::DOUBLE
-                  / 1152921504606846976.0
-                < CASE lang WHEN 'de' THEN 0.6::DOUBLE
-                            WHEN 'en' THEN 0.3::DOUBLE
-                            WHEN 'zh' THEN 1.0::DOUBLE
-                            ELSE 0.2::DOUBLE END
-        """,
-        "source_quota": """
-            SELECT source, doc_id, n_chars FROM documents
-            QUALIFY row_number() OVER (
-              PARTITION BY source ORDER BY n_chars DESC, doc_id
-            ) <= 5
-        """,
-        "token_budget_mix": f"""
-            WITH t AS (
-              SELECT doc_id, lang,
-                     len(regexp_extract_all(trim(text), '\\S+'))::INT AS n_tokens,
-                     {_MD5L.format(x="doc_id::VARCHAR || '#' || '0'")} AS h
-              FROM documents
-            ), c AS (
-              SELECT doc_id, lang, n_tokens,
-                     sum(n_tokens::BIGINT) OVER (
-                       PARTITION BY lang ORDER BY h, doc_id
-                       ROWS UNBOUNDED PRECEDING) AS cum
-              FROM t
-            )
-            SELECT doc_id, lang, n_tokens FROM c
-            WHERE cum - n_tokens < CASE lang WHEN 'en' THEN 6000
-                                             ELSE 3000 END
+            SELECT b.doc_id, b.lang, b.source, b.n_chars, b.n_tokens,
+                   s.doc_id IS NOT NULL AS in_stratified,
+                   q.doc_id IS NOT NULL AS in_quota,
+                   g.doc_id IS NOT NULL AS in_budget
+            FROM base b
+            LEFT JOIN ({strat_sql}) s ON s.doc_id = b.doc_id
+            LEFT JOIN ({quota_sql}) q ON q.doc_id = b.doc_id
+            LEFT JOIN ({budget_sql}) g ON g.doc_id = b.doc_id
         """,
         "asof_purchases": """
             WITH p AS (
@@ -1576,45 +1694,35 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             GROUP BY n_name
         """,
-        "kb_bm25": _bm25_sql("spark join window table data", "bm25_r"),
-        "kb_ngram_cosine": _ngram_cosine_sql(
-            "spark window query join", 2048, "cos_r"
-        ),
+        # separate retrievers hit different doc subsets → FULL JOIN
+        "kb_scores": f"""
+            WITH {_bm25_core_sql("spark join window table data")},
+            {_ngram_cosine_core_sql("spark window query join", 2048)}
+            SELECT coalesce(b.doc_id, n.doc_id) AS doc_id,
+                   round(b.score, 6) AS bm25_r,
+                   round(n.score, 6) AS cos_r
+            FROM bm25 b FULL JOIN ncos n ON b.doc_id = n.doc_id
+        """,
         "kb_hybrid_rrf": _hybrid_rrf_sql("spark window query join", 2048),
-        "chunk_fixed": """
-            WITH w AS (
-              SELECT doc_id, regexp_extract_all(trim(text), '\\S+') AS toks
-              FROM documents
-            ), idx AS (
-              SELECT doc_id, toks,
-                     unnest(generate_series(0, ((len(toks) + 15) // 16) - 1))
-                       AS chunk_idx
-              FROM w
-            ), pieces AS (
-              SELECT doc_id, chunk_idx,
-                     array_to_string(
-                       list_slice(toks, chunk_idx*16+1, (chunk_idx+1)*16), ' ')
-                       AS chunk_text,
-                     least(16, len(toks) - chunk_idx*16)::INT AS chunk_tokens
-              FROM idx
-            )
-            SELECT doc_id, chunk_idx,
-                   ('0x' || substr(md5(doc_id::VARCHAR || ':' ||
-                     chunk_idx::VARCHAR), 1, 15))::BIGINT AS chunk_id,
-                   chunk_tokens, chunk_text
-            FROM pieces
+        "chunks": f"""
+            SELECT coalesce(fx.doc_id, sm.doc_id) AS doc_id,
+                   coalesce(fx.chunk_idx, sm.chunk_idx)::BIGINT AS chunk_idx,
+                   fx.chunk_id,
+                   fx.chunk_tokens AS tokens_fixed,
+                   fx.chunk_text,
+                   sm.chunk_tokens AS tokens_sem
+            FROM ({fixed_chunk_sql}) fx
+            FULL JOIN ({_chunk_semantic_sql(64)}) sm
+              ON fx.doc_id = sm.doc_id AND fx.chunk_idx = sm.chunk_idx
         """,
         "grounding_tfidf": _grounding_sql(),
-        "chunk_semantic": _chunk_semantic_sql(64),
         # binary column = utf-8 of ascii text, so the oracle mirrors byte
         # ops with text functions (duckdb md5 is VARCHAR-only)
-        "mm_meta": """
-            SELECT doc_id,
-                   length(text)::BIGINT AS byte_len,
-                   md5(text) AS md5_hex,
-                   (length(text) % 640 + 16)::INT AS width,
-                   (length(text) % 480 + 16)::INT AS height
-            FROM documents
+        "mm_meta_hist": f"""
+            SELECT h.doc_id, h.bucket, h.cnt,
+                   m.byte_len, m.md5_hex, m.width, m.height
+            FROM ({mm_hist_sql}) h JOIN ({mm_meta_sql}) m
+              ON h.doc_id = m.doc_id
         """,
         "mm_frames": """
             WITH base AS (
@@ -1635,17 +1743,6 @@ def oracle_sql() -> dict[str, str]:
                              THEN length(text) - frame_idx * flen
                              ELSE flen END)::INT)) AS frame_md5
             FROM idx
-        """,
-        "mm_byte_hist": """
-            WITH chars AS (
-              SELECT doc_id,
-                     ascii(substr(text, i::INT, 1)) % 16 AS bucket
-              FROM (SELECT doc_id, text,
-                           unnest(generate_series(1, length(text))) AS i
-                    FROM documents)
-            )
-            SELECT doc_id, bucket::INT AS bucket, count(*)::BIGINT AS cnt
-            FROM chars GROUP BY doc_id, bucket
         """,
         "confidence_blend": """
             SELECT o_orderkey,
@@ -1695,13 +1792,6 @@ def _bm25_core_sql(query: str) -> str:
         )"""
 
 
-def _bm25_sql(query: str, out_col: str) -> str:
-    return f"""
-        WITH {_bm25_core_sql(query)}
-        SELECT doc_id, round(score, 6) AS {out_col} FROM bm25
-    """
-
-
 def _query_bucket_values(query: str, dim: int) -> tuple[str, float]:
     """(VALUES rows for the query's hashed-ngram bucket counts, qnorm) —
     must mirror knowledge/store.ngram_cosine_frame exactly."""
@@ -1743,13 +1833,6 @@ def _ngram_cosine_core_sql(query: str, dim: int) -> str:
           FROM buckets b JOIN qb USING (bucket) JOIN cnorm cn ON b.doc_id = cn.doc_id
           GROUP BY b.doc_id
         )"""
-
-
-def _ngram_cosine_sql(query: str, dim: int, out_col: str) -> str:
-    return f"""
-        WITH {_ngram_cosine_core_sql(query, dim)}
-        SELECT doc_id, round(score, 6) AS {out_col} FROM ncos
-    """
 
 
 def _hybrid_rrf_sql(query: str, dim: int) -> str:
@@ -2115,29 +2198,29 @@ def _dup_clusters_sql(final: str) -> str:
     """Connected components over the MinHash-LSH pair graph, as a DuckDB
     recursive CTE (transitive closure → min reachable id per node — fine at
     oracle scale; the Spark side uses large-star/small-star instead).
-    ``final='clusters'`` → (node, component); ``final='kept'`` → the
-    documents that survive keep-one-per-cluster dedup."""
+    ``final='clusters'`` → (node, component); ``final='flags'`` → every
+    document with per-policy survival booleans: ``in_reps`` (keep min-id
+    representative) and ``in_best`` (keep max-n_chars, ties → larger id)."""
     pair_q = _minhash_lsh_sql(8, 4, 0.25)
     if final == "clusters":
         tail = "SELECT node, component FROM comp"
-    elif final == "kept":
+    else:  # flags
         tail = """
-          SELECT doc_id, lang FROM documents
-          WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> component)
-        """
-    else:  # kept_best: representative = max n_chars, ties -> larger id
-        tail = """
-          SELECT doc_id, n_chars FROM documents
-          WHERE doc_id NOT IN (
-            SELECT node FROM (
-              SELECT c.node,
-                     row_number() OVER (
-                       PARTITION BY c.component
-                       ORDER BY d.n_chars DESC, c.node DESC
-                     ) AS rn
-              FROM comp c JOIN documents d ON d.doc_id = c.node
-            ) WHERE rn > 1
-          )
+          SELECT d.doc_id, d.lang, d.n_chars,
+                 d.doc_id NOT IN (
+                   SELECT node FROM comp WHERE node <> component
+                 ) AS in_reps,
+                 d.doc_id NOT IN (
+                   SELECT node FROM (
+                     SELECT c.node,
+                            row_number() OVER (
+                              PARTITION BY c.component
+                              ORDER BY dd.n_chars DESC, c.node DESC
+                            ) AS rn
+                     FROM comp c JOIN documents dd ON dd.doc_id = c.node
+                   ) WHERE rn > 1
+                 ) AS in_best
+          FROM documents d
         """
     return f"""
         WITH RECURSIVE pairs AS (SELECT a, b FROM ({pair_q}) p),

@@ -210,9 +210,17 @@ def _batch_provider(args):
         from ondine_spark.llm.provider_batch import LocalMockBatchProvider
 
         return LocalMockBatchProvider(args.spool or args.work_dir)
+    if args.provider == "openai":
+        from ondine_spark.llm.provider_batch import OpenAIBatchProvider
+
+        return OpenAIBatchProvider(download_dir=args.work_dir)
+    if args.provider == "anthropic":
+        from ondine_spark.llm.provider_batch import AnthropicBatchProvider
+
+        return AnthropicBatchProvider(download_dir=args.work_dir)
     raise SystemExit(
-        f"unknown batch provider {args.provider!r} (available: mock; real "
-        f"providers plug in via the BatchProvider protocol)"
+        f"unknown batch provider {args.provider!r} "
+        f"(available: mock, openai, anthropic)"
     )
 
 
@@ -228,7 +236,8 @@ def cmd_submit(args) -> int:
         registry=reg,
     )
     print(json.dumps({"run_id": handle.run_id,
-                      "provider_job_id": handle.provider_job_id}))
+                      "provider_job_id": handle.provider_job_id,
+                      "provider_job_ids": handle.provider_job_ids}))
     return 0
 
 

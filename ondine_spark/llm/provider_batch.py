@@ -9,11 +9,18 @@ and runs the back half (disaggregate → parse → merge → write).
 
 Spark-first split:
 - FRONT half is a DataFrame plan: the prompts frame (with row ids and
-  batch ids) is written as JSONL with one ``custom_id`` per request —
-  ``df.write.json`` shape, driver-side upload.
+  batch ids) is written as JSONL part files BY THE EXECUTORS
+  (``df.write.text`` into a staging dir, ``maxRecordsPerFile``-capped) —
+  the driver never materializes the request set; it only streams each
+  bounded part file to the provider. At 10⁸ requests this is the
+  difference between driver OOM and a constant-memory upload loop.
 - The provider boundary is a small ``BatchProvider`` protocol
-  (submit_file/poll/download) — a deterministic ``LocalMockBatchProvider``
-  ships for tests; real OpenAI/Anthropic providers are import-guarded.
+  (submit_file/poll/download). One provider job is created per part file,
+  which also respects real per-job request caps (OpenAI: 50K requests per
+  batch). A deterministic ``LocalMockBatchProvider`` ships for tests;
+  ``OpenAIBatchProvider`` / ``AnthropicBatchProvider`` speak the real
+  HTTP APIs through an injectable transport (stdlib urllib by default,
+  fake transports in tests — no network needed).
 - BACK half joins the downloaded responses back on ``custom_id`` = row_id
   and reuses the same parse/merge plan as live mode.
 - The RunRegistry carries the handoff across processes (submit and collect
@@ -22,17 +29,18 @@ Spark-first split:
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import time
 import uuid
-from dataclasses import dataclass
-from typing import Protocol
+from dataclasses import dataclass, field
+from typing import Callable, Protocol
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ondine_spark.plans.pipeline import RESPONSE_META, Pipeline
+from ondine_spark.plans.pipeline import Pipeline
 from ondine_spark.sources.readers import ROW_ID
 
 
@@ -45,7 +53,8 @@ class BatchProvider(Protocol):
         expired | cancelled."""
 
     def download(self, job_id: str) -> str:
-        """→ local path of the results JSONL (one object per custom_id)."""
+        """→ local path of the results JSONL (one object per custom_id,
+        normalized to the OpenAI batch-output shape)."""
 
 
 class LocalMockBatchProvider:
@@ -108,36 +117,276 @@ class LocalMockBatchProvider:
         return os.path.join(job_dir, "output.jsonl")
 
 
+# --------------------------------------------------------------------------
+# real-provider backends: stdlib-urllib HTTP behind an injectable transport
+# (tests pass a fake transport; nothing here imports an SDK).
+# Transport signature: (method, url, headers, body_bytes) -> (status, bytes).
+
+Transport = Callable[[str, str, dict, bytes], tuple[int, bytes]]
+
+
+def _urllib_transport(method: str, url: str, headers: dict,
+                      body: bytes) -> tuple[int, bytes]:
+    import urllib.error
+    import urllib.request
+
+    req = urllib.request.Request(url, data=body or None, headers=headers,
+                                 method=method)
+    try:
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            return resp.status, resp.read()
+    except urllib.error.HTTPError as e:  # pragma: no cover - network path
+        return e.code, e.read()
+
+
+def _multipart(fields: dict[str, str], file_field: str, filename: str,
+               payload: bytes) -> tuple[bytes, str]:
+    """Minimal multipart/form-data encoder for the file-upload endpoint."""
+    boundary = "----ondine-" + uuid.uuid4().hex
+    parts = []
+    for k, v in fields.items():
+        parts.append(
+            f"--{boundary}\r\nContent-Disposition: form-data; "
+            f'name="{k}"\r\n\r\n{v}\r\n'.encode()
+        )
+    parts.append(
+        f"--{boundary}\r\nContent-Disposition: form-data; "
+        f'name="{file_field}"; filename="{filename}"\r\n'
+        f"Content-Type: application/jsonl\r\n\r\n".encode()
+    )
+    parts.append(payload)
+    parts.append(f"\r\n--{boundary}--\r\n".encode())
+    return b"".join(parts), f"multipart/form-data; boundary={boundary}"
+
+
+class OpenAIBatchProvider:
+    """OpenAI Batch API (files + batches endpoints). Per-part memory is
+    bounded by ``max_requests_per_file`` at compile time, so reading one
+    part for upload is constant-size regardless of total request count.
+
+    Reference semantics: ondine/orchestration/backends/provider_batch.py:85-285
+    (upload file purpose=batch → create batch → poll → download
+    output_file_id)."""
+
+    base = "https://api.openai.com/v1"
+
+    def __init__(self, api_key: str | None = None,
+                 transport: Transport | None = None,
+                 completion_window: str = "24h",
+                 download_dir: str | None = None):
+        self.api_key = api_key or os.environ.get("OPENAI_API_KEY", "")
+        if not self.api_key:
+            raise RuntimeError(
+                "OpenAIBatchProvider needs an api_key (or OPENAI_API_KEY)"
+            )
+        self.transport = transport or _urllib_transport
+        self.completion_window = completion_window
+        self.download_dir = download_dir
+
+    def _call(self, method: str, path: str, body: bytes = b"",
+              content_type: str = "application/json") -> dict | bytes:
+        headers = {"Authorization": f"Bearer {self.api_key}"}
+        if body:
+            headers["Content-Type"] = content_type
+        status, data = self.transport(method, self.base + path, headers, body)
+        if status >= 300:
+            raise RuntimeError(f"{method} {path} -> HTTP {status}: "
+                               f"{data[:300]!r}")
+        if path.endswith("/content"):
+            return data
+        return json.loads(data)
+
+    def submit_file(self, jsonl_path: str, model: str) -> str:
+        with open(jsonl_path, "rb") as f:
+            payload = f.read()
+        body, ctype = _multipart({"purpose": "batch"}, "file",
+                                 os.path.basename(jsonl_path), payload)
+        up = self._call("POST", "/files", body, ctype)
+        batch = self._call("POST", "/batches", json.dumps({
+            "input_file_id": up["id"],
+            "endpoint": "/v1/chat/completions",
+            "completion_window": self.completion_window,
+        }).encode())
+        return batch["id"]
+
+    def poll(self, job_id: str) -> str:
+        st = self._call("GET", f"/batches/{job_id}")["status"]
+        return {"validating": "in_progress", "finalizing": "in_progress",
+                "in_progress": "in_progress", "completed": "completed",
+                "failed": "failed", "expired": "expired",
+                "cancelling": "in_progress",
+                "cancelled": "cancelled"}.get(st, st)
+
+    def download(self, job_id: str) -> str:
+        batch = self._call("GET", f"/batches/{job_id}")
+        content = self._call(
+            "GET", f"/files/{batch['output_file_id']}/content"
+        )
+        out_dir = self.download_dir or os.path.join(
+            os.path.expanduser("~"), ".ondine_spark", "batch_results"
+        )
+        os.makedirs(out_dir, exist_ok=True)
+        path = os.path.join(out_dir, f"{job_id}.output.jsonl")
+        with open(path, "wb") as f:
+            f.write(content if isinstance(content, bytes)
+                    else json.dumps(content).encode())
+        return path
+
+
+class AnthropicBatchProvider:
+    """Anthropic Message Batches API. Requests are submitted inline (the
+    API takes a JSON array, not a file); ``download`` normalizes the
+    results JSONL to the OpenAI batch-output shape the collect plan
+    parses, so the back half is provider-agnostic.
+
+    Reference semantics: ondine/orchestration/backends/provider_batch.py:287-527."""
+
+    base = "https://api.anthropic.com/v1"
+
+    def __init__(self, api_key: str | None = None,
+                 transport: Transport | None = None,
+                 max_tokens: int = 1024,
+                 download_dir: str | None = None):
+        self.api_key = api_key or os.environ.get("ANTHROPIC_API_KEY", "")
+        if not self.api_key:
+            raise RuntimeError(
+                "AnthropicBatchProvider needs an api_key (or ANTHROPIC_API_KEY)"
+            )
+        self.transport = transport or _urllib_transport
+        self.max_tokens = max_tokens
+        self.download_dir = download_dir
+
+    def _call(self, method: str, path: str, body: bytes = b"") -> bytes:
+        headers = {
+            "x-api-key": self.api_key,
+            "anthropic-version": "2023-06-01",
+        }
+        if body:
+            headers["Content-Type"] = "application/json"
+        status, data = self.transport(method, self.base + path, headers, body)
+        if status >= 300:
+            raise RuntimeError(f"{method} {path} -> HTTP {status}: "
+                               f"{data[:300]!r}")
+        return data
+
+    def submit_file(self, jsonl_path: str, model: str) -> str:
+        requests = []
+        with open(jsonl_path) as f:
+            for line in f:
+                req = json.loads(line)
+                msgs = req["body"]["messages"]
+                system = [m["content"] for m in msgs if m["role"] == "system"]
+                params = {
+                    "model": req["body"].get("model", model),
+                    "max_tokens": self.max_tokens,
+                    "messages": [m for m in msgs if m["role"] != "system"],
+                }
+                if system:
+                    params["system"] = system[0]
+                requests.append(
+                    {"custom_id": req["custom_id"], "params": params}
+                )
+        resp = json.loads(self._call(
+            "POST", "/messages/batches",
+            json.dumps({"requests": requests}).encode(),
+        ))
+        return resp["id"]
+
+    def poll(self, job_id: str) -> str:
+        resp = json.loads(self._call("GET", f"/messages/batches/{job_id}"))
+        return {"in_progress": "in_progress", "canceling": "in_progress",
+                "ended": "completed"}.get(resp["processing_status"],
+                                          resp["processing_status"])
+
+    def download(self, job_id: str) -> str:
+        raw = self._call("GET", f"/messages/batches/{job_id}/results")
+        out_dir = self.download_dir or os.path.join(
+            os.path.expanduser("~"), ".ondine_spark", "batch_results"
+        )
+        os.makedirs(out_dir, exist_ok=True)
+        path = os.path.join(out_dir, f"{job_id}.output.jsonl")
+        with open(path, "w") as f:
+            for line in raw.decode().splitlines():
+                if not line.strip():
+                    continue
+                r = json.loads(line)
+                res = r.get("result", {})
+                if res.get("type") == "succeeded":
+                    msg = res["message"]
+                    text = "".join(
+                        b.get("text", "") for b in msg.get("content", [])
+                    )
+                    f.write(json.dumps({
+                        "custom_id": r["custom_id"],
+                        "response": {"body": {
+                            "choices": [{"message": {"content": text}}],
+                            "usage": {
+                                "prompt_tokens":
+                                    msg["usage"]["input_tokens"],
+                                "completion_tokens":
+                                    msg["usage"]["output_tokens"],
+                            },
+                            "model": msg.get("model", ""),
+                        }},
+                        "error": None,
+                    }) + "\n")
+                else:
+                    f.write(json.dumps({
+                        "custom_id": r["custom_id"],
+                        "response": None,
+                        "error": json.dumps(res.get("error", res)),
+                    }) + "\n")
+        return path
+
+
 @dataclass
 class RunHandle:
     """Submit-side artifact; everything collect needs (reference:
-    provider_batch.py RunHandle + run_registry handoff)."""
+    provider_batch.py RunHandle + run_registry handoff). A run maps to one
+    provider job PER request part file (bounded-size shards)."""
 
     run_id: str
-    provider_job_id: str
-    handle_dir: str
+    provider_job_ids: list[str] = field(default_factory=list)
+    handle_dir: str = ""
+
+    @property
+    def provider_job_id(self) -> str:
+        """First (often only) job id — kept for single-job callers."""
+        return self.provider_job_ids[0] if self.provider_job_ids else ""
 
     def save(self) -> str:
         path = os.path.join(self.handle_dir, f"{self.run_id}.handle.json")
         with open(path, "w") as f:
             json.dump({"run_id": self.run_id,
-                       "provider_job_id": self.provider_job_id}, f)
+                       "provider_job_ids": self.provider_job_ids}, f)
         return path
 
     @classmethod
     def load(cls, handle_dir: str, run_id: str) -> "RunHandle":
         with open(os.path.join(handle_dir, f"{run_id}.handle.json")) as f:
             d = json.load(f)
-        return cls(run_id=d["run_id"], provider_job_id=d["provider_job_id"],
+        ids = d.get("provider_job_ids")
+        if ids is None:  # round-1 single-job handle files
+            ids = [d["provider_job_id"]]
+        return cls(run_id=d["run_id"], provider_job_ids=ids,
                    handle_dir=handle_dir)
 
 
-def compile_requests(pipeline: Pipeline, jsonl_path: str) -> int:
-    """FRONT half: prompts frame → provider JSONL (OpenAI Batch request
-    shape, custom_id = row_id). Returns request count.
+def compile_requests(
+    pipeline: Pipeline,
+    staging_dir: str,
+    max_requests_per_file: int = 50_000,
+) -> tuple[int, list[str]]:
+    """FRONT half: prompts frame → provider JSONL part files (OpenAI Batch
+    request shape, custom_id = row_id). Returns (request count, part paths).
 
-    The prompts frame reuses the live plan up to (and including) mega-batch
-    aggregation, so batch mode gets the same 15× call reduction."""
+    The executors write the part files (``df.write.text``); the driver
+    never holds the request set — only streams each bounded part to the
+    provider. ``max_requests_per_file`` caps rows per part so any single
+    upload is constant-memory AND respects provider per-job caps (OpenAI:
+    50K requests/job). The prompts frame reuses the live plan up to (and
+    including) mega-batch aggregation, so batch mode gets the same call
+    reduction as live mode."""
     spec = pipeline.spec
     df = pipeline.input_frame()
     from ondine_spark.functions.templates import prompt_column
@@ -171,11 +420,15 @@ def compile_requests(pipeline: Pipeline, jsonl_path: str) -> int:
             ).alias("body"),
         )).alias("line")
     )
-    rows = requests.collect()  # driver-side: the upload is a driver action
-    with open(jsonl_path, "w") as f:
-        for r in rows:
-            f.write(r["line"] + "\n")
-    return len(rows)
+    (requests.write.mode("overwrite")
+     .option("maxRecordsPerFile", max_requests_per_file)
+     .text(staging_dir))
+    parts = [
+        p for p in sorted(glob.glob(os.path.join(staging_dir, "part-*")))
+        if not p.endswith(".crc") and os.path.getsize(p) > 0
+    ]
+    n = sum(1 for p in parts for _ in open(p, "rb"))
+    return n, parts
 
 
 def submit(
@@ -184,13 +437,15 @@ def submit(
     work_dir: str,
     run_id: str | None = None,
     registry=None,
+    max_requests_per_file: int = 50_000,
 ) -> RunHandle:
     os.makedirs(work_dir, exist_ok=True)
     run_id = run_id or uuid.uuid4().hex[:12]
-    jsonl = os.path.join(work_dir, f"{run_id}.requests.jsonl")
-    n = compile_requests(pipeline, jsonl)
-    job_id = provider.submit_file(jsonl, pipeline.spec.llm.model)
-    handle = RunHandle(run_id=run_id, provider_job_id=job_id,
+    staging = os.path.join(work_dir, f"{run_id}.requests")
+    n, parts = compile_requests(pipeline, staging, max_requests_per_file)
+    job_ids = [provider.submit_file(p, pipeline.spec.llm.model)
+               for p in parts]
+    handle = RunHandle(run_id=run_id, provider_job_ids=job_ids,
                        handle_dir=work_dir)
     handle.save()
     if registry is not None:
@@ -201,7 +456,7 @@ def submit(
         except KeyError:
             registry.create(run_id, requests=n)
         registry.transition(run_id, RunState.RUNNING, requests=n)
-        registry.set_provider_job(run_id, job_id)
+        registry.set_provider_job(run_id, ",".join(job_ids))
     return handle
 
 
@@ -213,23 +468,34 @@ def collect(
     max_polls: int = 10_000,
     registry=None,
 ) -> DataFrame:
-    """BACK half: poll → download → join on custom_id → disaggregate/parse
-    → merged result frame (same columns as live-mode result_frame)."""
+    """BACK half: poll every job → download → join on custom_id →
+    disaggregate/parse → merged result frame (same columns as live-mode
+    result_frame)."""
     spec = pipeline.spec
-    status = "unknown"
+    pending = list(handle.provider_job_ids)
+    done: list[str] = []
     for _ in range(max_polls):
-        status = provider.poll(handle.provider_job_id)
-        if status in ("completed", "failed", "expired", "cancelled"):
+        still = []
+        for job_id in pending:
+            status = provider.poll(job_id)
+            if status == "completed":
+                done.append(job_id)
+            elif status in ("failed", "expired", "cancelled"):
+                raise RuntimeError(f"batch job {job_id} ended as {status!r}")
+            else:
+                still.append(job_id)
+        pending = still
+        if not pending:
             break
         if poll_interval_s:
             time.sleep(poll_interval_s)
-    if status != "completed":
+    if pending:
         raise RuntimeError(
-            f"batch job {handle.provider_job_id} ended as {status!r}"
+            f"batch jobs still pending after {max_polls} polls: {pending}"
         )
-    out_path = provider.download(handle.provider_job_id)
+    out_paths = [provider.download(job_id) for job_id in done]
     spark = pipeline.spark
-    raw = spark.read.json(out_path)
+    raw = spark.read.json(out_paths)
     responses = raw.select(
         F.col("custom_id"),
         F.col("response.body.choices")[0]["message"]["content"]

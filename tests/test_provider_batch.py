@@ -47,7 +47,7 @@ def test_submit_poll_collect_unbatched(spark, tmp_path):
                     registry=reg)
     assert handle.provider_job_id.startswith("mockbatch-")
     assert reg.get("bj1").state == RunState.RUNNING
-    assert reg.get("bj1").provider_job_id == handle.provider_job_id
+    assert reg.get("bj1").provider_job_id == ",".join(handle.provider_job_ids)
     assert reg.get("bj1").meta["requests"] == 30
 
     # 'another process': reload the handle from disk
@@ -63,16 +63,20 @@ def test_submit_poll_collect_unbatched(spark, tmp_path):
 
 def test_batched_mode_matches_live(spark, tmp_path):
     """Mega-batched provider-batch run agrees with live execution."""
+    import os
+
     provider = LocalMockBatchProvider(str(tmp_path / "spool"))
     p = _build(spark, batch_size=10)
     handle = submit(p, provider, str(tmp_path / "work"))
 
-    # exactly ceil(30/10)=3 requests compiled (the 15× reduction headline)
-    import os
-
-    job_dir = os.path.join(str(tmp_path / "spool"), handle.provider_job_id)
-    with open(os.path.join(job_dir, "input.jsonl")) as f:
-        assert sum(1 for _ in f) == 3
+    # exactly ceil(30/10)=3 requests compiled (the call-reduction headline),
+    # possibly spread over several part files / provider jobs
+    total = 0
+    for job_id in handle.provider_job_ids:
+        job_dir = os.path.join(str(tmp_path / "spool"), job_id)
+        with open(os.path.join(job_dir, "input.jsonl")) as f:
+            total += sum(1 for _ in f)
+    assert total == 3
 
     batch_result = collect(p, provider, handle)
     live_result = _build(spark, batch_size=10).execute().data
@@ -80,6 +84,193 @@ def test_batched_mode_matches_live(spark, tmp_path):
     got_l = {r["id"]: r["sentiment"] for r in live_result.collect()}
     assert got_b == got_l
     assert None not in got_b.values()
+
+
+def test_driver_never_materializes_requests(spark, tmp_path, monkeypatch):
+    """The request set must reach the provider via executor-written part
+    files, never via a driver-side collect of the full frame (driver OOM
+    at 10⁸ requests). Any DataFrame.collect/toPandas/toLocalIterator during
+    submit() fails the test."""
+    from pyspark.sql import DataFrame
+
+    def _boom(self, *a, **k):
+        raise AssertionError("driver materialized the request set")
+
+    monkeypatch.setattr(DataFrame, "collect", _boom)
+    monkeypatch.setattr(DataFrame, "toPandas", _boom)
+    monkeypatch.setattr(DataFrame, "toLocalIterator", _boom)
+    provider = LocalMockBatchProvider(str(tmp_path / "spool"))
+    p = _build(spark, batch_size=10)
+    handle = submit(p, provider, str(tmp_path / "work"))
+    assert handle.provider_job_ids
+
+
+def test_multipart_sharded_submit(spark, tmp_path):
+    """max_requests_per_file caps per-job request counts: 30 unbatched
+    requests at cap 7 → ≥5 provider jobs, and collect still reassembles
+    the full result."""
+    provider = LocalMockBatchProvider(str(tmp_path / "spool"))
+    p = _build(spark)
+    handle = submit(p, provider, str(tmp_path / "work"),
+                    max_requests_per_file=7)
+    assert len(handle.provider_job_ids) >= 5
+    result = collect(p, provider, handle)
+    rows = {r["id"]: r["sentiment"] for r in result.collect()}
+    assert len(rows) == 30
+    assert None not in rows.values()
+
+
+class _FakeOpenAITransport:
+    """In-memory OpenAI Batch endpoints: upload file → create batch →
+    status completed → download content produced by the deterministic
+    mock rules (so results agree with live mode)."""
+
+    def __init__(self):
+        self.files: dict[str, bytes] = {}
+        self.batches: dict[str, dict] = {}
+        self.calls: list[str] = []
+
+    def __call__(self, method, url, headers, body):
+        import json as j
+
+        self.calls.append(f"{method} {url.split('/v1')[1]}")
+        assert headers.get("Authorization", "").startswith("Bearer ")
+        if url.endswith("/files") and method == "POST":
+            fid = f"file-{len(self.files)}"
+            # body is multipart; the payload sits between the jsonl header
+            # and the trailing boundary
+            marker = b"application/jsonl\r\n\r\n"
+            payload = body.split(marker, 1)[1].rsplit(b"\r\n--", 1)[0]
+            self.files[fid] = payload
+            return 200, j.dumps({"id": fid}).encode()
+        if url.endswith("/batches") and method == "POST":
+            req = j.loads(body)
+            bid = f"batch-{len(self.batches)}"
+            out_fid = f"file-out-{bid}"
+            from ondine_spark.llm.client import DeterministicMockClient
+
+            client = DeterministicMockClient()
+            lines = []
+            for line in self.files[req["input_file_id"]].decode().splitlines():
+                r = j.loads(line)
+                resp = client.complete(r["body"]["messages"][-1]["content"])
+                lines.append(j.dumps({
+                    "custom_id": r["custom_id"],
+                    "response": {"body": {
+                        "choices": [{"message": {"content": resp.text}}],
+                        "usage": {"prompt_tokens": resp.tokens_in,
+                                  "completion_tokens": resp.tokens_out},
+                        "model": resp.model,
+                    }},
+                    "error": None,
+                }))
+            self.files[out_fid] = "\n".join(lines).encode()
+            self.batches[bid] = {"id": bid, "status": "completed",
+                                 "output_file_id": out_fid}
+            return 200, j.dumps(self.batches[bid]).encode()
+        if "/batches/" in url and method == "GET":
+            bid = url.rsplit("/", 1)[1]
+            return 200, j.dumps(self.batches[bid]).encode()
+        if url.endswith("/content") and method == "GET":
+            fid = url.rsplit("/", 2)[1]
+            return 200, self.files[fid]
+        raise AssertionError(f"unexpected call {method} {url}")
+
+
+def test_openai_provider_end_to_end(spark, tmp_path):
+    from ondine_spark.llm.provider_batch import OpenAIBatchProvider
+
+    transport = _FakeOpenAITransport()
+    provider = OpenAIBatchProvider(api_key="sk-test", transport=transport,
+                                   download_dir=str(tmp_path / "dl"))
+    p = _build(spark, batch_size=10)
+    handle = submit(p, provider, str(tmp_path / "work"))
+    result = collect(p, provider, handle)
+    rows = {r["id"]: r["sentiment"] for r in result.collect()}
+    live = {r["id"]: r["sentiment"]
+            for r in _build(spark, batch_size=10).execute().data.collect()}
+    assert rows == live
+    assert any(c.startswith("POST /files") for c in transport.calls)
+    assert any(c.startswith("POST /batches") for c in transport.calls)
+
+
+class _FakeAnthropicTransport:
+    """In-memory Message Batches endpoints with the native Anthropic
+    result shape (content blocks + input/output token usage)."""
+
+    def __init__(self):
+        self.batches: dict[str, list] = {}
+
+    def __call__(self, method, url, headers, body):
+        import json as j
+
+        assert headers.get("x-api-key")
+        assert headers.get("anthropic-version")
+        if url.endswith("/messages/batches") and method == "POST":
+            bid = f"msgbatch-{len(self.batches)}"
+            self.batches[bid] = j.loads(body)["requests"]
+            return 200, j.dumps(
+                {"id": bid, "processing_status": "in_progress"}
+            ).encode()
+        if url.endswith("/results") and method == "GET":
+            bid = url.rsplit("/", 2)[1]
+            from ondine_spark.llm.client import DeterministicMockClient
+
+            client = DeterministicMockClient()
+            lines = []
+            for req in self.batches[bid]:
+                resp = client.complete(req["params"]["messages"][-1]["content"])
+                lines.append(j.dumps({
+                    "custom_id": req["custom_id"],
+                    "result": {"type": "succeeded", "message": {
+                        "content": [{"type": "text", "text": resp.text}],
+                        "usage": {"input_tokens": resp.tokens_in,
+                                  "output_tokens": resp.tokens_out},
+                        "model": resp.model,
+                    }},
+                }))
+            return 200, "\n".join(lines).encode()
+        if "/messages/batches/" in url and method == "GET":
+            bid = url.rsplit("/", 1)[1]
+            return 200, j.dumps(
+                {"id": bid, "processing_status": "ended"}
+            ).encode()
+        raise AssertionError(f"unexpected call {method} {url}")
+
+
+def test_anthropic_provider_end_to_end(spark, tmp_path):
+    from ondine_spark.llm.provider_batch import AnthropicBatchProvider
+
+    provider = AnthropicBatchProvider(
+        api_key="sk-ant-test", transport=_FakeAnthropicTransport(),
+        download_dir=str(tmp_path / "dl"),
+    )
+    p = _build(spark)
+    handle = submit(p, provider, str(tmp_path / "work"))
+    result = collect(p, provider, handle)
+    rows = {r["id"]: r["sentiment"] for r in result.collect()}
+    assert len(rows) == 30
+    assert rows["k000"] == "positive"
+    assert rows["k001"] == "negative"
+    assert rows["k002"] == "neutral"
+
+
+def test_handle_roundtrip_multi_job(tmp_path):
+    h = RunHandle(run_id="r1", provider_job_ids=["a", "b", "c"],
+                  handle_dir=str(tmp_path))
+    h.save()
+    h2 = RunHandle.load(str(tmp_path), "r1")
+    assert h2.provider_job_ids == ["a", "b", "c"]
+    assert h2.provider_job_id == "a"
+
+
+def test_handle_loads_round1_single_job_format(tmp_path):
+    import json as j
+
+    with open(tmp_path / "old.handle.json", "w") as f:
+        j.dump({"run_id": "old", "provider_job_id": "job-7"}, f)
+    h = RunHandle.load(str(tmp_path), "old")
+    assert h.provider_job_ids == ["job-7"]
 
 
 def test_collect_fails_cleanly_on_bad_job(spark, tmp_path):

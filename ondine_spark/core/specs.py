@@ -95,6 +95,12 @@ class PromptSpec:
     # structured output (L3/F7): Spark StructType, DDL string, or
     # {field: ddl_type} dict; parsed with from_json + validation error col
     output_schema: Any = None
+    # L3 production depth: walk the tools → json → prompt provider-mode
+    # chain inside each worker's client (llm/structured.py; reference:
+    # unified_litellm_client.py:1055-1331). Off by default — prompt-mode
+    # fallback appends a JSON instruction, which changes the prompt the
+    # deterministic gates replay.
+    structured_mode_fallback: bool = False
     # custom parser (U2): callable (DataFrame, output_cols) -> DataFrame
     custom_parser: Callable[..., Any] | None = None
 

@@ -91,20 +91,80 @@ def client_factory_for(llm_spec) -> Callable[[], Any]:
 
     def _litellm_factory():  # pragma: no cover
         from ondine_spark.llm.client import LLMResult
+        from ondine_spark.llm.structured import StructuredModeError
 
         class LiteLLMClient:
-            def complete(self, prompt: str, system: str | None = None):
-                msgs = ([{"role": "system", "content": system}] if system else [])
-                msgs.append({"role": "user", "content": prompt})
-                r = litellm.completion(model=model, messages=msgs)
+            """Thin litellm adapter. The structured-mode methods raise
+            StructuredModeError on provider rejection so the
+            StructuredOutputClient chain (llm/structured.py) can fall
+            through tools → json → prompt, mirroring the reference's
+            unified client (unified_litellm_client.py:1055-1331)."""
+
+            def __init__(self):
+                self.model = model
+
+            def _call(self, msgs, **extra):
+                try:
+                    r = litellm.completion(model=model, messages=msgs, **extra)
+                except Exception as e:
+                    # litellm maps provider 400s for unsupported params to
+                    # BadRequestError; that's a mode problem, not transport
+                    if type(e).__name__ in ("BadRequestError",
+                                            "UnsupportedParamsError"):
+                        raise StructuredModeError(str(e)) from e
+                    raise
                 usage = r.get("usage", {})
+                choice = r["choices"][0]["message"]
+                text = choice.get("content")
+                if text is None and choice.get("tool_calls"):
+                    text = choice["tool_calls"][0]["function"]["arguments"]
                 return LLMResult(
-                    text=r["choices"][0]["message"]["content"],
+                    text=text or "",
                     tokens_in=usage.get("prompt_tokens", 0),
                     tokens_out=usage.get("completion_tokens", 0),
                     model=model,
                     cost=str(r._hidden_params.get("response_cost") or 0),
                     latency_ms=0.0,
+                )
+
+            @staticmethod
+            def _msgs(prompt, system):
+                msgs = ([{"role": "system", "content": system}]
+                        if system else [])
+                msgs.append({"role": "user", "content": prompt})
+                return msgs
+
+            def complete(self, prompt: str, system: str | None = None):
+                return self._call(self._msgs(prompt, system))
+
+            def complete_tools(self, prompt, fields, system=None):
+                tool = {
+                    "type": "function",
+                    "function": {
+                        "name": "emit_result",
+                        "description": "Return the structured answer.",
+                        "parameters": {
+                            "type": "object",
+                            "properties": {f: {"type": "string"}
+                                           for f in fields},
+                            "required": list(fields),
+                        },
+                    },
+                }
+                return self._call(
+                    self._msgs(prompt, system), tools=[tool],
+                    tool_choice={"type": "function",
+                                 "function": {"name": "emit_result"}},
+                )
+
+            def complete_json(self, prompt, fields, system=None):
+                keys = ", ".join(fields)
+                return self._call(
+                    self._msgs(
+                        f"{prompt}\nReturn a JSON object with keys: {keys}.",
+                        system,
+                    ),
+                    response_format={"type": "json_object"},
                 )
 
         return LiteLLMClient()

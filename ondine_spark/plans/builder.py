@@ -106,12 +106,19 @@ class PipelineBuilder:
         self._spec.prompt.regex_patterns = regex_patterns
         return self
 
-    def with_structured_output(self, schema):
+    def with_structured_output(self, schema, mode_fallback: bool = False):
         """L3: validated structured output. ``schema`` is a StructType, DDL
         string ('label STRING, score DOUBLE'), or {field: ddl_type} dict —
-        the Spark analog of the reference's Pydantic response models."""
+        the Spark analog of the reference's Pydantic response models.
+
+        ``mode_fallback=True`` additionally wraps the client in the
+        tools → json → prompt provider-mode chain
+        (``ondine_spark.llm.structured``; reference:
+        unified_litellm_client.py:1055-1331) — each executor worker probes
+        once and sticks to the first mode its provider accepts."""
         self._spec.prompt.response_format = ResponseFormat.SCHEMA
         self._spec.prompt.output_schema = schema
+        self._spec.prompt.structured_mode_fallback = mode_fallback
         return self
 
     def with_custom_parser(self, fn):
@@ -281,6 +288,17 @@ class PipelineBuilder:
         from ondine_spark.plans.pipeline import Pipeline
 
         self._spec.validate()
+        if (self._spec.prompt.response_format == ResponseFormat.SCHEMA
+                and self._spec.prompt.structured_mode_fallback):
+            from ondine_spark.functions.parsing import normalize_schema
+            from ondine_spark.llm.providers import client_factory_for
+            from ondine_spark.llm.structured import structured_factory
+
+            fields = normalize_schema(
+                self._spec.prompt.output_schema
+            ).fieldNames()
+            base = client_factory_for(self._spec.llm)
+            self._spec.llm.client_factory = structured_factory(base, fields)
         return Pipeline(self._spec, self._spark)
 
     @property

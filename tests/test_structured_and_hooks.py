@@ -161,3 +161,162 @@ def test_adaptive_limiter_unit():
         lim.acquire()
         lim.release(0.05, throttled=False)
     assert lim.limit == before
+
+
+# ---------------------------------------------------------------- L3 depth:
+# tools → json → prompt mode-fallback chain (llm/structured.py)
+
+
+class _Result:
+    def __init__(self, text):
+        self.text = text
+        self.tokens_in = 3
+        self.tokens_out = 1
+        self.model = "stub"
+        self.cost = "0"
+        self.latency_ms = 0.0
+        self.error = None
+
+
+def test_fallback_tools_rejected_json_succeeds():
+    """Stub provider rejects tools mode (HTTP-400 style), accepts json
+    mode; the chain must land on json and stick to it."""
+    from ondine_spark.llm.structured import (
+        StructuredModeError,
+        StructuredOutputClient,
+    )
+
+    calls = []
+
+    class Stub:
+        model = "stub"
+
+        def complete_tools(self, prompt, fields, system=None):
+            calls.append("tools")
+            raise StructuredModeError("tools not supported for this model")
+
+        def complete_json(self, prompt, fields, system=None):
+            calls.append("json")
+            return _Result('{"label": "x", "score": "1"}')
+
+        def complete(self, prompt, system=None):
+            calls.append("prompt")
+            return _Result("plain")
+
+    c = StructuredOutputClient(Stub(), ["label", "score"])
+    r = c.complete("classify this")
+    assert r.text == '{"label": "x", "score": "1"}'
+    assert c.mode == "json"
+    # sticky: the second call must NOT re-probe tools
+    c.complete("another")
+    assert calls == ["tools", "json", "json"]
+
+
+def test_fallback_to_prompt_mode_appends_instruction():
+    """A client with no structured modes gets the JSON instruction
+    appended to the prompt (the always-works degradation)."""
+    from ondine_spark.llm.structured import StructuredOutputClient
+
+    seen = []
+
+    class Bare:
+        model = "bare"
+
+        def complete(self, prompt, system=None):
+            seen.append(prompt)
+            return _Result('{"label": "y"}')
+
+    c = StructuredOutputClient(Bare(), ["label"])
+    c.complete("do the thing")
+    assert c.mode == "prompt"
+    assert seen[0].startswith("do the thing")
+    assert '"label"' in seen[0] and "JSON" in seen[0]
+
+
+def test_fallback_all_modes_fail_raises():
+    from ondine_spark.llm.structured import (
+        StructuredModeError,
+        StructuredOutputClient,
+    )
+
+    class Dead:
+        model = "dead"
+
+        def complete_tools(self, prompt, fields, system=None):
+            raise StructuredModeError("no tools")
+
+        def complete_json(self, prompt, fields, system=None):
+            raise StructuredModeError("no json")
+
+        def complete(self, prompt, system=None):
+            raise StructuredModeError("no completions at all")
+
+    c = StructuredOutputClient(Dead(), ["label"])
+    with pytest.raises(StructuredModeError, match="every structured"):
+        c.complete("x")
+
+
+def test_fallback_transport_errors_propagate():
+    """Only StructuredModeError falls through — transport errors must
+    reach the retry machinery untouched."""
+    from ondine_spark.llm.structured import StructuredOutputClient
+
+    class Flaky:
+        model = "flaky"
+
+        def complete_tools(self, prompt, fields, system=None):
+            raise TimeoutError("socket timeout")
+
+        def complete(self, prompt, system=None):
+            return _Result("never reached")
+
+    c = StructuredOutputClient(Flaky(), ["label"])
+    with pytest.raises(TimeoutError):
+        c.complete("x")
+
+
+def structured_stub_factory():
+    def factory():
+        from ondine_spark.llm.client import LLMResult
+        from ondine_spark.llm.structured import StructuredModeError
+
+        class Stub:
+            model = "stub"
+
+            def complete_tools(self, prompt, fields, system=None):
+                raise StructuredModeError("tools rejected")
+
+            def complete_json(self, prompt, fields, system=None):
+                import json as j
+
+                return LLMResult(
+                    text=j.dumps({"label": "ok", "score": "0.5"}),
+                    tokens_in=3, tokens_out=1, model="stub", cost="0",
+                )
+
+            def complete(self, prompt, system=None):  # pragma: no cover
+                raise AssertionError("chain should have stopped at json")
+
+        return Stub()
+
+    return factory
+
+
+def test_structured_pipeline_with_mode_fallback(spark):
+    """End-to-end: with_structured_output(mode_fallback=True) wraps the
+    client factory; every row parses through the json-mode responses."""
+    df = spark.createDataFrame(
+        [(f"d{i}", f"document {i}") for i in range(12)], "id string, txt string"
+    )
+    p = (
+        PipelineBuilder(spark)
+        .from_dataframe(df, ["txt"], id_column="id")
+        .with_prompt("Classify: {txt}", ["label", "score"])
+        .with_custom_llm_client(structured_stub_factory())
+        .with_structured_output("label STRING, score STRING",
+                                mode_fallback=True)
+        .build()
+    )
+    rows = p.result_frame().select("id", "label", "score").collect()
+    assert len(rows) == 12
+    assert all(r["label"] == "ok" and r["score"] == "0.5" for r in rows)

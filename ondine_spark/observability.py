@@ -105,6 +105,118 @@ class ProgressObserver:
             )
 
 
+class LangfuseObserver:
+    """Langfuse trace sink (reference:
+    ondine/observability/observers/langfuse_observer.py). One trace per
+    run: ``pipeline_start`` opens it, intermediate events attach as
+    trace events, ``pipeline_end`` records the aggregate outcome and
+    flushes. Driver-side only — it sees the run-level aggregate events,
+    never per-row executor traffic.
+
+    ``client`` is injectable (tests pass a fake recorder); without one
+    the real ``langfuse.Langfuse`` is constructed — import-guarded, so
+    this class only needs the SDK when actually instantiated without a
+    client."""
+
+    def __init__(self, client: Any = None, **client_kwargs):
+        if client is None:  # pragma: no cover - langfuse not installed here
+            try:
+                from langfuse import Langfuse
+            except ImportError as e:
+                raise ImportError(
+                    "LangfuseObserver needs the langfuse SDK "
+                    "(pip install langfuse) or an injected client"
+                ) from e
+            client = Langfuse(**client_kwargs)
+        self.client = client
+        self._traces: dict[str, Any] = {}
+
+    def on_event(self, event: PipelineEvent) -> None:
+        rid = event.run_id or "default"
+        if event.kind == "pipeline_start":
+            self._traces[rid] = self.client.trace(
+                name="ondine_spark_run", id=rid, metadata=dict(event.payload)
+            )
+            return
+        trace = self._traces.get(rid)
+        if trace is None:
+            trace = self._traces[rid] = self.client.trace(
+                name="ondine_spark_run", id=rid, metadata={}
+            )
+        if event.kind == "pipeline_end":
+            trace.update(output=dict(event.payload))
+            if hasattr(self.client, "flush"):
+                self.client.flush()
+            self._traces.pop(rid, None)
+        elif event.kind == "error":
+            trace.event(name="error", level="ERROR",
+                        metadata=dict(event.payload))
+        else:
+            trace.event(name=event.kind, metadata=dict(event.payload))
+
+
+class OpenTelemetryObserver:
+    """OTel span sink (reference:
+    ondine/observability/observers/opentelemetry_observer.py). A run maps
+    to one span: opened at ``pipeline_start``, annotated with span events
+    for intermediate kinds, closed at ``pipeline_end`` with the aggregate
+    payload as attributes; errors set the span status.
+
+    ``tracer`` is injectable (tests pass a fake); otherwise the global
+    OTel tracer provider supplies one — import-guarded."""
+
+    def __init__(self, tracer: Any = None):
+        if tracer is None:  # pragma: no cover - otel not installed here
+            try:
+                from opentelemetry import trace as _ot
+            except ImportError as e:
+                raise ImportError(
+                    "OpenTelemetryObserver needs opentelemetry-api "
+                    "(pip install opentelemetry-api) or an injected tracer"
+                ) from e
+            tracer = _ot.get_tracer("ondine_spark")
+        self.tracer = tracer
+        self._spans: dict[str, Any] = {}
+
+    @staticmethod
+    def _attrs(payload: dict) -> dict:
+        # OTel attribute values must be str/bool/int/float (or sequences)
+        return {
+            f"ondine.{k}": v if isinstance(v, (str, bool, int, float))
+            else str(v)
+            for k, v in payload.items()
+        }
+
+    def on_event(self, event: PipelineEvent) -> None:
+        rid = event.run_id or "default"
+        if event.kind == "pipeline_start":
+            span = self.tracer.start_span("ondine_spark_run")
+            span.set_attribute("ondine.run_id", rid)
+            for k, v in self._attrs(event.payload).items():
+                span.set_attribute(k, v)
+            self._spans[rid] = span
+            return
+        span = self._spans.get(rid)
+        if span is None:
+            return  # end/error without a start: nothing to annotate
+        if event.kind == "pipeline_end":
+            for k, v in self._attrs(event.payload).items():
+                span.set_attribute(k, v)
+            span.end()
+            self._spans.pop(rid, None)
+        elif event.kind == "error":
+            span.add_event("error", attributes=self._attrs(event.payload))
+            if hasattr(span, "set_status"):
+                try:  # pragma: no cover - status types vary by SDK
+                    from opentelemetry.trace import Status, StatusCode
+
+                    span.set_status(Status(StatusCode.ERROR))
+                except ImportError:
+                    pass
+        else:
+            span.add_event(event.kind, attributes=self._attrs(event.payload))
+
+
 class EventDispatcher:
     def __init__(self, observers: list[Observer] | None = None):
         self.observers = list(observers or [])

@@ -1,0 +1,163 @@
+"""O14 external sinks: Langfuse / OpenTelemetry observers driven through a
+real pipeline run with fake exporters capturing the traffic."""
+
+from __future__ import annotations
+
+import sys
+
+import pytest
+from pyspark import cloudpickle
+
+from ondine_spark import PipelineBuilder, mock_client_factory
+from ondine_spark.observability import (
+    EventDispatcher,
+    LangfuseObserver,
+    OpenTelemetryObserver,
+)
+
+cloudpickle.register_pickle_by_value(sys.modules[__name__])
+
+
+class FakeTrace:
+    def __init__(self, name, id, metadata):
+        self.name, self.id, self.metadata = name, id, metadata
+        self.events: list = []
+        self.output = None
+
+    def event(self, **kw):
+        self.events.append(kw)
+
+    def update(self, output=None):
+        self.output = output
+
+
+class FakeLangfuse:
+    def __init__(self):
+        self.traces: dict[str, FakeTrace] = {}
+        self.flushes = 0
+
+    def trace(self, name, id, metadata):
+        t = FakeTrace(name, id, metadata)
+        self.traces[id] = t
+        return t
+
+    def flush(self):
+        self.flushes += 1
+
+
+class FakeSpan:
+    def __init__(self, name):
+        self.name = name
+        self.attributes: dict = {}
+        self.events: list = []
+        self.ended = False
+        self.status = None
+
+    def set_attribute(self, k, v):
+        self.attributes[k] = v
+
+    def add_event(self, name, attributes=None):
+        self.events.append((name, attributes or {}))
+
+    def end(self):
+        self.ended = True
+
+
+class FakeTracer:
+    def __init__(self):
+        self.spans: list[FakeSpan] = []
+
+    def start_span(self, name):
+        s = FakeSpan(name)
+        self.spans.append(s)
+        return s
+
+
+def _run(spark, observer, tmp_path):
+    df = spark.createDataFrame(
+        [(f"r{i}", f"row {i} is great") for i in range(8)],
+        "id string, review string",
+    )
+    return (
+        PipelineBuilder(spark)
+        .from_dataframe(df, ["review"], id_column="id")
+        .with_prompt("Classify: {review}", ["sentiment"])
+        .with_custom_llm_client(mock_client_factory())
+        .with_checkpoint_dir(str(tmp_path / "ckpt"), "obs-run-1")
+        .with_observer(observer)
+        .build()
+        .execute()
+    )
+
+
+def test_langfuse_observer_captures_run(spark, tmp_path):
+    fake = FakeLangfuse()
+    _run(spark, LangfuseObserver(client=fake), tmp_path)
+    assert "obs-run-1" in fake.traces
+    t = fake.traces["obs-run-1"]
+    assert t.name == "ondine_spark_run"
+    assert t.metadata.get("model")  # start payload
+    assert t.output is not None and t.output.get("rows") == 8
+    assert fake.flushes == 1
+
+
+def test_langfuse_observer_records_error():
+    fake = FakeLangfuse()
+    d = EventDispatcher([LangfuseObserver(client=fake)])
+    d.emit("pipeline_start", run_id="e1", model="m")
+    d.emit("error", run_id="e1", error="ValueError: boom")
+    t = fake.traces["e1"]
+    assert t.events and t.events[0]["level"] == "ERROR"
+    assert "boom" in t.events[0]["metadata"]["error"]
+
+
+def test_otel_observer_captures_run(spark, tmp_path):
+    tracer = FakeTracer()
+    _run(spark, OpenTelemetryObserver(tracer=tracer), tmp_path)
+    assert len(tracer.spans) == 1
+    span = tracer.spans[0]
+    assert span.name == "ondine_spark_run"
+    assert span.attributes["ondine.run_id"] == "obs-run-1"
+    assert span.attributes["ondine.rows"] == 8
+    assert span.ended
+
+
+def test_otel_observer_event_and_error():
+    tracer = FakeTracer()
+    d = EventDispatcher([OpenTelemetryObserver(tracer=tracer)])
+    d.emit("pipeline_start", run_id="e2", model="m")
+    d.emit("chunk_committed", run_id="e2", rows=100, chunks_done=1)
+    d.emit("error", run_id="e2", error="boom")
+    d.emit("pipeline_end", run_id="e2", rows=100)
+    span = tracer.spans[0]
+    kinds = [name for name, _ in span.events]
+    assert "chunk_committed" in kinds and "error" in kinds
+    assert span.attributes["ondine.rows"] == 100
+    assert span.ended
+
+
+def test_otel_attrs_coerced_to_primitives():
+    tracer = FakeTracer()
+    obs = OpenTelemetryObserver(tracer=tracer)
+    d = EventDispatcher([obs])
+    d.emit("pipeline_start", run_id="e3", cost={"not": "primitive"})
+    assert isinstance(tracer.spans[0].attributes["ondine.cost"], str)
+
+
+def test_missing_sdk_guidance(monkeypatch):
+    """Without an injected client the constructor import-guards with a
+    clear message instead of failing deep inside a run."""
+    import builtins
+
+    real_import = builtins.__import__
+
+    def no_ext(name, *a, **k):
+        if name in ("langfuse", "opentelemetry"):
+            raise ImportError(name)
+        return real_import(name, *a, **k)
+
+    monkeypatch.setattr(builtins, "__import__", no_ext)
+    with pytest.raises(ImportError, match="langfuse"):
+        LangfuseObserver()
+    with pytest.raises(ImportError, match="opentelemetry"):
+        OpenTelemetryObserver()

@@ -71,6 +71,57 @@ class FakeOCR:
         )
 
 
+class VisionLLMOCR:
+    """OCR via a vision-capable LLM client (reference:
+    ondine/knowledge/ocr.py:47-215, the vision-LLM provider of its
+    three-provider catalog). ``client_factory`` builds an object exposing
+    ``complete_vision(image_b64, prompt)`` returning an LLMResult (or a
+    bare string) — a factory rather than a live client so the provider
+    pickles cleanly into the distributed decode UDF and each executor
+    worker builds its own connection. Base64 encoding happens worker-side
+    next to the binaryFile scan, so image bytes never route through the
+    driver."""
+
+    def __init__(self, client_factory,
+                 prompt: str = "Transcribe all text in this image. "
+                               "Return only the transcription."):
+        self.client_factory = client_factory
+        self.prompt = prompt
+        self._client = None
+
+    def extract(self, image_bytes: bytes) -> str:
+        import base64
+
+        if self._client is None:
+            self._client = self.client_factory()
+        b64 = base64.b64encode(image_bytes).decode("ascii")
+        r = self._client.complete_vision(b64, self.prompt)
+        return r if isinstance(r, str) else r.text
+
+
+def doctr_ocr():  # pragma: no cover - doctr not installed here
+    """Reference parity: the DocTR provider of ondine/knowledge/ocr.py."""
+    try:
+        from doctr.io import DocumentFile
+        from doctr.models import ocr_predictor
+    except ImportError as e:
+        raise ImportError(
+            "python-doctr not installed; use FakeOCR/VisionLLMOCR or "
+            "install python-doctr"
+        ) from e
+
+    class DocTROCR:
+        def __init__(self):
+            self.model = ocr_predictor(pretrained=True)
+
+        def extract(self, image_bytes: bytes) -> str:
+            doc = DocumentFile.from_images([image_bytes])
+            result = self.model(doc)
+            return result.render()
+
+    return DocTROCR()
+
+
 def tesseract_ocr():  # pragma: no cover - not installed here
     try:
         import pytesseract  # noqa

@@ -128,3 +128,40 @@ def test_run_file_stream_exactly_once(spark, tmp_path):
     got2 = spark.read.parquet(out_dir)
     assert got2.count() == 30  # no reprocessing of old files
     assert got2.select("id").distinct().count() == 30
+
+
+def test_load_documents_vision_llm_ocr(spark, tmp_path):
+    """S11 vision-LLM OCR: image bytes flow through the distributed decode
+    UDF into a vision-capable client (deterministic fake here); the
+    transcription lands as the document text."""
+    from ondine_spark.sources.documents import VisionLLMOCR, load_documents
+
+    d = tmp_path / "scans"
+    d.mkdir()
+    (d / "page1.png").write_bytes(b"\x89PNG page one pixels")
+    (d / "page2.jpg").write_bytes(b"\xff\xd8 page two pixels!")
+
+    def fake_vision_factory():
+        class FakeVisionClient:
+            model = "fake-vision"
+
+            def complete_vision(self, image_b64, prompt):
+                import base64
+
+                raw = base64.b64decode(image_b64)
+                assert "Transcribe" in prompt
+                return f"transcribed {len(raw)} bytes"
+
+        return FakeVisionClient()
+
+    docs = load_documents(
+        spark, str(d), ocr=VisionLLMOCR(fake_vision_factory)
+    ).collect()
+    texts = {r["source"].rsplit("/", 1)[-1]: r["text"] for r in docs}
+    assert texts["page1.png"] == "transcribed 20 bytes"
+    assert texts["page2.jpg"] == "transcribed 19 bytes"
+    # doc ids stable across reruns
+    again = load_documents(
+        spark, str(d), ocr=VisionLLMOCR(fake_vision_factory)
+    ).collect()
+    assert {r["doc_id"] for r in again} == {r["doc_id"] for r in docs}

@@ -191,3 +191,61 @@ def test_plan_shapes(spark, sf_dir):
     batched = plan_of(pb.result_frame())
     assert len(re.findall(r"\(\d+\) Exchange\b", batched)) == 1
     assert "BroadcastHashJoin" in batched
+
+
+def test_global_index_stable_under_aqe_flips(spark):
+    """with_global_index reads partition ids in two separate jobs (count
+    pass, assign pass); the index must stay contiguous and unique under
+    AQE partition-coalescing flips and awkward input partitionings —
+    including post-shuffle frames where AQE actually re-plans."""
+    from ondine_spark.operators.batching import with_global_index
+
+    def check(df, n):
+        out = with_global_index(df)
+        seqs = sorted(r["_seq"] for r in out.select("_seq").collect())
+        assert seqs == list(range(n)), (seqs[:5], seqs[-5:], len(seqs))
+        # and re-running the same plan gives the same assignment
+        again = sorted(r["_seq"] for r in out.select("_seq").collect())
+        assert again == seqs
+
+    base = spark.range(997).withColumnRenamed("id", "v")
+    for coalesce in ("true", "false"):
+        old = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.enabled", coalesce
+        )
+        try:
+            check(base, 997)                       # scan partitioning
+            check(base.repartition(37), 997)       # many small post-shuffle
+            check(base.repartition(1), 997)        # single partition
+            # post-shuffle + filter: AQE coalescing target for tiny outputs
+            check(base.repartition(37, "v").filter("v % 2 = 0"), 499)
+        finally:
+            spark.conf.set(
+                "spark.sql.adaptive.coalescePartitions.enabled", old
+            )
+
+
+def test_batch_grouping_stable_under_aqe(spark):
+    """Batch ids from the global index must form exactly ceil(N/b) batches
+    of size b (last partial) regardless of input partitioning."""
+    import math
+
+    from ondine_spark.operators.batching import aggregate_batches
+
+    df = (
+        spark.range(203)
+        .selectExpr("cast(id as string) as _row_id", "id as v")
+        .repartition(13)
+        .selectExpr("_row_id", "v", "concat('p', v) as prompt")
+    )
+    batches = aggregate_batches(df, 20)
+    sizes = [r["n"] for r in
+             batches.selectExpr("size(_row_ids) as n").collect()]
+    assert len(sizes) == math.ceil(203 / 20)
+    assert sorted(sizes, reverse=True)[:-1] == [20] * (len(sizes) - 1)
+    assert sum(sizes) == 203
+    # every row appears in exactly one batch
+    members = batches.selectExpr("explode(_row_ids) as rid")
+    assert members.count() == 203
+    assert members.distinct().count() == 203

@@ -129,16 +129,7 @@ def main() -> None:
         .select("uid", "text")
     )
 
-    # 2-arm comparison at 100K rows: mega-batched (25 rows/call) vs naive
-    # (1 call per row). Wall-clock AND api-call counts are recorded so the
-    # batching call-reduction claim (~25x fewer calls) is measured, not
-    # asserted. execute() surfaces the call-counter accumulator.
-    api_calls: dict[str, int] = {}
-    n100k = 0
-    for arm, batch in (("batched", 25), ("naive", 1)):
-        spark._jvm.System.gc()
-        time.sleep(0.2)
-        t0 = time.monotonic()
+    def _100k_builder(batch):
         b = (
             PipelineBuilder(spark)
             .from_dataframe(big, ["text"], id_column="uid")
@@ -148,15 +139,43 @@ def main() -> None:
         )
         if batch > 1:
             b.with_batch_size(batch)
-        res = b.build().execute()
-        n100k = res.data.count()
+        return b.build()
+
+    # r1-comparable headline: pure spine wall-clock (result_frame count,
+    # no stats/quality aggregation passes) — keyed enrich_batched_100k
+    # since round 1.
+    spark._jvm.System.gc()
+    time.sleep(0.2)
+    t0 = time.monotonic()
+    n100k = _100k_builder(25).result_frame().select("uid", "sentiment").count()
+    dt = time.monotonic() - t0
+    timings["enrich_batched_100k"] = round(dt, 3)
+    total += dt
+    print(
+        f"# enrich_batched_100k: {dt:.3f}s ({n100k} rows, "
+        f"{n100k / dt:.0f} rows/s)",
+        file=sys.stderr,
+    )
+
+    # 2-arm comparison at 100K rows: mega-batched (25 rows/call) vs naive
+    # (1 call per row), via execute() so the call-counter accumulator is
+    # surfaced — the batching call-reduction claim (~25x fewer calls) is
+    # measured, not asserted. These timings include the stats/quality
+    # aggregation passes execute() performs.
+    api_calls: dict[str, int] = {}
+    for arm, batch in (("batched", 25), ("naive", 1)):
+        spark._jvm.System.gc()
+        time.sleep(0.2)
+        t0 = time.monotonic()
+        res = _100k_builder(batch).execute()
         dt = time.monotonic() - t0
-        timings[f"enrich_{arm}_100k"] = round(dt, 3)
+        timings[f"enrich_{arm}_100k_exec"] = round(dt, 3)
         api_calls[f"api_calls_{arm}"] = res.api_calls
         total += dt
         print(
-            f"# enrich_{arm}_100k: {dt:.3f}s ({n100k} rows, "
-            f"{n100k / dt:.0f} rows/s, {res.api_calls} api calls)",
+            f"# enrich_{arm}_100k_exec: {dt:.3f}s "
+            f"({res.quality.valid_rows} valid rows, "
+            f"{res.api_calls} api calls)",
             file=sys.stderr,
         )
 

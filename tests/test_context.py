@@ -135,3 +135,61 @@ def test_claim_store_roundtrip_and_priming(spark, tmp_path):
     # idempotent claim ids: storing the same rows again doesn't duplicate
     store.store_claims(df, ["question"], "answer", session_id="s1")
     assert store.claims().count() == 3
+
+
+def test_zep_claim_store_mirror_and_search(spark):
+    """U7 Zep backend: claims stream into the graph via toLocalIterator
+    (bounded by max_claims) and searches parse edges then nodes."""
+    from types import SimpleNamespace
+
+    from ondine_spark.context.zep_store import ZepClaimStore
+
+    class FakeGraph:
+        def __init__(self):
+            self.added = []
+
+        def add(self, graph_id, type, data):
+            self.added.append((graph_id, type, data))
+
+        def search(self, graph_id, query, scope, limit):
+            return SimpleNamespace(
+                edges=[SimpleNamespace(fact="a relates to b", score=0.9,
+                                       name="e1")],
+                nodes=[SimpleNamespace(summary="node summary", score=0.5,
+                                       name="n1")],
+            )
+
+    class FakeZep:
+        def __init__(self):
+            self.graph = FakeGraph()
+
+    fake = FakeZep()
+    store = ZepClaimStore("g1", client=fake, max_claims=3)
+    claims = spark.createDataFrame(
+        [(f"claim text {i}",) for i in range(5)], "output_text string"
+    )
+    sent = store.mirror_claims(claims)
+    assert sent == 3  # spend guard respected
+    assert all(g == "g1" and t == "text" for g, t, _ in fake.graph.added)
+
+    hits = store.search("what relates to b?", limit=2)
+    assert hits[0]["text"] == "a relates to b"
+    assert hits[0]["score"] == 0.9
+    assert len(hits) == 2
+
+
+def test_zep_claim_store_import_guard(monkeypatch):
+    import builtins
+
+    real_import = builtins.__import__
+
+    def no_zep(name, *a, **k):
+        if name.startswith("zep_cloud"):
+            raise ImportError(name)
+        return real_import(name, *a, **k)
+
+    monkeypatch.setattr(builtins, "__import__", no_zep)
+    from ondine_spark.context.zep_store import ZepClaimStore
+
+    with pytest.raises(ImportError, match="zep-cloud"):
+        ZepClaimStore("g1")

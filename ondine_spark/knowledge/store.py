@@ -57,6 +57,11 @@ def rrf_fuse(
 
 
 def _with_rank(df: DataFrame, score_col: str) -> DataFrame:
+    """CONTRACT: ``df`` is a per-query RESULT LIST (≤ top_k rows already
+    reduced by score filters), never a corpus-sized frame — the global
+    unpartitioned Window here funnels all rows to one task, which is fine
+    for k rows and catastrophic for 10¹⁰. Corpus-sized ranking must
+    partition the window (see retrieval.py's per-query rank)."""
     w = Window.orderBy(F.desc(score_col), "chunk_id")
     return df.withColumn("rank", F.row_number().over(w))
 

@@ -34,6 +34,9 @@ class LLMResult:
     cost: Decimal
     latency_ms: float = 0.0
     error: str | None = None
+    # provider-side prompt-cache hits (OpenAI cached_tokens / Anthropic
+    # cache_read_input_tokens); 0 when the provider reports none
+    tokens_cached: int = 0
 
 
 @runtime_checkable

@@ -68,6 +68,30 @@ def list_providers() -> list[dict]:
     return rows
 
 
+def cached_tokens_from_usage(usage: Any) -> int:
+    """Provider-side prompt-cache hit detection (reference:
+    unified_litellm_client.py:_check_cache_hit): OpenAI/Azure report
+    ``usage.prompt_tokens_details.cached_tokens``; Anthropic reports
+    ``usage.cache_read_input_tokens``. Accepts attribute- or dict-shaped
+    usage; returns 0 when nothing is cached."""
+    if usage is None:
+        return 0
+
+    def get(obj, name, default=None):
+        if isinstance(obj, dict):
+            return obj.get(name, default)
+        return getattr(obj, name, default)
+
+    details = get(usage, "prompt_tokens_details")
+    cached = get(details, "cached_tokens", 0) if details is not None else 0
+    if not cached:
+        cached = get(usage, "cache_read_input_tokens", 0)
+    try:
+        return int(cached or 0)
+    except (TypeError, ValueError):
+        return 0
+
+
 def client_factory_for(llm_spec) -> Callable[[], Any]:
     if llm_spec.client_factory is not None:
         return llm_spec.client_factory
@@ -125,6 +149,7 @@ def client_factory_for(llm_spec) -> Callable[[], Any]:
                     model=model,
                     cost=str(r._hidden_params.get("response_cost") or 0),
                     latency_ms=0.0,
+                    tokens_cached=cached_tokens_from_usage(usage),
                 )
 
             @staticmethod

@@ -260,3 +260,36 @@ def test_enrich_front_door(spark, tmp_path, reviews_csv):
     written = spark.read.parquet(str(tmp_path / "out.parquet"))
     assert written.count() == 30
     assert "sentiment" in written.columns
+
+
+def test_cached_tokens_from_usage_shapes():
+    """L2 cache-hit detection handles OpenAI (nested details), Anthropic
+    (flat field), dict- and attribute-shaped usage, and absent data."""
+    from types import SimpleNamespace
+
+    from ondine_spark.llm.providers import cached_tokens_from_usage
+
+    # OpenAI dict shape
+    assert cached_tokens_from_usage(
+        {"prompt_tokens": 100, "prompt_tokens_details": {"cached_tokens": 64}}
+    ) == 64
+    # OpenAI attribute shape
+    assert cached_tokens_from_usage(SimpleNamespace(
+        prompt_tokens=100,
+        prompt_tokens_details=SimpleNamespace(cached_tokens=32),
+    )) == 32
+    # Anthropic flat field
+    assert cached_tokens_from_usage(
+        {"input_tokens": 100, "cache_read_input_tokens": 90}
+    ) == 90
+    # nothing cached / absent / malformed
+    assert cached_tokens_from_usage({"prompt_tokens": 10}) == 0
+    assert cached_tokens_from_usage(None) == 0
+    assert cached_tokens_from_usage(
+        {"prompt_tokens_details": {"cached_tokens": "garbage"}}
+    ) == 0
+    # LLMResult default stays 0 for clients that do not report caching
+    from ondine_spark.llm.client import LLMResult
+
+    r = LLMResult(text="x", tokens_in=1, tokens_out=1, model="m", cost="0")
+    assert r.tokens_cached == 0

@@ -666,6 +666,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             page, "doc_id", "page", max_docs=50
         ).select("doc_id", F.col("page").alias("cleaned"))
 
+    def q_dedup_paragraphs(spark, sf_dir):
+        """C4-style corpus-wide paragraph dedup over synthetic
+        multi-paragraph pages (the single-line synthetic docs get a shared
+        newsletter paragraph + a unique closing paragraph appended; the
+        shared one must survive only in the lowest-doc_id page)."""
+        from ondine_spark.operators.curation import dedup_paragraphs
+
+        page = _docs(spark, sf_dir).select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.lit("\n\nSubscribe To Our Newsletter\n\nclosing remarks for doc "),
+                F.col("doc_id").cast("string"),
+            ).alias("page"),
+        )
+        return dedup_paragraphs(
+            page, "doc_id", "page", min_chars=10
+        ).select("doc_id", F.col("page").alias("cleaned"))
+
     def q_asof_purchases(spark, sf_dir):
         from ondine_spark.operators.asof import asof_join
 
@@ -920,6 +939,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ("sample_mix", q_sample_mix),
             ("pack_sequences", q_pack_sequences),
             ("strip_boilerplate", q_strip_boilerplate),
+            ("dedup_paragraphs", q_dedup_paragraphs),
             ("asof_purchases", q_asof_purchases),
             ("range_join_sessions", q_range_join_sessions),
             ("revenue_by_nation", q_revenue_by_nation),
@@ -1648,6 +1668,43 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN ({strat_sql}) s ON s.doc_id = b.doc_id
             LEFT JOIN ({quota_sql}) q ON q.doc_id = b.doc_id
             LEFT JOIN ({budget_sql}) g ON g.doc_id = b.doc_id
+        """,
+        "dedup_paragraphs": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     text || chr(10) || chr(10) || 'Subscribe To Our Newsletter'
+                          || chr(10) || chr(10) || 'closing remarks for doc '
+                          || doc_id::VARCHAR AS page
+              FROM documents
+            ), s AS (
+              SELECT doc_id, string_split(page, chr(10) || chr(10)) AS l
+              FROM t
+            ), ps AS (
+              SELECT doc_id, l,
+                     unnest(generate_series(1, len(l))) AS pos
+              FROM s
+            ), paras AS (
+              SELECT doc_id, pos, l[pos] AS para,
+                     trim(lower(l[pos])) AS norm
+              FROM ps
+            ), ranked AS (
+              SELECT doc_id, pos, para, length(norm) AS ln,
+                     row_number() OVER (
+                       PARTITION BY {_MD5L.format(x="norm")}
+                       ORDER BY doc_id, pos
+                     ) AS rn
+              FROM paras
+            ), kept AS (
+              SELECT doc_id, pos, para FROM ranked
+              WHERE ln < 10 OR rn = 1
+            ), rebuilt AS (
+              SELECT doc_id,
+                     string_agg(para, chr(10) || chr(10) ORDER BY pos)
+                       AS cleaned
+              FROM kept GROUP BY doc_id
+            )
+            SELECT d.doc_id, coalesce(r.cleaned, '') AS cleaned
+            FROM documents d LEFT JOIN rebuilt r ON r.doc_id = d.doc_id
         """,
         "asof_purchases": """
             WITH p AS (

@@ -330,6 +330,63 @@ def cap_per_key(
     )
 
 
+def dedup_paragraphs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    sep: str = "\n\n",
+    min_chars: int = 10,
+    out_col: str | None = None,
+) -> DataFrame:
+    """C4-style corpus-wide paragraph dedup: every repeated occurrence of
+    a paragraph (normalized: trimmed, lowercased) is dropped, keeping the
+    FIRST occurrence corpus-wide (ordered by (doc id, position) — the
+    same deterministic tie-break C4 applies per three-sentence span).
+    Paragraphs shorter than ``min_chars`` are never deduped (empty lines,
+    separators, headings — dropping those would destroy formatting and
+    they carry no duplication signal). Documents are reassembled with
+    surviving paragraphs in their original order.
+
+    Scale shape: explode to (doc, pos, para) → ONE shuffle on the
+    paragraph hash for the first-occurrence window (row_number over
+    (hash) ordered by (doc, pos)); short paragraphs bypass the shuffle
+    entirely via the union branch, which also removes the empty-string
+    skew key; per-doc ordered re-assembly is one aggregate. No corpus
+    frame is ever collected or broadcast.
+    """
+    out_col = out_col or text_col
+    paras = df.select(
+        F.col(id_col).alias("_did"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("_pos", "_para"),
+    )
+    norm = F.trim(F.lower(F.col("_para")))
+    dedupable = paras.where(F.length(norm) >= min_chars).withColumn(
+        "_k", md5_long(norm)
+    )
+    w = Window.partitionBy("_k").orderBy("_did", "_pos")
+    first = (
+        dedupable.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_k", "_rn")
+    )
+    kept = first.unionByName(paras.where(F.length(norm) < min_chars))
+    rebuilt = kept.groupBy("_did").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_para"))),
+                lambda s: s["_para"],
+            ),
+            sep,
+        ).alias("_rebuilt")
+    )
+    others = [c for c in df.columns if c != out_col]
+    return df.join(
+        rebuilt, on=F.col(id_col) == F.col("_did"), how="left"
+    ).select(
+        *others, F.coalesce(F.col("_rebuilt"), F.lit("")).alias(out_col)
+    )
+
+
 # ------------------------------------------------------ decontamination
 
 def decontaminate(

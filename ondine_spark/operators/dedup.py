@@ -694,7 +694,7 @@ def dedup_keep_representative(
     broadcast would OOM the executors. AQE broadcasts it automatically
     whenever its runtime size is under
     ``spark.sql.autoBroadcastJoinThreshold`` and falls back to a shuffled
-    join otherwise (asserted by tests/test_dedup.py plan test)."""
+    join otherwise (asserted by the tests/test_dedup_clusters.py plan test)."""
     comp = connected_components(pairs, a, b)
     if keep_by is None:
         drop = comp.filter(F.col("node") != F.col("component")).select(

@@ -213,3 +213,39 @@ def test_decontaminate_counts_distinct_grams_once(spark):
     # "d a b c" -> only "a b c d" is in the bench set
     assert row["n_grams"] == 4
     assert row["contaminated_grams"] == 1
+
+
+def test_dedup_paragraphs_keeps_first_occurrence(spark):
+    """C4-style paragraph dedup: repeated paragraphs survive only in the
+    first (doc_id, pos) occurrence; short paragraphs are never deduped;
+    order within docs is preserved."""
+    from ondine_spark.operators.curation import dedup_paragraphs
+
+    shared = "subscribe to our newsletter for updates"
+    rows = [
+        (1, f"unique one body text here\n\n{shared}\n\nsecond unique para"),
+        (2, f"{shared}\n\nanother document entirely\n\n--"),
+        (3, f"third doc leading content\n\n{shared.upper()}"),  # case-insensitive
+        (4, "--\n\n--\n\nshort seps kept"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["text"]
+           for r in dedup_paragraphs(df, "doc_id", "text").collect()}
+    # doc 1 is the first occurrence (doc order) -> keeps the shared para
+    assert out[1] == rows[0][1]
+    # docs 2 and 3 lose it (case-insensitive normalization)
+    assert out[2] == "another document entirely\n\n--"
+    assert out[3] == "third doc leading content"
+    # "--" is under min_chars -> kept everywhere, even repeated
+    assert out[4] == "--\n\n--\n\nshort seps kept"
+
+
+def test_dedup_paragraphs_duplicate_within_one_doc(spark):
+    from ondine_spark.operators.curation import dedup_paragraphs
+
+    df = spark.createDataFrame(
+        [(7, "repeated paragraph body\n\nmiddle part\n\nrepeated paragraph body")],
+        "doc_id long, text string",
+    )
+    out = dedup_paragraphs(df, "doc_id", "text").collect()[0]["text"]
+    assert out == "repeated paragraph body\n\nmiddle part"

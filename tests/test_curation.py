@@ -249,3 +249,14 @@ def test_dedup_paragraphs_duplicate_within_one_doc(spark):
     )
     out = dedup_paragraphs(df, "doc_id", "text").collect()[0]["text"]
     assert out == "repeated paragraph body\n\nmiddle part"
+
+
+def test_dedup_paragraphs_noop_when_all_unique(spark):
+    """Docs with no repeated paragraphs round-trip byte-identically."""
+    from ondine_spark.operators.curation import dedup_paragraphs
+
+    rows = [(i, f"alpha paragraph {i}\n\nbeta paragraph {i}") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["text"]
+           for r in dedup_paragraphs(df, "doc_id", "text").collect()}
+    assert out == dict(rows)

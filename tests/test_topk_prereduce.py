@@ -48,3 +48,29 @@ def test_prereduce_k_larger_than_corpus(spark):
     assert len(rows) == 2 * 5  # every corpus row ranked, none lost
     for r in rows:
         assert not math.isnan(r.cos_sim)
+
+
+def test_ivf_recall_at_reduced_nprobe(spark):
+    """The IVF approximation knob must degrade gracefully: probing half
+    the cells should still recover the large majority of true neighbors
+    (recall@5 ≥ 0.7 on random data — clustered real embeddings do far
+    better; nprobe=nlist is exact and oracle-gated separately)."""
+    from ondine_spark.operators.similarity_search import (
+        brute_force_topk,
+        ivf_topk,
+        train_ivf_centroids,
+    )
+
+    corpus, queries = _data(spark, n_corpus=400, n_queries=10, dim=8)
+    truth = {
+        (r["query_id"], r["vec_id"])
+        for r in brute_force_topk(corpus, queries, k=5).collect()
+    }
+    cents = train_ivf_centroids(corpus, nlist=8)
+    approx = {
+        (r["query_id"], r["vec_id"])
+        for r in ivf_topk(corpus, queries, k=5, centroids=cents,
+                          nprobe=4).collect()
+    }
+    recall = len(truth & approx) / len(truth)
+    assert recall >= 0.7, f"recall@5 with nprobe=nlist/2 fell to {recall}"

@@ -137,6 +137,16 @@ def main() -> int:
     check("curation.sample.zero_shuffle", n_exchange == 0,
           f"{n_exchange} exchanges")
 
+    # 3c. paragraph dedup: no broadcast of corpus-derived sets (the
+    # first-occurrence window + reassembly are hash-partitioned joins),
+    # and no cartesian anywhere
+    from ondine_spark.operators.curation import dedup_paragraphs
+
+    plan = plan_of(dedup_paragraphs(docs, "doc_id", "text"))
+    check("curation.para_dedup.no_cartesian",
+          "CartesianProduct" not in plan
+          and "BroadcastNestedLoopJoin" not in plan)
+
     # 4. retrieval is a key join, not a crossJoin
     import tempfile
 

@@ -291,27 +291,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def q_winnow_pairs(spark, sf_dir):
-        """Both winnowing implementations in one oracle-checked gate: the
-        SQL-expressible md5 path (``impl='expr'``) carries the shared-count
-        values, and the Arrow/numpy kernel (``impl='arrow'``, polynomial
-        hashes — not SQL-expressible on its own) is gated through pair-SET
-        agreement: the full outer join emits an extra row with a null flag
-        whenever either implementation finds a pair the other misses, which
-        fails the row-count/hash compare against the expr-only oracle."""
         from ondine_spark.operators.dedup import winnow_overlap_pairs
 
-        kw = dict(k=12, w=8, min_shared=10, max_df=20)
-        docs = _docs(spark, sf_dir)
-        expr = winnow_overlap_pairs(
-            docs, "doc_id", "text", impl="expr", **kw
-        ).withColumn("in_expr", F.lit(True))
-        fast = winnow_overlap_pairs(
-            docs, "doc_id", "text", impl="arrow", **kw
-        ).select("a", "b", F.lit(True).alias("in_fast"))
-        return expr.join(fast, on=["a", "b"], how="full_outer").select(
-            "a", "b", "shared",
-            F.coalesce("in_expr", F.lit(False)).alias("in_expr"),
-            F.coalesce("in_fast", F.lit(False)).alias("in_fast"),
+        return winnow_overlap_pairs(
+            _docs(spark, sf_dir), "doc_id", "text",
+            k=12, w=8, min_shared=10, max_df=20, impl="expr",
+        )
+
+    def q_winnow_pairs_fast(spark, sf_dir):
+        """Arrow/numpy winnowing kernel, oracle-checked EXACTLY: the
+        kernel's two 31-bit polynomial rolling hashes over utf-8 bytes are
+        replayed in the DuckDB oracle (the synthetic corpus is ASCII, so
+        ``ascii(substr(...))`` equals the byte value) — no pair-set
+        agreement proxy, the polynomial fingerprints themselves are
+        compared at any SF. Cross-impl sanity vs the md5 expr path stays
+        in tests/test_winnowing.py (the two hash families select slightly
+        different window minima, so their pair sets only approximately
+        agree as the corpus grows — ~97% overlap at sf0.1)."""
+        from ondine_spark.operators.dedup import winnow_overlap_pairs
+
+        return winnow_overlap_pairs(
+            _docs(spark, sf_dir), "doc_id", "text",
+            k=12, w=8, min_shared=10, max_df=20, impl="arrow",
         )
 
     # ---- dedup ------------------------------------------------------------
@@ -909,6 +910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ("lang_fingerprints", q_lang_fingerprints),
             ("winnow_fps", q_winnow_fps),
             ("winnow_pairs", q_winnow_pairs),
+            ("winnow_pairs_fast", q_winnow_pairs_fast),
             ("profile_docs", q_profile_docs),
             ("lm_perplexity", q_lm_perplexity),
         ],
@@ -1406,13 +1408,15 @@ def oracle_sql() -> dict[str, str]:
               SELECT e.doc_id, e.fp FROM e JOIN fdf USING (fp)
               WHERE fdf.dfc <= 20
             )
-            SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS shared,
-                   true AS in_expr, true AS in_fast
+            SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS shared
             FROM kept a JOIN kept b
               ON a.fp = b.fp AND a.doc_id < b.doc_id
             GROUP BY 1, 2
             HAVING count(*) >= 10
         """,
+        "winnow_pairs_fast": _winnow_poly_sql(
+            k=12, w=8, min_shared=10, max_df=20
+        ),
         "profile_docs": """
             SELECT * FROM (
               SELECT 'doc_id' AS "column", count(*) AS n_rows,
@@ -1815,6 +1819,61 @@ def oracle_sql() -> dict[str, str]:
 
 # --------------------------------------------------------------------------
 # generated oracle SQL for the hash-based operators
+
+
+def _winnow_poly_sql(k: int, w: int, min_shared: int, max_df: int) -> str:
+    """Exact oracle for the Arrow winnowing kernel
+    (operators/dedup.py:_winnow_arrow_fn): replay its two 31-bit
+    polynomial rolling hashes over the byte values of lower(text) —
+    fp = (h1 << 31) | h2, h_x = Σ byte[i+j]·b_x^(k-1-j) mod m_x — then
+    the same w-window min, distinct, df-cap and pair join as the md5
+    path. Valid because the synthetic corpus is pure ASCII, where
+    DuckDB's character-indexed ascii(substr(s,i,1)) IS the utf-8 byte."""
+    m1, b1 = 2147483647, 131
+    m2, b2 = 2147483629, 137
+    pw1 = [pow(b1, k - 1 - j, m1) for j in range(k)]
+    pw2 = [pow(b2, k - 1 - j, m2) for j in range(k)]
+    h1 = " + ".join(
+        f"ascii(substr(s, (i + {j})::INT, 1))::BIGINT * {pw1[j]}"
+        for j in range(k)
+    )
+    h2 = " + ".join(
+        f"ascii(substr(s, (i + {j})::INT, 1))::BIGINT * {pw2[j]}"
+        for j in range(k)
+    )
+    return f"""
+        WITH g AS (
+          SELECT doc_id, lower(text) AS s,
+                 greatest(length(text) - {k - 1}, 0) AS p
+          FROM documents
+        ), h AS (
+          SELECT doc_id, p,
+                 list_transform(generate_series(1, p),
+                   i -> (({h1}) % {m1}) * 2147483648 + (({h2}) % {m2})
+                 ) AS hs
+          FROM g WHERE p >= 1
+        ), fps AS (
+          SELECT doc_id,
+            CASE WHEN p >= {w}
+              THEN list_distinct(list_transform(
+                     generate_series(1, p - {w - 1}),
+                     j -> list_min(hs[j:j+{w - 1}])))
+              ELSE [list_min(hs)] END AS fps
+          FROM h
+        ), e AS (
+          SELECT doc_id, unnest(fps) AS fp FROM fps
+        ), fdf AS (
+          SELECT fp, count(*) AS dfc FROM e GROUP BY fp
+        ), kept AS (
+          SELECT e.doc_id, e.fp FROM e JOIN fdf USING (fp)
+          WHERE fdf.dfc <= {max_df}
+        )
+        SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS shared
+        FROM kept a JOIN kept b
+          ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        HAVING count(*) >= {min_shared}
+    """
 
 
 def _bm25_core_sql(query: str) -> str:

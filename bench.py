@@ -34,7 +34,7 @@ BENCH_QUERIES = [
     "simhash_pairs",
     "dup_clusters",
     "winnow_pairs",
-    "winnow_pairs_arrow",
+    "winnow_pairs_fast",
     "topk_brute_vs_ivf",
     "text_quality",
     "lang_fingerprints",
@@ -72,20 +72,6 @@ def main() -> None:
     import __spark_entry__ as entry
 
     qs = dict(entry.queries())
-
-    # perf-only extra: the Arrow winnowing kernel alone. The registered
-    # winnow_pairs GATE runs both implementations joined (an agreement
-    # check, ~2x the work); this entry shows the fast path's throughput.
-    def _winnow_arrow(spark, sf_dir):
-        from ondine_spark.operators.dedup import winnow_overlap_pairs
-
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-        return winnow_overlap_pairs(
-            docs, "doc_id", "text",
-            k=12, w=8, min_shared=10, max_df=20, impl="arrow",
-        )
-
-    qs["winnow_pairs_arrow"] = _winnow_arrow
     # JVM + python-worker warmup so the first timed query isn't charged for
     # it: the mapInPandas no-op spins up the full Arrow worker pool (one
     # Python interpreter per core, pandas/pyarrow imported) before timing

@@ -55,7 +55,11 @@ def resume_filter(
     if cached is None:
         return df, None
     cached_ids = cached.select(ROW_ID).distinct()
-    todo = df.join(F.broadcast(cached_ids), on=ROW_ID, how="left_anti")
+    # UNHINTED anti-join: after a deep-into-the-run crash the cached side
+    # is most of the corpus — a forced broadcast would OOM. AQE broadcasts
+    # small caches at runtime and shuffles large ones (SCALE.md "Resume");
+    # tests/test_resume_crash.py asserts the SortMergeJoin fallback.
+    todo = df.join(cached_ids, on=ROW_ID, how="left_anti")
     # reattach input columns to cached responses by joining back to input
     replay = df.join(cached, on=ROW_ID, how="inner")
     return todo, replay
@@ -73,3 +77,28 @@ def write_responses(
         .partitionBy("session_id")
         .parquet(_cache_path(checkpoint_dir))
     )
+
+
+def compact_responses(spark, checkpoint_dir: str, session_id: str) -> int:
+    """Rewrite a session's cache partition keeping one row per ``_row_id``
+    (small-file + duplicate cleanup for long-lived resume sessions — many
+    chunked appends accumulate one file set per commit). Returns the row
+    count after compaction. Run this BETWEEN runs, never concurrently
+    with a writer: the rewrite replaces the partition directory."""
+    part_dir = os.path.join(
+        _cache_path(checkpoint_dir), f"session_id={session_id}"
+    )
+    try:
+        df = spark.read.parquet(part_dir)
+    except Exception:
+        return 0
+    compacted = df.dropDuplicates([ROW_ID])
+    n = compacted.count()
+    tmp = part_dir + ".compacting"
+    compacted.write.mode("overwrite").parquet(tmp)
+    import shutil
+
+    shutil.rmtree(part_dir)
+    os.rename(tmp, part_dir)
+    spark.catalog.refreshByPath(_cache_path(checkpoint_dir))
+    return n

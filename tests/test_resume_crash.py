@@ -198,3 +198,67 @@ def test_health_check(spark, tmp_path):
     hc2 = bad.health_check()
     assert hc2["ok"] is False
     assert hc2["source"]["ok"] is False
+
+
+def test_resume_anti_join_no_forced_broadcast(spark, tmp_path):
+    """SCALE.md "Resume": after a deep crash the cached side is most of
+    the corpus, so the resume anti-join must not carry a broadcast hint —
+    with broadcasting disabled the plan falls back to SortMergeJoin."""
+    from ondine_spark.sources.cache import resume_filter, write_responses
+    from pyspark.sql import functions as F
+
+    df = spark.range(500).select(
+        F.col("id").cast("string").alias("_row_id"), F.col("id").alias("v")
+    )
+    done = df.limit(300).select(
+        "_row_id", F.lit("ok").alias("response_text"),
+        F.lit(1).alias("tokens_in"), F.lit(1).alias("tokens_out"),
+        F.lit("m").alias("resp_model"),
+        F.lit("0").cast("decimal(38,18)").alias("cost"),
+        F.lit(0.0).alias("latency_ms"),
+        F.lit(None).cast("string").alias("error"),
+    )
+    write_responses(done, str(tmp_path), "s1")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        todo, replay = resume_filter(df, str(tmp_path), "s1")
+        plan = todo._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan, plan
+        assert todo.count() == 200
+        assert replay.count() == 300
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_compact_responses_dedups_and_preserves_resume(spark, tmp_path):
+    """Compaction keeps one row per _row_id and the resume split is
+    unchanged afterwards."""
+    from ondine_spark.sources.cache import (
+        compact_responses,
+        resume_filter,
+        write_responses,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.range(100).select(
+        F.col("id").cast("string").alias("_row_id"), F.col("id").alias("v")
+    )
+    done = df.limit(60).select(
+        "_row_id", F.lit("ok").alias("response_text"),
+        F.lit(1).alias("tokens_in"), F.lit(1).alias("tokens_out"),
+        F.lit("m").alias("resp_model"),
+        F.lit("0").cast("decimal(38,18)").alias("cost"),
+        F.lit(0.0).alias("latency_ms"),
+        F.lit(None).cast("string").alias("error"),
+    )
+    # three appends of the same rows → duplicate files and rows
+    for _ in range(3):
+        write_responses(done, str(tmp_path), "s2")
+    n = compact_responses(spark, str(tmp_path), "s2")
+    assert n == 60
+    todo, replay = resume_filter(df, str(tmp_path), "s2")
+    assert todo.count() == 40
+    assert replay.count() == 60
+    # compacting a session that does not exist is a quiet no-op
+    assert compact_responses(spark, str(tmp_path), "missing") == 0

@@ -45,6 +45,25 @@ def __getattr__(name):
         from ondine_spark.llm import router
 
         return getattr(router, name)
+    if name in ("StructuredOutputClient", "StructuredModeError",
+                "structured_factory"):
+        from ondine_spark.llm import structured
+
+        return getattr(structured, name)
+    if name in ("OpenAIBatchProvider", "AnthropicBatchProvider",
+                "LocalMockBatchProvider", "RunHandle"):
+        from ondine_spark.llm import provider_batch
+
+        return getattr(provider_batch, name)
+    if name in ("LangfuseObserver", "OpenTelemetryObserver",
+                "LoggingObserver", "CollectingObserver", "ProgressObserver"):
+        from ondine_spark import observability
+
+        return getattr(observability, name)
+    if name == "ZepClaimStore":
+        from ondine_spark.context.zep_store import ZepClaimStore
+
+        return ZepClaimStore
     raise AttributeError(name)
 
 
@@ -73,6 +92,19 @@ __all__ = [
     "LLMResult",
     "TransientLLMError",
     "FatalLLMError",
+    "StructuredOutputClient",
+    "StructuredModeError",
+    "structured_factory",
+    "OpenAIBatchProvider",
+    "AnthropicBatchProvider",
+    "LocalMockBatchProvider",
+    "RunHandle",
+    "LangfuseObserver",
+    "OpenTelemetryObserver",
+    "LoggingObserver",
+    "CollectingObserver",
+    "ProgressObserver",
+    "ZepClaimStore",
 ]
 
 __version__ = "0.1.0"

@@ -668,13 +668,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select("doc_id", F.col("page").alias("cleaned"))
 
     def q_dedup_paragraphs(spark, sf_dir):
-        """C4-style corpus-wide paragraph dedup over synthetic
-        multi-paragraph pages (the single-line synthetic docs get a shared
-        newsletter paragraph + a unique closing paragraph appended; the
-        shared one must survive only in the lowest-doc_id page)."""
-        from ondine_spark.operators.curation import dedup_paragraphs
+        """Two corpus-wide exact-dedup text cleaners in one gate (same
+        (doc_id, cleaned-text) grain):
 
-        page = _docs(spark, sf_dir).select(
+        - C4-style paragraph dedup over synthetic multi-paragraph pages
+          (each doc gets a shared newsletter paragraph + a unique closing
+          paragraph; the shared one must survive only in the lowest
+          doc_id) → ``cleaned``.
+        - Lee-et-al-style duplicate-SPAN excision over pages with a
+          shared leading 8-token span (plus any 8-token runs the corpus
+          texts genuinely share) → ``span_cleaned``.
+        """
+        from ondine_spark.operators.curation import (
+            dedup_paragraphs,
+            excise_duplicate_spans,
+        )
+
+        docs = _docs(spark, sf_dir)
+        page = docs.select(
             "doc_id",
             F.concat(
                 F.col("text"),
@@ -682,9 +693,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.col("doc_id").cast("string"),
             ).alias("page"),
         )
-        return dedup_paragraphs(
+        paras = dedup_paragraphs(
             page, "doc_id", "page", min_chars=10
         ).select("doc_id", F.col("page").alias("cleaned"))
+        span_page = docs.select(
+            "doc_id",
+            F.concat(
+                F.lit("spandup alpha beta gamma delta epsilon zeta eta "),
+                F.col("text"),
+            ).alias("spage"),
+        )
+        spans = excise_duplicate_spans(
+            span_page, "doc_id", "spage", span_tokens=8
+        ).select("doc_id", F.col("spage").alias("span_cleaned"))
+        return paras.join(spans, on="doc_id")
 
     def q_asof_purchases(spark, sf_dir):
         from ondine_spark.operators.asof import asof_join
@@ -1706,9 +1728,72 @@ def oracle_sql() -> dict[str, str]:
                      string_agg(para, chr(10) || chr(10) ORDER BY pos)
                        AS cleaned
               FROM kept GROUP BY doc_id
+            ),
+            -- Lee-et-al span excision over the span page (8-token windows)
+            st AS (
+              SELECT doc_id,
+                     'spandup alpha beta gamma delta epsilon zeta eta '
+                       || text AS spage
+              FROM documents
+            ), stok AS (
+              SELECT doc_id,
+                     regexp_extract_all(trim(spage), '\\S+') AS w,
+                     regexp_extract_all(lower(trim(spage)), '\\S+') AS wl
+              FROM st
+            ), wins AS (
+              SELECT doc_id, i - 1 AS strt,
+                     {_MD5L.format(x="array_to_string(list_slice(wl, i, i + 7), ' ')")} AS h
+              FROM (SELECT doc_id, wl,
+                           unnest(generate_series(1, greatest(len(wl) - 7, 0)))
+                             AS i
+                    FROM stok)
+            ), marked AS (
+              SELECT doc_id, strt,
+                     count(*) OVER (PARTITION BY h) AS c,
+                     row_number() OVER (
+                       PARTITION BY h ORDER BY doc_id, strt
+                     ) AS rn
+              FROM wins
+            ), rem AS (
+              SELECT doc_id, strt AS s, strt + 8 AS e FROM marked
+              WHERE c >= 2 AND rn > 1
+            ), isl AS (
+              SELECT doc_id, s, e,
+                     CASE WHEN max(e) OVER pw IS NULL
+                            OR s > max(e) OVER pw THEN 1 ELSE 0 END AS nw
+              FROM rem
+              WINDOW pw AS (PARTITION BY doc_id ORDER BY s
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            ), isl2 AS (
+              SELECT doc_id, s, e,
+                     sum(nw) OVER (PARTITION BY doc_id ORDER BY s
+                                   ROWS UNBOUNDED PRECEDING) AS grp
+              FROM isl
+            ), merged AS (
+              SELECT doc_id, min(s) AS s, max(e) AS e
+              FROM isl2 GROUP BY doc_id, grp
+            ), toks2 AS (
+              SELECT doc_id, pos - 1 AS pos, w[pos] AS tok
+              FROM (SELECT doc_id, w,
+                           unnest(generate_series(1, len(w))) AS pos
+                    FROM stok)
+            ), skept AS (
+              SELECT tk.doc_id, tk.pos, tk.tok FROM toks2 tk
+              WHERE NOT EXISTS (
+                SELECT 1 FROM merged m
+                WHERE m.doc_id = tk.doc_id
+                  AND tk.pos >= m.s AND tk.pos < m.e
+              )
+            ), srebuilt AS (
+              SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS span_cleaned
+              FROM skept GROUP BY doc_id
             )
-            SELECT d.doc_id, coalesce(r.cleaned, '') AS cleaned
-            FROM documents d LEFT JOIN rebuilt r ON r.doc_id = d.doc_id
+            SELECT d.doc_id,
+                   coalesce(r.cleaned, '') AS cleaned,
+                   coalesce(sr.span_cleaned, '') AS span_cleaned
+            FROM documents d
+            LEFT JOIN rebuilt r ON r.doc_id = d.doc_id
+            LEFT JOIN srebuilt sr ON sr.doc_id = d.doc_id
         """,
         "asof_purchases": """
             WITH p AS (

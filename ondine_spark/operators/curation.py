@@ -387,6 +387,104 @@ def dedup_paragraphs(
     )
 
 
+def excise_duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    span_tokens: int = 50,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Exact duplicate-SPAN removal (the substring-level dedup of Lee et
+    al., "Deduplicating Training Data Makes Language Models Better",
+    approximated at token-window granularity): every run of
+    ``span_tokens`` consecutive tokens that occurs more than once in the
+    corpus is excised from all but its globally-first occurrence (first =
+    smallest (doc id, position) — one copy always survives). Documents
+    are rebuilt from their surviving tokens.
+
+    Scale shape: token windows are positional word-n-grams (JVM
+    expression, no Python); window-hash frequency is one map-side
+    combinable groupBy carrying the min-(doc,pos) first-occurrence in the
+    same aggregate; per-doc removal windows collapse to disjoint
+    intervals with a classic gaps-and-islands window (one shuffle on doc
+    id); tokens are dropped via a per-doc interval range-join (interval
+    count per doc is small — bounded by duplicated-span count, not text
+    length). No corpus-derived set is ever collected or broadcast.
+    """
+    from ondine_spark.functions.similarity import word_ngrams_all
+
+    out_col = out_col or text_col
+    n = span_tokens
+    toks = df.select(
+        F.col(id_col).alias("_did"),
+        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+"))
+         .alias("_pos", "_tok"),
+    )
+    wins = df.select(
+        F.col(id_col).alias("_did"),
+        F.posexplode(
+            F.transform(
+                word_ngrams_all(F.col(text_col), n), lambda g: md5_long(g)
+            )
+        ).alias("_start", "_h"),
+    )
+    freq = wins.groupBy("_h").agg(
+        F.count(F.lit(1)).alias("_c"),
+        F.min(F.struct("_did", "_start")).alias("_first"),
+    ).where(F.col("_c") >= 2)
+    # removal windows: every dup-window occurrence EXCEPT the global first
+    remove = (
+        wins.join(freq, on="_h")
+        .where(
+            ~((F.col("_did") == F.col("_first._did"))
+              & (F.col("_start") == F.col("_first._start")))
+        )
+        .select("_did", F.col("_start").alias("_s"),
+                (F.col("_start") + n).alias("_e"))
+    )
+    # gaps-and-islands: merge overlapping [s, e) intervals per doc
+    w = Window.partitionBy("_did").orderBy("_s")
+    prev_max = F.max("_e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = (
+        remove.withColumn(
+            "_new",
+            F.when(prev_max.isNull() | (F.col("_s") > prev_max), 1).otherwise(0),
+        )
+        .withColumn(
+            "_isl",
+            F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("_did", "_isl")
+        .agg(F.min("_s").alias("_s"), F.max("_e").alias("_e"))
+    )
+    survivors = toks.join(
+        islands,
+        on=[
+            toks["_did"] == islands["_did"],
+            toks["_pos"] >= islands["_s"],
+            toks["_pos"] < islands["_e"],
+        ],
+        how="left_anti",
+    )
+    rebuilt = survivors.groupBy("_did").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_tok"))),
+                lambda s: s["_tok"],
+            ),
+            " ",
+        ).alias("_rebuilt")
+    )
+    others = [c for c in df.columns if c != out_col]
+    return df.join(
+        rebuilt, on=F.col(id_col) == F.col("_did"), how="left"
+    ).select(
+        *others, F.coalesce(F.col("_rebuilt"), F.lit("")).alias(out_col)
+    )
+
+
 # ------------------------------------------------------ decontamination
 
 def decontaminate(

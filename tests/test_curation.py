@@ -260,3 +260,55 @@ def test_dedup_paragraphs_noop_when_all_unique(spark):
     out = {r["doc_id"]: r["text"]
            for r in dedup_paragraphs(df, "doc_id", "text").collect()}
     assert out == dict(rows)
+
+
+def test_excise_duplicate_spans_keeps_first_occurrence(spark):
+    """Lee-et-al-style span excision: a repeated 5-token run survives only
+    in its globally-first (doc, pos) occurrence; unrelated text is
+    untouched."""
+    from ondine_spark.operators.curation import excise_duplicate_spans
+
+    span = "the quick brown fox jumps"
+    rows = [
+        (1, f"intro words here {span} tail one"),
+        (2, f"{span} completely different tail"),
+        (3, "no duplication in this document at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["text"]
+           for r in excise_duplicate_spans(df, "doc_id", "text",
+                                           span_tokens=5).collect()}
+    assert out[1] == rows[0][1]                       # first occurrence kept
+    assert out[2] == "completely different tail"      # span excised
+    assert out[3] == rows[2][1]                       # untouched
+
+
+def test_excise_duplicate_spans_overlapping_runs_merge(spark):
+    """A duplicated run longer than span_tokens produces overlapping
+    duplicated windows; the merged interval must excise the WHOLE run in
+    the non-first doc, not leave fragments."""
+    from ondine_spark.operators.curation import excise_duplicate_spans
+
+    run = "a b c d e f g h"  # 8 tokens, span_tokens=5 -> 4 overlapping wins
+    df = spark.createDataFrame(
+        [(1, f"keep {run} one"), (2, f"{run} other side")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["text"]
+           for r in excise_duplicate_spans(df, "doc_id", "text",
+                                           span_tokens=5).collect()}
+    assert out[1] == f"keep {run} one"
+    assert out[2] == "other side"
+
+
+def test_excise_duplicate_spans_short_docs_untouched(spark):
+    from ondine_spark.operators.curation import excise_duplicate_spans
+
+    df = spark.createDataFrame(
+        [(1, "tiny doc"), (2, "tiny doc")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r["text"]
+           for r in excise_duplicate_spans(df, "doc_id", "text",
+                                           span_tokens=5).collect()}
+    # both docs are shorter than one span window -> nothing to excise
+    assert out == {1: "tiny doc", 2: "tiny doc"}

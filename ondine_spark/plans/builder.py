@@ -58,6 +58,15 @@ class PipelineBuilder:
         d.sheet_name, d.id_column = sheet_name, id_column
         return self
 
+    def from_source(self, path: str, input_columns: list[str], *,
+                    format: str | None = None, id_column=None):
+        """Generic file source: format inferred from the suffix (csv/tsv/
+        parquet/json/jsonl/orc/avro/xlsx) or passed explicitly."""
+        d = self._spec.dataset
+        d.source, d.format, d.input_columns = path, format, list(input_columns)
+        d.id_column = id_column
+        return self
+
     def from_dataframe(self, df: Any, input_columns: list[str] | None = None, *,
                        id_column=None):
         d = self._spec.dataset

@@ -35,6 +35,7 @@ def infer_format(path: str, explicit: str | None = None) -> str:
         "csv": "csv", "tsv": "csv", "parquet": "parquet", "pq": "parquet",
         "json": "json", "jsonl": "json", "ndjson": "json",
         "xlsx": "excel", "xls": "excel",
+        "orc": "orc", "avro": "avro",
     }.get(suffix, suffix or "parquet")
 
 
@@ -66,6 +67,19 @@ def read_source(spark: SparkSession, spec: DatasetSpec) -> DataFrame:
         return spark.read.parquet(src)
     if fmt == "json":
         return spark.read.json(src)
+    if fmt == "orc":
+        return spark.read.orc(src)
+    if fmt == "avro":
+        # built into the Spark distribution as an external module; guard
+        # with a clear message where the avro jar isn't on the classpath
+        try:
+            return spark.read.format("avro").load(src)
+        except Exception as e:
+            raise ValueError(
+                "avro input needs the spark-avro module on the classpath "
+                "(--packages org.apache.spark:spark-avro); convert to "
+                "parquet/orc otherwise"
+            ) from e
     if fmt == "excel":
         import pandas as pd
 

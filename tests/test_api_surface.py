@@ -293,3 +293,23 @@ def test_cached_tokens_from_usage_shapes():
 
     r = LLMResult(text="x", tokens_in=1, tokens_out=1, model="m", cost="0")
     assert r.tokens_cached == 0
+
+
+def test_orc_source_end_to_end(spark, tmp_path):
+    """S1-family: ORC input flows through the same pipeline spine."""
+    from ondine_spark import PipelineBuilder, mock_client_factory
+
+    src = str(tmp_path / "reviews_orc")
+    spark.createDataFrame(
+        [(f"r{i}", f"row {i} is great") for i in range(12)],
+        "id string, review string",
+    ).write.orc(src)
+    p = (
+        PipelineBuilder(spark)
+        .from_source(src, ["review"], id_column="id", format="orc")
+        .with_prompt("Classify: {review}", ["sentiment"])
+        .with_custom_llm_client(mock_client_factory())
+        .build()
+    )
+    rows = {r["id"]: r["sentiment"] for r in p.result_frame().collect()}
+    assert len(rows) == 12 and rows["r0"] == "positive"

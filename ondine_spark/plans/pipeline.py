@@ -419,6 +419,8 @@ def write_output(df: DataFrame, output) -> None:
         writer.parquet(output.path)
     elif fmt == "json":
         writer.json(output.path)
+    elif fmt == "orc":
+        writer.orc(output.path)
     else:
         raise ValueError(f"unsupported output format: {fmt}")
 

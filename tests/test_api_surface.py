@@ -313,3 +313,27 @@ def test_orc_source_end_to_end(spark, tmp_path):
     )
     rows = {r["id"]: r["sentiment"] for r in p.result_frame().collect()}
     assert len(rows) == 12 and rows["r0"] == "positive"
+
+
+def test_orc_sink_roundtrip(spark, tmp_path):
+    from ondine_spark import PipelineBuilder, mock_client_factory
+
+    out = str(tmp_path / "out_orc")
+    (
+        PipelineBuilder(spark)
+        .from_dataframe(
+            spark.createDataFrame(
+                [(f"r{i}", "love it") for i in range(6)],
+                "id string, review string",
+            ),
+            ["review"], id_column="id",
+        )
+        .with_prompt("Classify: {review}", ["sentiment"])
+        .with_custom_llm_client(mock_client_factory())
+        .with_output(out, format="orc")
+        .build()
+        .execute()
+    )
+    back = spark.read.orc(out)
+    assert back.count() == 6
+    assert {r["sentiment"] for r in back.collect()} == {"positive"}

@@ -909,9 +909,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("f.frame_md5").alias("frame_md5"),
         )
 
-    # 48 gates (consolidated from 62 by joining same-grain operators into
-    # wide oracle-checked results — the driver records at most 50 gates, so
-    # every operator family must fit inside that cap). The dict is ordered
+    # 50 gates EXACTLY at the driver's 50-gate cap (consolidated from 62 by
+    # joining same-grain operators into wide oracle-checked results). Adding
+    # a gate requires consolidating another one first — the assert below
+    # fails loudly on overflow. The dict is ordered
     # round-robin across operator families so that ANY prefix of it still
     # exercises every family, should the cap ever shrink.
     families: list[list[tuple[str, Callable]]] = [
@@ -986,6 +987,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             if i < len(fam):
                 name, fn = fam[i]
                 out[name] = fn
+    assert len(out) <= 50, (
+        f"{len(out)} gates registered but the driver records at most 50 — "
+        "consolidate before adding"
+    )
     return out
 
 

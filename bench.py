@@ -19,7 +19,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 # NOTE (round 2): gate names changed when the 62 oracle gates were
-# consolidated to 48 (driver records at most 50). Mapping from round-1
+# consolidated to 50 (exactly the driver's 50-gate cap). Mapping from round-1
 # bench keys: enrich_batched+enrich_sentiment→enrich_modes,
 # winnow_pairs_fast→winnow_pairs (both impls), embedding_topk+ann_ivf_full
 # →topk_brute_vs_ivf, text_stats→text_quality, fingerprints+lang_id→

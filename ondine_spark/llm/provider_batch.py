@@ -218,18 +218,35 @@ class OpenAIBatchProvider:
                 "cancelled": "cancelled"}.get(st, st)
 
     def download(self, job_id: str) -> str:
+        # A completed batch may carry failures in error_file_id (and, if
+        # EVERY request failed, output_file_id is null) — fetch both and
+        # concatenate so failed rows surface as error rows instead of
+        # silently dropping in the collect left-join (reference
+        # provider_batch.py:223-224 falls back the same way).
         batch = self._call("GET", f"/batches/{job_id}")
-        content = self._call(
-            "GET", f"/files/{batch['output_file_id']}/content"
-        )
+        chunks: list[bytes] = []
+        for key in ("output_file_id", "error_file_id"):
+            fid = batch.get(key)
+            if fid:
+                content = self._call("GET", f"/files/{fid}/content")
+                if not isinstance(content, bytes):
+                    content = json.dumps(content).encode()
+                if content and not content.endswith(b"\n"):
+                    content += b"\n"
+                chunks.append(content)
+        if not chunks:
+            raise RuntimeError(
+                f"batch {job_id} completed with neither output_file_id nor "
+                "error_file_id — nothing to download"
+            )
         out_dir = self.download_dir or os.path.join(
             os.path.expanduser("~"), ".ondine_spark", "batch_results"
         )
         os.makedirs(out_dir, exist_ok=True)
         path = os.path.join(out_dir, f"{job_id}.output.jsonl")
         with open(path, "wb") as f:
-            f.write(content if isinstance(content, bytes)
-                    else json.dumps(content).encode())
+            for c in chunks:
+                f.write(c)
         return path
 
 
@@ -278,7 +295,11 @@ class AnthropicBatchProvider:
                 system = [m["content"] for m in msgs if m["role"] == "system"]
                 params = {
                     "model": req["body"].get("model", model),
-                    "max_tokens": self.max_tokens,
+                    # per-request max_tokens from the compiled body wins over
+                    # the provider-level default (reference
+                    # provider_batch.py:313,332)
+                    "max_tokens": req["body"].get("max_tokens",
+                                                  self.max_tokens),
                     "messages": [m for m in msgs if m["role"] != "system"],
                 }
                 if system:
@@ -372,6 +393,44 @@ class RunHandle:
                    handle_dir=handle_dir)
 
 
+def _list_parts(spark, staging_dir: str) -> list[str]:
+    """List non-empty ``part-*`` files via the Hadoop FS API (scheme-aware,
+    unlike a driver-local ``glob``), mapped back to driver-readable local
+    paths. A non-``file:`` scheme that the driver can't open locally raises
+    instead of silently resolving to zero provider jobs."""
+    try:
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(staging_dir)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(jpath):
+            return []
+        out = []
+        for st in fs.listStatus(jpath):
+            p = st.getPath()
+            if not st.isFile() or not p.getName().startswith("part-") \
+                    or st.getLen() == 0:
+                continue
+            uri = p.toUri()
+            scheme = uri.getScheme()
+            local = uri.getPath()
+            if scheme not in (None, "file") and not os.path.exists(local):
+                raise RuntimeError(
+                    f"staging part {p.toString()} is on scheme "
+                    f"{scheme!r} and not driver-readable; provider upload "
+                    "streams each part from the driver — stage to a shared "
+                    "or local filesystem"
+                )
+            out.append(local)
+        return sorted(out)
+    except RuntimeError:
+        raise
+    except Exception:  # py4j unavailable (plain tests) → driver-local glob
+        return [
+            p for p in sorted(glob.glob(os.path.join(staging_dir, "part-*")))
+            if not p.endswith(".crc") and os.path.getsize(p) > 0
+        ]
+
+
 def compile_requests(
     pipeline: Pipeline,
     staging_dir: str,
@@ -409,24 +468,36 @@ def compile_requests(
                              F.lit(spec.prompt.system_message).alias("content")))
     msgs.append(F.struct(F.lit("user").alias("role"),
                          F.col("prompt").alias("content")))
+    body_fields = [
+        F.lit(spec.llm.model).alias("model"),
+        F.array(*msgs).alias("messages"),
+    ]
+    if spec.llm.max_tokens:
+        # without this the provider's own default caps batched (N:1)
+        # responses and the disaggregator yields null rows (reference
+        # writes record['body']['max_tokens'], provider_batch.py:313)
+        body_fields.append(
+            F.lit(int(spec.llm.max_tokens)).alias("max_tokens"))
     requests = df.select(
         F.to_json(F.struct(
             id_col.alias("custom_id"),
             F.lit("POST").alias("method"),
             F.lit("/v1/chat/completions").alias("url"),
-            F.struct(
-                F.lit(spec.llm.model).alias("model"),
-                F.array(*msgs).alias("messages"),
-            ).alias("body"),
+            F.struct(*body_fields).alias("body"),
         )).alias("line")
     )
     (requests.write.mode("overwrite")
      .option("maxRecordsPerFile", max_requests_per_file)
      .text(staging_dir))
-    parts = [
-        p for p in sorted(glob.glob(os.path.join(staging_dir, "part-*")))
-        if not p.endswith(".crc") and os.path.getsize(p) > 0
-    ]
+    parts = _list_parts(pipeline.spark, staging_dir)
+    if not parts and not requests.isEmpty():
+        raise RuntimeError(
+            f"compile_requests wrote a non-empty prompts frame but found no "
+            f"part files under {staging_dir!r}. The staging dir must be a "
+            "filesystem the driver can read (shared FS / local in "
+            "local-mode); executor-only storage is not supported for the "
+            "upload step."
+        )
     n = sum(1 for p in parts for _ in open(p, "rb"))
     return n, parts
 

@@ -155,12 +155,17 @@ class PipelineBuilder:
         return self
 
     # ----------------------------------------------------------------- llm
-    def with_llm(self, model: str, *, input_cost_per_1k=None, output_cost_per_1k=None):
+    def with_llm(self, model: str, *, input_cost_per_1k=None,
+                 output_cost_per_1k=None, max_tokens=None, temperature=None):
         self._spec.llm.model = model
         if input_cost_per_1k is not None:
             self._spec.llm.input_cost_per_1k = Decimal(str(input_cost_per_1k))
         if output_cost_per_1k is not None:
             self._spec.llm.output_cost_per_1k = Decimal(str(output_cost_per_1k))
+        if max_tokens is not None:
+            self._spec.llm.max_tokens = int(max_tokens)
+        if temperature is not None:
+            self._spec.llm.temperature = float(temperature)
         return self
 
     def with_custom_llm_client(self, factory: Callable[[], Any]):
@@ -297,18 +302,26 @@ class PipelineBuilder:
         from ondine_spark.plans.pipeline import Pipeline
 
         self._spec.validate()
-        if (self._spec.prompt.response_format == ResponseFormat.SCHEMA
-                and self._spec.prompt.structured_mode_fallback):
+        spec = self._spec
+        if (spec.prompt.response_format == ResponseFormat.SCHEMA
+                and spec.prompt.structured_mode_fallback):
             from ondine_spark.functions.parsing import normalize_schema
             from ondine_spark.llm.providers import client_factory_for
             from ondine_spark.llm.structured import structured_factory
 
             fields = normalize_schema(
-                self._spec.prompt.output_schema
+                spec.prompt.output_schema
             ).fieldNames()
-            base = client_factory_for(self._spec.llm)
-            self._spec.llm.client_factory = structured_factory(base, fields)
-        return Pipeline(self._spec, self._spark)
+            base = client_factory_for(spec.llm)
+            # wrap on shallow copies — mutating self._spec in place would
+            # double-wrap the factory on a second build() and leak the
+            # wrapper into the caller's spec object
+            import copy
+
+            spec = copy.copy(spec)
+            spec.llm = copy.copy(spec.llm)
+            spec.llm.client_factory = structured_factory(base, fields)
+        return Pipeline(spec, self._spark)
 
     @property
     def spec(self) -> PipelineSpec:

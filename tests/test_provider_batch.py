@@ -273,6 +273,104 @@ def test_handle_loads_round1_single_job_format(tmp_path):
     assert h.provider_job_ids == ["job-7"]
 
 
+def test_max_tokens_reaches_compiled_body_and_anthropic(spark, tmp_path):
+    """spec.llm.max_tokens must land in every compiled request body, and
+    AnthropicBatchProvider must honor it per-request over its own default
+    (ADVICE r2; reference provider_batch.py:313,332)."""
+    import json as j
+
+    from ondine_spark.llm.provider_batch import (
+        AnthropicBatchProvider,
+        compile_requests,
+    )
+
+    b = (
+        PipelineBuilder(spark)
+        .from_dataframe(spark.createDataFrame(_rows(6)), ["review"],
+                        id_column="id")
+        .with_prompt("Classify: {review}", ["sentiment"])
+        .with_llm("mock-sentiment", max_tokens=4096)
+        .with_custom_llm_client(mock_client_factory())
+        .with_batch_size(3)
+    )
+    p = b.build()
+    n, parts = compile_requests(p, str(tmp_path / "staging"))
+    assert n == 2
+    bodies = [j.loads(line)["body"] for part in parts
+              for line in open(part)]
+    assert all(body["max_tokens"] == 4096 for body in bodies)
+
+    transport = _FakeAnthropicTransport()
+    provider = AnthropicBatchProvider(
+        api_key="sk-ant-test", transport=transport,
+        download_dir=str(tmp_path / "dl"),
+    )
+    for part in parts:
+        provider.submit_file(part, "mock-sentiment")
+    sent = [req["params"]["max_tokens"]
+            for reqs in transport.batches.values() for req in reqs]
+    assert sent and all(v == 4096 for v in sent)
+
+
+def test_openai_download_includes_error_file(tmp_path):
+    """Failed requests live in error_file_id on a completed batch; they
+    must surface as error rows, not silently vanish (ADVICE r2)."""
+    import json as j
+
+    from ondine_spark.llm.provider_batch import OpenAIBatchProvider
+
+    ok_line = j.dumps({"custom_id": "row-a", "response": {"body": {
+        "choices": [{"message": {"content": "fine"}}],
+        "usage": {"prompt_tokens": 1, "completion_tokens": 1},
+        "model": "m"}}, "error": None})
+    err_line = j.dumps({"custom_id": "row-b", "response": None,
+                        "error": {"code": "rate_limited"}})
+
+    def transport(method, url, headers, body):
+        if "/batches/" in url:
+            return 200, j.dumps({"id": "b0", "status": "completed",
+                                 "output_file_id": "f-ok",
+                                 "error_file_id": "f-err"}).encode()
+        if "f-ok/content" in url:
+            return 200, ok_line.encode()
+        if "f-err/content" in url:
+            return 200, err_line.encode()
+        raise AssertionError(url)
+
+    provider = OpenAIBatchProvider(api_key="sk-test", transport=transport,
+                                   download_dir=str(tmp_path))
+    path = provider.download("b0")
+    got = [j.loads(line) for line in open(path)]
+    assert {g["custom_id"] for g in got} == {"row-a", "row-b"}
+    errs = {g["custom_id"]: g["error"] for g in got}
+    assert errs["row-a"] is None and errs["row-b"] is not None
+
+
+def test_openai_download_all_failed_uses_error_file_only(tmp_path):
+    """output_file_id may be null when every request failed — the GET must
+    not 404; results come from error_file_id alone."""
+    import json as j
+
+    from ondine_spark.llm.provider_batch import OpenAIBatchProvider
+
+    err_line = j.dumps({"custom_id": "row-x", "response": None,
+                        "error": {"code": "invalid_request"}})
+
+    def transport(method, url, headers, body):
+        if "/batches/" in url:
+            return 200, j.dumps({"id": "b1", "status": "completed",
+                                 "output_file_id": None,
+                                 "error_file_id": "f-err"}).encode()
+        if "f-err/content" in url:
+            return 200, err_line.encode()
+        raise AssertionError(url)
+
+    provider = OpenAIBatchProvider(api_key="sk-test", transport=transport,
+                                   download_dir=str(tmp_path))
+    got = [j.loads(line) for line in open(provider.download("b1"))]
+    assert len(got) == 1 and got[0]["error"] is not None
+
+
 def test_collect_fails_cleanly_on_bad_job(spark, tmp_path):
     provider = LocalMockBatchProvider(str(tmp_path / "spool"))
 

@@ -320,3 +320,34 @@ def test_structured_pipeline_with_mode_fallback(spark):
     rows = p.result_frame().select("id", "label", "score").collect()
     assert len(rows) == 12
     assert all(r["label"] == "ok" and r["score"] == "0.5" for r in rows)
+
+
+def test_repeated_build_is_idempotent(spark):
+    """build() must not mutate the builder's spec: a second build() on the
+    same builder would otherwise wrap the already-wrapped client factory in
+    a second StructuredOutputClient (ADVICE r2, builder.py:310)."""
+    df = spark.createDataFrame(
+        [(f"d{i}", f"document {i}") for i in range(3)], "id string, txt string"
+    )
+    base_factory = structured_stub_factory()
+    b = (
+        PipelineBuilder(spark)
+        .from_dataframe(df, ["txt"], id_column="id")
+        .with_prompt("Classify: {txt}", ["label", "score"])
+        .with_custom_llm_client(base_factory)
+        .with_structured_output("label STRING, score STRING",
+                                mode_fallback=True)
+    )
+    p1 = b.build()
+    # the caller's spec object is untouched — still the raw factory
+    assert b.spec.llm.client_factory is base_factory
+    p2 = b.build()
+    from ondine_spark.llm.structured import StructuredOutputClient
+
+    for p in (p1, p2):
+        client = p.spec.llm.client_factory()
+        assert isinstance(client, StructuredOutputClient)
+        # single wrap: the inner client is the stub, not another wrapper
+        assert not isinstance(client.base, StructuredOutputClient)
+    rows = p2.result_frame().select("id", "label").collect()
+    assert len(rows) == 3

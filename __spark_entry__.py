@@ -158,9 +158,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def q_prompt_render(spark, sf_dir):
+        # F1 (format expr, JVM concat) + F2 (jinja2 pandas UDF, '{{'
+        # autodetected; n_chars referenced only inside {% if %} so the
+        # jinja2.meta variable walk is exercised, not just the {{ }} regex)
+        from ondine_spark.functions.templates import prompt_column
+
+        jt = ("Doc {{ doc_id }} [{{ lang }}]"
+              "{% if n_chars > 300 %} LONG{% endif %}: {{ text }}")
         return _docs(spark, sf_dir).select(
             "doc_id",
             render_format_template("Summarize: {text} [lang={lang}]").alias("prompt"),
+            prompt_column(jt).alias("jinja_prompt"),
         )
 
     def q_preprocess_truncate(spark, sf_dir):
@@ -1241,7 +1249,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "prompt_render": (
             "SELECT doc_id, 'Summarize: ' || coalesce(text,'') || ' [lang=' || "
-            "coalesce(lang,'') || ']' AS prompt FROM documents"
+            "coalesce(lang,'') || ']' AS prompt, "
+            "'Doc ' || doc_id || ' [' || lang || ']' || "
+            "CASE WHEN n_chars > 300 THEN ' LONG' ELSE '' END || ': ' || text "
+            "AS jinja_prompt FROM documents"
         ),
         "preprocess_truncate": """
             WITH t AS (

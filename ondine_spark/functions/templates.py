@@ -96,14 +96,31 @@ def prompt_column(
     few_shot_examples: list[dict] | None = None,
     kb_context_col: str | None = None,
     evidence_context_col: str | None = None,
+    available_columns: list[str] | None = None,
 ) -> Column:
     """Full prompt expression: template render + optional KB-context
     prepend, evidence append, few-shot prepend (reference order:
     prompt_formatter_stage.py:146-181). System message is NOT embedded —
-    it travels separately so providers can cache the shared prefix."""
+    it travels separately so providers can cache the shared prefix.
+
+    ``available_columns`` (when given) bounds which template variables are
+    read from the frame; variables outside it stay jinja2-Undefined and
+    render as '' — same as the reference's full-row-dict render where a
+    template names a variable the row doesn't have."""
     if is_jinja2(template, use_jinja2):
         cols = _jinja_vars(template)
-        prompt = render_jinja2_udf(template, cols)
+        if available_columns is not None:
+            cols = [c for c in cols if c in set(available_columns)]
+        if not cols:  # constant template (vars all undefined / none)
+            try:
+                from jinja2 import Template
+            except ImportError as e:
+                raise NotImplementedError(
+                    "jinja2 is not installed; use {col} format templates"
+                ) from e
+            prompt = F.lit(Template(template, autoescape=False).render())
+        else:
+            prompt = render_jinja2_udf(template, cols)
     else:
         prompt = render_format_template(template)
 
@@ -132,9 +149,19 @@ def prompt_column(
 
 
 def _jinja_vars(template: str) -> list[str]:
-    """Best-effort extraction of simple ``{{ var }}`` names."""
-    seen: list[str] = []
-    for name in re.findall(r"{{\s*([A-Za-z_][A-Za-z0-9_]*)", template):
-        if name not in seen:
-            seen.append(name)
-    return seen
+    """Template variables, via jinja2's own AST walk when available (catches
+    ``{% if %}``/``{% for %}``-only vars, filters, dotted roots — everything
+    the reference's full-row-dict render covers), regex fallback otherwise."""
+    try:
+        import jinja2
+        from jinja2 import meta
+
+        env = jinja2.Environment(autoescape=False)
+        names = meta.find_undeclared_variables(env.parse(template))
+        return sorted(names)
+    except ImportError:
+        seen: list[str] = []
+        for name in re.findall(r"{{\s*([A-Za-z_][A-Za-z0-9_]*)", template):
+            if name not in seen:
+                seen.append(name)
+        return seen

@@ -119,6 +119,7 @@ class Pipeline:
             spec.prompt.template,
             spec.prompt.use_jinja2,
             spec.prompt.few_shot_examples,
+            available_columns=df.columns,
         )
         # F4: context injection — prepend retrieved context when non-empty
         for c in ("_kb_context", "_evidence_context"):

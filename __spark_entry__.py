@@ -381,14 +381,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         """Keep-representative dedup under both policies (min-id and
         best-by-score) as per-doc survival flags — every doc appears, with
         in_reps / in_best telling whether it survives each policy."""
-        from ondine_spark.operators.dedup import dedup_keep_representative
+        from ondine_spark.operators.dedup import (
+            connected_components,
+            dedup_keep_representative,
+        )
 
         docs = _docs(spark, sf_dir)
+        # the LSH pair graph + its CC resolution is the expensive subplan:
+        # compute it ONCE and reuse across both keep policies (r2 verdict
+        # item 4 — previously each policy rebuilt pairs + CC from scratch)
+        comp = connected_components(_lsh_pairs(spark, sf_dir)).persist()
         reps = dedup_keep_representative(
-            docs, "doc_id", _lsh_pairs(spark, sf_dir)
+            docs, "doc_id", None, components=comp
         ).select("doc_id", F.lit(True).alias("_r"))
         best = dedup_keep_representative(
-            docs, "doc_id", _lsh_pairs(spark, sf_dir), keep_by="n_chars"
+            docs, "doc_id", None, keep_by="n_chars", components=comp
         ).select("doc_id", F.lit(True).alias("_b"))
         return (
             docs.select("doc_id", "lang", "n_chars")

@@ -88,30 +88,47 @@ def main() -> None:
     # measures steady-state throughput — the quantity that scales to the
     # full corpus — not one-time compilation.
     warm_dir = sf_dir.replace(f"sf{m.group(1)}", "sf0.001") if m else sf_dir
+    # median-of-3 per query inside ONE session (round-2 verdict: single-run
+    # samples swung 2-4x on the same code — winnow_pairs 5.7-10.7 s, simhash
+    # 2.4-6.3 s — larger than most real regressions). The reported number is
+    # the per-query MEDIAN; every raw sample lands in history.jsonl so later
+    # rounds can separate noise from drift.
+    reps_n = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
     total = 0.0
     for name in BENCH_QUERIES:
         fn = qs[name]
         if warm_dir != sf_dir:
             fn(spark, warm_dir).count()
             spark.catalog.clearCache()
-        # collect the previous query's garbage OUTSIDE the timed window:
-        # without this, each query pays a major GC for its predecessor's
-        # heap debt and timings swing 3-4x run-to-run (measured: the six
-        # heaviest queries total 55-64 s without the fence, 20 s with it,
-        # stable). Same hygiene JMH applies between iterations.
-        spark._jvm.System.gc()
-        time.sleep(0.2)
-        t0 = time.monotonic()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        dt = time.monotonic() - t0
-        timings[name] = round(dt, 3)
-        total += dt
-        print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
-        # operators may persist intermediates (self-join reuse); drop them
-        # so queries are timed in isolation
-        spark.catalog.clearCache()
+        runs: list[float] = []
+        n = 0
+        for _ in range(reps_n):
+            # collect the previous run's garbage OUTSIDE the timed window:
+            # without this, each query pays a major GC for its predecessor's
+            # heap debt and timings swing 3-4x run-to-run (measured: the six
+            # heaviest queries total 55-64 s without the fence, 20 s with
+            # it, stable). Same hygiene JMH applies between iterations.
+            spark._jvm.System.gc()
+            time.sleep(0.2)
+            t0 = time.monotonic()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            runs.append(time.monotonic() - t0)
+            # operators may persist intermediates (self-join reuse); drop
+            # them so every repetition is timed cold and in isolation
+            spark.catalog.clearCache()
+        runs.sort()
+        med = runs[len(runs) // 2] if reps_n % 2 else sum(runs[len(runs) // 2 - 1 : len(runs) // 2 + 1]) / 2
+        timings[name] = round(med, 3)
+        samples[name] = [round(r, 3) for r in runs]
+        total += med
+        print(
+            f"# {name}: median {med:.3f}s of {[f'{r:.2f}' for r in runs]} "
+            f"({n} rows)",
+            file=sys.stderr,
+        )
 
     # Throughput at the reference's benchmark scale (BASELINE.md: 100K rows
     # in ~7.2 s crash+resume with a deterministic in-process LLM): replicate
@@ -145,15 +162,23 @@ def main() -> None:
     # r1-comparable headline: pure spine wall-clock (result_frame count,
     # no stats/quality aggregation passes) — keyed enrich_batched_100k
     # since round 1.
-    spark._jvm.System.gc()
-    time.sleep(0.2)
-    t0 = time.monotonic()
-    n100k = _100k_builder(25).result_frame().select("uid", "sentiment").count()
-    dt = time.monotonic() - t0
+    runs = []
+    n100k = 0
+    for _ in range(reps_n):
+        spark._jvm.System.gc()
+        time.sleep(0.2)
+        t0 = time.monotonic()
+        n100k = _100k_builder(25).result_frame().select("uid", "sentiment").count()
+        runs.append(time.monotonic() - t0)
+        spark.catalog.clearCache()
+    runs.sort()
+    dt = runs[len(runs) // 2] if reps_n % 2 else sum(runs[len(runs) // 2 - 1 : len(runs) // 2 + 1]) / 2
     timings["enrich_batched_100k"] = round(dt, 3)
+    samples["enrich_batched_100k"] = [round(r, 3) for r in runs]
     total += dt
     print(
-        f"# enrich_batched_100k: {dt:.3f}s ({n100k} rows, "
+        f"# enrich_batched_100k: median {dt:.3f}s of "
+        f"{[f'{r:.2f}' for r in runs]} ({n100k} rows, "
         f"{n100k / dt:.0f} rows/s)",
         file=sys.stderr,
     )
@@ -185,6 +210,8 @@ def main() -> None:
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
+        "samples": samples,
+        "reps": reps_n,
         "sf": sf,
         **api_calls,
     }

@@ -489,6 +489,8 @@ def compile_requests(
     (requests.write.mode("overwrite")
      .option("maxRecordsPerFile", max_requests_per_file)
      .text(staging_dir))
+    for _c in getattr(df, "_ondine_cached", []):
+        _c.unpersist()
     parts = _list_parts(pipeline.spark, staging_dir)
     if not parts and not requests.isEmpty():
         raise RuntimeError(

@@ -34,17 +34,32 @@ from ondine_spark.sources.readers import ROW_ID
 BATCH_ID = "_batch_id"
 
 
-def with_global_index(df: DataFrame, out_col: str = "_seq") -> DataFrame:
+def with_global_index(
+    df: DataFrame, out_col: str = "_seq", persist: bool = True
+) -> DataFrame:
     """Assign a 0-based contiguous global index without a global shuffle.
 
-    Two passes over the scan: (1) count rows per partition (driver collects
-    numPartitions integers), (2) mapInPandas adds offset + local position.
-    Index is contiguous and unique; ordering is partition order, which is
+    Two passes: (1) count rows per partition (driver collects numPartitions
+    integers), (2) mapInPandas adds offset + local position. Index is
+    contiguous and unique; ordering is partition order, which is
     deterministic for a fixed input + partitioning within a run (batch
     grouping only needs intra-run determinism — cross-run identity is
     ``_row_id``'s job).
+
+    With ``persist`` (the default) the input is cached MEMORY_AND_DISK
+    before the count pass, so pass 2 — and any further reuse of the frame
+    downstream — reads cached blocks instead of re-running the source scan
+    (at 100 TB the re-scan was the single biggest avoidable cost in the
+    batched spine). The cache handle is attached to the returned frame as
+    ``_ondine_cached`` so the caller can unpersist once results are
+    materialized; partition ids are stable because ``_pid`` is computed
+    once and stored in the cached blocks.
     """
     pid_df = df.withColumn("_pid", F.spark_partition_id())
+    if persist:
+        from pyspark import StorageLevel
+
+        pid_df = pid_df.persist(StorageLevel.MEMORY_AND_DISK)
     counts = dict(
         pid_df.groupBy("_pid").count().collect()
     )  # {partition_id: rows} — numPartitions entries, trivially small
@@ -64,7 +79,9 @@ def with_global_index(df: DataFrame, out_col: str = "_seq") -> DataFrame:
             local += len(pdf)
             yield pdf
 
-    return pid_df.mapInPandas(assign, schema=schema).drop("_pid")
+    out = pid_df.mapInPandas(assign, schema=schema).drop("_pid")
+    out._ondine_cached = [pid_df] if persist else []
+    return out
 
 
 def _mega_prompt_expr(items_json, n):
@@ -104,14 +121,17 @@ def _mega_prompt_expr(items_json, n):
 
 
 def aggregate_batches(
-    df: DataFrame, batch_size: int, prompt_col: str = "prompt"
+    df: DataFrame, batch_size: int, prompt_col: str = "prompt",
+    persist: bool = True,
 ) -> DataFrame:
     """A1: rows → one row per batch with ``prompt`` = mega-prompt and
     ``_row_ids`` = array of member row ids (position-aligned with batch ids
-    1..n)."""
+    1..n). Pass ``persist=False`` when the caller already cached ``df``
+    (the pipeline does, because it reuses the prompt frame for the
+    keep-columns join)."""
     if batch_size <= 1:
         raise ValueError("batch_size must be > 1 for aggregation")
-    seq = with_global_index(df)
+    seq = with_global_index(df, persist=persist)
     seq = seq.withColumn(BATCH_ID, (F.col("_seq") / batch_size).cast("long"))
     items = (
         seq.groupBy(BATCH_ID)
@@ -130,11 +150,13 @@ def aggregate_batches(
         )
     )
     n = F.size("_items")
-    return items.select(
+    out = items.select(
         F.col(BATCH_ID),
         F.expr(f"transform(_items, x -> x.{ROW_ID})").alias("_row_ids"),
         _mega_prompt_expr(ids_json, n).alias(prompt_col),
     )
+    out._ondine_cached = getattr(seq, "_ondine_cached", [])
+    return out
 
 
 # ------------------------------------------------------------ A2: parse back

@@ -682,20 +682,24 @@ def dedup_keep_representative(
     a: str = "a",
     b: str = "b",
     keep_by: str | None = None,
+    components: DataFrame | None = None,
 ) -> DataFrame:
     """Drop every near-duplicate except one representative per connected
     component of the pair graph.
 
     ``keep_by=None`` keeps the smallest id. With ``keep_by=<score col>``
     the representative is the cluster's best row by that column (ties →
-    larger id, via max over struct(score, id) — deterministic). The final
-    anti-join carries no broadcast hint: at web-corpus drop rates (30-50%
-    of a 100 TB corpus) the drop set is billions of rows, so a forced
-    broadcast would OOM the executors. AQE broadcasts it automatically
-    whenever its runtime size is under
+    larger id, via max over struct(score, id) — deterministic). Pass
+    ``components`` (a precomputed ``connected_components`` frame, ideally
+    persisted) when applying several keep policies over the same pair
+    graph — the CC resolution is the expensive part and need not rerun
+    per policy. The final anti-join carries no broadcast hint: at
+    web-corpus drop rates (30-50% of a 100 TB corpus) the drop set is
+    billions of rows, so a forced broadcast would OOM the executors. AQE
+    broadcasts it automatically whenever its runtime size is under
     ``spark.sql.autoBroadcastJoinThreshold`` and falls back to a shuffled
     join otherwise (asserted by the tests/test_dedup_clusters.py plan test)."""
-    comp = connected_components(pairs, a, b)
+    comp = components if components is not None else connected_components(pairs, a, b)
     if keep_by is None:
         drop = comp.filter(F.col("node") != F.col("component")).select(
             F.col("node").alias(id_col)

@@ -68,6 +68,7 @@ class Pipeline:
         self.spec = spec
         self.spark = spark or SparkSession.getActiveSession() or _default_session()
         self._call_counter = None
+        self._persisted: list[DataFrame] = []
 
     # ---------------------------------------------------------------- plan
 
@@ -132,7 +133,20 @@ class Pipeline:
         df = self._apply_stages(df, "after_prompt")
         self._call_counter = self.spark.sparkContext.accumulator(0)
         if spec.prompt.batch_size > 1:
-            batches = aggregate_batches(df, spec.prompt.batch_size)
+            # The prompt frame is consumed three times in this branch: the
+            # global-index count pass, the batch-assembly pass, and the
+            # keep-columns join below. Persist it ONCE here (the count pass
+            # materializes the cache) so the source is scanned a single
+            # time per run — at 100 TB the re-scan was the biggest
+            # avoidable cost in the batched spine. Released in execute();
+            # lazy consumers fall back to Spark's LRU eviction.
+            from pyspark import StorageLevel
+
+            df = df.persist(StorageLevel.MEMORY_AND_DISK)
+            self._persisted.append(df)
+            batches = aggregate_batches(
+                df, spec.prompt.batch_size, persist=False
+            )
             invoked = invoke_llm(
                 batches, spec.llm, spec.processing,
                 system_message=spec.prompt.system_message,
@@ -322,6 +336,12 @@ class Pipeline:
         stats = run_stats(result)
         report = quality_report(result, out_cols)
         assert_some_output(report, stats)
+        # result is materialized (checkpointed or persisted + aggregated):
+        # the prompt-frame cache pinned in response_frame is no longer
+        # reachable from any pending action — release the blocks
+        for _df in self._persisted:
+            _df.unpersist()
+        self._persisted.clear()
         if spec.processing.max_budget is not None and stats.total_cost > spec.processing.max_budget:
             # batch-mode budget is enforced pre-run via estimate and
             # post-run here; hard mid-run stop happens at micro-batch

@@ -112,7 +112,8 @@ def iter_chunks(
     else:
         todo = df
 
-    chunked = with_global_index(todo, "_seq").withColumn(
+    seq = with_global_index(todo, "_seq")
+    chunked = seq.withColumn(
         "_chunk", (F.col("_seq") / chunk_size).cast("long")
     )
     # localCheckpoint (eager), NOT persist: chunked's lineage reads the cache
@@ -122,6 +123,10 @@ def iter_chunks(
     # cache with stale offsets (rows vanish mid-loop). Checkpointing truncates
     # the lineage so the chunk assignment is frozen for the whole run.
     chunked = chunked.localCheckpoint(eager=True)
+    # the checkpoint materialized from the index's internal cache (one
+    # source scan total for count + checkpoint); release those blocks now
+    for _c in getattr(seq, "_ondine_cached", []):
+        _c.unpersist()
     try:
         n_chunks = (chunked.agg(F.max("_chunk")).collect()[0][0] or -1) + 1
         budget = spec.processing.max_budget

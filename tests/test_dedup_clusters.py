@@ -200,3 +200,31 @@ def test_semantic_dup_pairs_and_dedup(spark):
     )
     kept = semantic_dedup(df, "vec_id", "embedding", cents, threshold=0.99)
     assert sorted(r["vec_id"] for r in kept.collect()) == [0, 3, 5]
+
+
+def test_keep_representative_precomputed_components(spark):
+    """Passing a precomputed CC frame applies the same policy without
+    re-resolving the pair graph (multi-policy reuse path)."""
+    from pyspark.sql import functions as F
+
+    docs = spark.range(10).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") == 0, 5)
+        .when(F.col("id").isin(1, 2), 9)
+        .when(F.col("id") == 5, 7)
+        .otherwise(3)
+        .alias("score"),
+    )
+    pairs = spark.createDataFrame([(0, 1), (1, 2), (5, 6)], "a: long, b: long")
+    comp = connected_components(pairs).persist()
+    try:
+        minid = dedup_keep_representative(docs, "doc_id", None, components=comp)
+        best = dedup_keep_representative(
+            docs, "doc_id", None, keep_by="score", components=comp
+        )
+        assert {r.doc_id for r in minid.collect()} == {
+            r.doc_id for r in dedup_keep_representative(docs, "doc_id", pairs).collect()
+        }
+        assert {r.doc_id for r in best.collect()} == {2, 5, 3, 4, 7, 8, 9}
+    finally:
+        comp.unpersist()

@@ -249,3 +249,36 @@ def test_batch_grouping_stable_under_aqe(spark):
     members = batches.selectExpr("explode(_row_ids) as rid")
     assert members.count() == 203
     assert members.distinct().count() == 203
+
+
+def test_batched_spine_single_source_scan(spark):
+    """The batched spine consumes the prompt frame three times (global-index
+    count, batch assembly, keep-columns join) — the round-3 persist means the
+    SOURCE is computed exactly once per run (r2 verdict: at 100 TB the
+    re-scan was the biggest avoidable cost). Measured with a row-counting
+    accumulator planted under the whole plan."""
+    acc = spark.sparkContext.accumulator(0)
+    src = spark.createDataFrame(REVIEWS).repartition(3)
+
+    def count_rows(batches):
+        for pdf in batches:
+            acc.add(len(pdf))
+            yield pdf
+
+    counted = src.mapInPandas(count_rows, src.schema)
+    pipe = (
+        PipelineBuilder(spark)
+        .from_dataframe(counted, ["review"], id_column="review_id")
+        .with_prompt("Classify the sentiment of this review: {review}", ["sentiment"])
+        .with_custom_llm_client(mock_client_factory())
+        .with_batch_size(3)
+        .build()
+    )
+    out = pipe.result_frame()
+    rows = {r["review_id"]: r["sentiment"] for r in out.collect()}
+    assert [rows[f"r{i}"] for i in range(6)] == EXPECTED
+    assert acc.value == len(REVIEWS), (
+        f"source computed {acc.value / len(REVIEWS):.1f}x, expected exactly once"
+    )
+    for df in pipe._persisted:
+        df.unpersist()

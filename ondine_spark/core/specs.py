@@ -117,6 +117,10 @@ class LLMSpec:
     output_cost_per_1k: Decimal = Decimal("0.0015")
     # factory returning an LLMClient; broadcast to executors.
     client_factory: Callable[[], Any] | None = None
+    # litellm request-cache config (reference with_redis_cache:
+    # pipeline_builder.py:1362-1388); applied by the guarded litellm
+    # adapter when litellm is installed. {"type": "redis"|"disk", ...}
+    cache_config: dict | None = None
 
 
 @dataclass
@@ -148,6 +152,10 @@ class ProcessingSpec:
     stages: list = field(default_factory=list)
     # U6/O14: observer objects with on_event(PipelineEvent)
     observers: list = field(default_factory=list)
+    # cross-run prompt-keyed response memoization (reference
+    # with_disk_cache/with_redis_cache: identical requests = $0 cost);
+    # parquet dir, see ondine_spark/llm/memo.py
+    memo_path: str | None = None
 
 
 @dataclass

@@ -126,6 +126,20 @@ def client_factory_for(llm_spec) -> Callable[[], Any]:
 
             def __init__(self):
                 self.model = model
+                cfg = getattr(llm_spec, "cache_config", None)
+                if cfg:  # reference with_redis_cache/with_disk_cache
+                    from litellm.caching import Cache
+
+                    if cfg.get("type") == "redis":
+                        litellm.cache = Cache(
+                            type="redis", url=cfg.get("host"),
+                            ttl=cfg.get("ttl"),
+                        )
+                    elif cfg.get("type") == "disk":
+                        litellm.cache = Cache(
+                            type="disk",
+                            disk_cache_dir=cfg.get("disk_cache_dir"),
+                        )
 
             def _call(self, msgs, **extra):
                 try:

@@ -224,6 +224,33 @@ class PipelineBuilder:
         self._spec.processing.session_id = session_id or "default"
         return self
 
+    def with_response_memo(self, path: str):
+        """Cross-run prompt-keyed response memoization: identical requests
+        (model + system + prompt) are answered from a parquet memo table
+        instead of the provider — the reference's "identical requests =
+        $0 cost" cache (with_disk_cache / with_redis_cache,
+        pipeline_builder.py:1362-1408), re-expressed as a Spark join
+        (ondine_spark/llm/memo.py)."""
+        self._spec.processing.memo_path = path
+        return self
+
+    def with_disk_cache(self, cache_dir: str = ".cache"):
+        """Reference-parity alias: memoize responses under
+        ``<cache_dir>/llm_memo`` (reference pipeline_builder.py:1389)."""
+        return self.with_response_memo(f"{cache_dir}/llm_memo")
+
+    def with_redis_cache(self, redis_url: str = "redis://localhost:6379",
+                         ttl: int = 3600):
+        """Reference-parity litellm Redis request cache
+        (pipeline_builder.py:1362-1388). Stored on the spec and applied by
+        the litellm adapter when litellm is installed; with the built-in
+        clients use with_response_memo/with_disk_cache instead (the
+        parquet memo is the distributed-native path)."""
+        self._spec.llm.cache_config = {
+            "type": "redis", "host": redis_url, "ttl": ttl,
+        }
+        return self
+
     def with_preprocessing(self, max_length: int = 500):
         self._spec.processing.preprocess = True
         self._spec.processing.preprocess_max_length = max_length

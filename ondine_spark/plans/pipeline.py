@@ -69,6 +69,10 @@ class Pipeline:
         self.spark = spark or SparkSession.getActiveSession() or _default_session()
         self._call_counter = None
         self._persisted: list[DataFrame] = []
+        # (invoked frame still carrying _memo_key, memo path) pairs awaiting
+        # write-back — flushed by execute()/the chunked runner AFTER the
+        # run's results are materialized (see flush_memo)
+        self._memo_pending: list[tuple[DataFrame, str]] = []
 
     # ---------------------------------------------------------------- plan
 
@@ -147,23 +151,89 @@ class Pipeline:
             batches = aggregate_batches(
                 df, spec.prompt.batch_size, persist=False
             )
-            invoked = invoke_llm(
-                batches, spec.llm, spec.processing,
-                system_message=spec.prompt.system_message,
-                call_counter=self._call_counter,
-            )
+            invoked = self._invoke(batches)
             responses = disaggregate_batches(invoked)
             keep = [c for c in df.columns if c != "prompt"]
             out = df.select(*keep).join(responses, on=ROW_ID, how="left")
         else:
-            out = invoke_llm(
-                df, spec.llm, spec.processing,
-                system_message=spec.prompt.system_message,
-                call_counter=self._call_counter,
-            ).drop("prompt")
+            out = self._invoke(df).drop("prompt")
         if self._cached_responses is not None:
             out = out.unionByName(self._cached_responses, allowMissingColumns=True)
         return out
+
+    def _invoke(self, frame: DataFrame) -> DataFrame:
+        """LLM invocation with optional cross-run memoization.
+
+        Without a memo path this is a straight ``invoke_llm``. With one
+        (with_response_memo / with_disk_cache), the to-invoke frame is
+        split against the prompt-keyed memo table: hits take memoized
+        responses at cost 0 and never reach the provider (the api-call
+        counter only sees misses); misses are invoked, persisted (so the
+        later memo write-back reads blocks, never re-invokes), and queued
+        for flush_memo. Works at whichever granularity hits the provider:
+        per-row prompts or mega-batched prompts."""
+        spec = self.spec
+        kw = dict(
+            system_message=spec.prompt.system_message,
+            call_counter=self._call_counter,
+        )
+        memo_path = spec.processing.memo_path
+        if not memo_path:
+            return invoke_llm(frame, spec.llm, spec.processing, **kw)
+        from pyspark import StorageLevel
+
+        from ondine_spark.llm.memo import (
+            MEMO_KEY,
+            memo_key_col,
+            read_memo,
+            split_by_memo,
+        )
+
+        keyed = frame.withColumn(
+            MEMO_KEY, memo_key_col(spec.llm.model, spec.prompt.system_message)
+        )
+        hits, misses = split_by_memo(keyed, read_memo(self.spark, memo_path))
+        # intra-run dedup: identical uncached requests are invoked ONCE and
+        # fanned back out (the memo join below), so api_calls = #distinct
+        # uncached prompts. Cost/tokens are charged to one row per key
+        # (same attribution rule as the batch disaggregator).
+        fresh = invoke_llm(
+            misses.select(MEMO_KEY, "prompt").dropDuplicates([MEMO_KEY]),
+            spec.llm, spec.processing, **kw,
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        self._memo_pending.append((fresh, memo_path))
+        from pyspark.sql import Window
+
+        from ondine_spark.operators.batching import BATCH_ID
+
+        order_col = ROW_ID if ROW_ID in misses.columns else BATCH_ID
+        first = F.row_number().over(
+            Window.partitionBy(MEMO_KEY).orderBy(order_col)
+        ) == 1
+        invoked = (
+            misses.join(fresh.drop("prompt"), on=MEMO_KEY)
+            .withColumn("tokens_in", F.when(first, F.col("tokens_in")).otherwise(F.lit(0)))
+            .withColumn("tokens_out", F.when(first, F.col("tokens_out")).otherwise(F.lit(0)))
+            .withColumn(
+                "cost",
+                F.when(first, F.col("cost")).otherwise(
+                    F.lit(None).cast("decimal(38,18)")
+                ),
+            )
+        )
+        out = invoked if hits is None else invoked.unionByName(hits)
+        return out.drop(MEMO_KEY)
+
+    def flush_memo(self) -> None:
+        """Append this run's fresh responses to the prompt-keyed memo.
+        No-op unless memoization is configured. Must run AFTER the run's
+        results are materialized (execute() and the chunked runner do)."""
+        from ondine_spark.llm.memo import write_memo
+
+        for frame, path in self._memo_pending:
+            write_memo(frame, path)
+            frame.unpersist()
+        self._memo_pending.clear()
 
     def result_frame(self, df: DataFrame | None = None) -> DataFrame:
         """Full plan: responses parsed into output columns, meta dropped."""
@@ -342,6 +412,7 @@ class Pipeline:
         for _df in self._persisted:
             _df.unpersist()
         self._persisted.clear()
+        self.flush_memo()
         if spec.processing.max_budget is not None and stats.total_cost > spec.processing.max_budget:
             # batch-mode budget is enforced pre-run via estimate and
             # post-run here; hard mid-run stop happens at micro-batch

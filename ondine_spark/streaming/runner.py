@@ -146,6 +146,10 @@ def iter_chunks(
             agg = responses.agg(
                 F.count(F.lit(1)).alias("n"), F.sum("cost").alias("c")
             ).collect()[0]
+            # memo write-back per committed chunk: later chunks of THIS run
+            # then hit the memo for any prompt already answered (the memo is
+            # re-read per chunk), and a crash loses at most one chunk's memo
+            pipeline.flush_memo()
             responses.unpersist()
             cost = Decimal(agg["c"] or 0)
             spent += cost

@@ -58,8 +58,22 @@ def cmd_process(args) -> int:
     p = _pipeline(args.config)
     if getattr(args, "progress", False):
         from ondine_spark.observability import ProgressObserver
+        from ondine_spark.orchestration.progress import (
+            PlainProgressTracker,
+            TrackerObserver,
+        )
 
         p.spec.processing.observers.append(ProgressObserver())
+        # live per-stage bars: in-chunk rows come from polling the api-call
+        # accumulator (executor heartbeats), cost/rows land at each commit
+        bs = max(1, p.spec.prompt.batch_size)
+        p.spec.processing.observers.append(
+            TrackerObserver(
+                PlainProgressTracker(),
+                poll=lambda: (p._call_counter.value * bs)
+                if p._call_counter is not None else 0,
+            )
+        )
     run_id = args.run_id or uuid.uuid4().hex[:12]
     reg = _registry(args) if args.registry else None
     if reg:

@@ -16,6 +16,7 @@ sinks are always available.
 from __future__ import annotations
 
 import logging
+import re
 import time
 from dataclasses import dataclass, field
 from typing import Any, Protocol
@@ -215,6 +216,162 @@ class OpenTelemetryObserver:
                     pass
         else:
             span.add_event(event.kind, attributes=self._attrs(event.payload))
+
+
+# ---------------------------------------------------------- PII sanitizer
+# Reference: ondine/observability/sanitizer.py:14-110 — events must be
+# PII-safe before leaving the process (traces/logs are retained far longer
+# than the data they describe). Same default pattern set; the column-level
+# twin for DATA (not events) is operators/text_analysis.redact_pii.
+
+PII_PATTERNS = {
+    "email": re.compile(r"\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Z|a-z]{2,}\b"),
+    "ssn": re.compile(r"\b\d{3}-\d{2}-\d{4}\b"),
+    "credit_card": re.compile(r"\b\d{4}[- ]?\d{4}[- ]?\d{4}[- ]?\d{4}\b"),
+    "phone_us": re.compile(r"\b\d{3}[-.]?\d{3}[-.]?\d{4}\b"),
+    "api_key": re.compile(
+        r"\b(?:api[_-]?key|secret|token)[:\s=]+['\"]?([a-zA-Z0-9_\-]{16,})['\"]?\b",
+        re.IGNORECASE,
+    ),
+    "ip_address": re.compile(r"\b(?:\d{1,3}\.){3}\d{1,3}\b"),
+}
+
+
+def sanitize_text(
+    text: str,
+    patterns: dict | None = None,
+    replacement: str = "[REDACTED]",
+) -> str:
+    """Replace every PII pattern occurrence in ``text``."""
+    out = text
+    for pat in (patterns or PII_PATTERNS).values():
+        out = pat.sub(replacement, out)
+    return out
+
+
+def sanitize_prompt(prompt: str, include_prompts: bool = False) -> str:
+    """Content-free stable digest unless prompts are opted in (reference
+    sanitizer.py:64-91): traces can correlate identical prompts without
+    disclosing them."""
+    if include_prompts:
+        return prompt
+    import hashlib
+
+    digest = hashlib.sha256(str(prompt).encode("utf-8")).hexdigest()[:8]
+    return f"<sanitized-{digest}>"
+
+
+class SanitizingObserver:
+    """Wrap any sink so every string in the payload is PII-scrubbed before
+    forwarding (reference sanitize_event, sanitizer.py:112-176). Error
+    payloads are the riskiest: provider exceptions routinely echo the
+    offending prompt back.
+
+    ``config``: ``custom_patterns`` (name -> regex str, merged with the
+    defaults), ``replacement``, and ``hash_keys`` — payload keys whose
+    value is replaced by the content-free digest instead of in-place
+    scrubbing (for raw prompt/response fields)."""
+
+    def __init__(self, inner: Observer, config: dict | None = None):
+        cfg = config or {}
+        self.inner = inner
+        self.patterns = dict(PII_PATTERNS)
+        for name, pat in cfg.get("custom_patterns", {}).items():
+            self.patterns[name] = re.compile(pat)
+        self.replacement = cfg.get("replacement", "[REDACTED]")
+        self.hash_keys = set(cfg.get("hash_keys", ("prompt", "response_text")))
+
+    def on_event(self, event: PipelineEvent) -> None:
+        clean = {}
+        for k, v in event.payload.items():
+            if isinstance(v, str):
+                v = (
+                    sanitize_prompt(v)
+                    if k in self.hash_keys
+                    else sanitize_text(v, self.patterns, self.replacement)
+                )
+            clean[k] = v
+        self.inner.on_event(
+            PipelineEvent(kind=event.kind, run_id=event.run_id,
+                          ts=event.ts, payload=clean)
+        )
+
+
+# --------------------------------------------------------- metrics export
+class MetricsObserver:
+    """Counter/gauge aggregation over the event stream with a Prometheus
+    exposition rendering (reference: ondine/utils/metrics_exporter.py —
+    requests/cost/errors/rows counters behind a /metrics port; here the
+    counters aggregate driver-side events, ``render()`` emits the
+    text format, and ``serve()`` binds the optional HTTP endpoint).
+
+    Counters survive multiple runs in one session; ``snapshot()`` is a
+    plain dict for tests/dashboards."""
+
+    def __init__(self):
+        self.counters: dict[str, float] = {}
+        self._t0: dict[str, float] = {}
+
+    def _inc(self, name: str, value: float = 1.0) -> None:
+        self.counters[name] = self.counters.get(name, 0.0) + value
+
+    def on_event(self, event: PipelineEvent) -> None:
+        p = event.payload
+        kind = event.kind
+        self._inc(f"ondine_events_total{{kind=\"{kind}\"}}")
+        if kind == "pipeline_start":
+            self._t0[event.run_id or "-"] = event.ts
+        elif kind == "pipeline_end":
+            self._inc("ondine_rows_processed_total", float(p.get("rows") or 0))
+            self._inc("ondine_valid_rows_total", float(p.get("valid_rows") or 0))
+            self._inc("ondine_api_calls_total", float(p.get("api_calls") or 0))
+            self._inc("ondine_cost_usd_total", float(p.get("cost") or 0))
+            t0 = self._t0.pop(event.run_id or "-", None)
+            if t0 is not None:
+                dur = max(event.ts - t0, 1e-9)
+                self.counters["ondine_last_run_seconds"] = dur
+                rows = float(p.get("rows") or 0)
+                self.counters["ondine_last_run_rows_per_second"] = rows / dur
+        elif kind == "chunk_committed":
+            self._inc("ondine_chunks_committed_total")
+            self._inc("ondine_rows_processed_total", float(p.get("rows") or 0))
+        elif kind == "error":
+            err = str(p.get("error") or "")
+            etype = err.split(":", 1)[0] or "unknown"
+            self._inc(f"ondine_errors_total{{type=\"{etype}\"}}")
+
+    def snapshot(self) -> dict:
+        return dict(self.counters)
+
+    def render(self) -> str:
+        """Prometheus text exposition format."""
+        lines = []
+        for name in sorted(self.counters):
+            lines.append(f"{name} {self.counters[name]:g}")
+        return "\n".join(lines) + "\n"
+
+    def serve(self, port: int = 9090):  # pragma: no cover - needs a socket
+        """Bind a minimal /metrics HTTP endpoint (stdlib only, daemon
+        thread), mirroring the reference's start_server."""
+        import threading
+        from http.server import BaseHTTPRequestHandler, HTTPServer
+
+        metrics = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def do_GET(self):
+                body = metrics.render().encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/plain; version=0.0.4")
+                self.end_headers()
+                self.wfile.write(body)
+
+            def log_message(self, *a):
+                pass
+
+        server = HTTPServer(("", port), Handler)
+        threading.Thread(target=server.serve_forever, daemon=True).start()
+        return server
 
 
 class EventDispatcher:

@@ -128,7 +128,11 @@ def iter_chunks(
     for _c in getattr(seq, "_ondine_cached", []):
         _c.unpersist()
     try:
-        n_chunks = (chunked.agg(F.max("_chunk")).collect()[0][0] or -1) + 1
+        agg0 = chunked.agg(
+            F.max("_chunk").alias("m"), F.count(F.lit(1)).alias("n")
+        ).collect()[0]
+        n_chunks = (agg0["m"] if agg0["m"] is not None else -1) + 1
+        n_rows = agg0["n"]
         budget = spec.processing.max_budget
         for cid in range(int(n_chunks)):
             if budget is not None and spent >= budget:
@@ -136,6 +140,11 @@ def iter_chunks(
                     f"budget {budget} exhausted after {spent} "
                     f"({len(summary.chunks)} chunks committed)"
                 )
+            dispatcher.emit(
+                "chunk_start", run_id=sid, chunk_id=cid,
+                chunks_total=int(n_chunks),
+                rows_total=min(chunk_size, n_rows - cid * chunk_size),
+            )
             chunk = chunked.filter(F.col("_chunk") == cid).drop("_seq", "_chunk")
             # persist: the chunk is consumed by two actions (durable write +
             # stats aggregate) — without it the second action would re-invoke

@@ -161,3 +161,95 @@ def test_missing_sdk_guidance(monkeypatch):
         LangfuseObserver()
     with pytest.raises(ImportError, match="opentelemetry"):
         OpenTelemetryObserver()
+
+
+def test_sanitizing_observer_scrubs_pii(spark, tmp_path):
+    """Error events carry provider exception text, which can echo the
+    prompt — the sanitizing wrapper must scrub PII before any sink sees
+    it (reference: ondine/observability/sanitizer.py)."""
+    from ondine_spark.observability import CollectingObserver, SanitizingObserver
+
+    sink = CollectingObserver()
+    obs = SanitizingObserver(sink)
+    df = spark.createDataFrame(
+        [("r0", "mail me at alice@example.com or call 555-123-4567 BOOM"),
+         ("r1", "all great")],
+        "id string, review string",
+    )
+    res = (
+        PipelineBuilder(spark)
+        .from_dataframe(df, ["review"], id_column="id")
+        .with_prompt("Classify: {review}", ["sentiment"])
+        .with_custom_llm_client(mock_client_factory(crash_on="BOOM"))
+        .with_error_policy("skip")
+        .with_observer(obs)
+        .build()
+        .execute()
+    )
+    assert res.stats.rows == 2
+    blob = " ".join(str(e.payload) for e in sink.events)
+    assert "alice@example.com" not in blob
+    assert "555-123-4567" not in blob
+    kinds = [e.kind for e in sink.events]
+    assert "pipeline_start" in kinds and "pipeline_end" in kinds
+
+
+def test_sanitize_text_and_prompt_digest():
+    from ondine_spark.observability import sanitize_prompt, sanitize_text
+
+    s = sanitize_text("ssn 123-45-6789 card 4111 1111 1111 1111 ip 10.0.0.1")
+    assert "123-45-6789" not in s and "4111" not in s and "10.0.0.1" not in s
+    assert s.count("[REDACTED]") == 3
+    d1, d2 = sanitize_prompt("same text"), sanitize_prompt("same text")
+    assert d1 == d2 and d1.startswith("<sanitized-")
+    assert sanitize_prompt("same text", include_prompts=True) == "same text"
+
+
+def test_sanitizing_observer_custom_patterns_and_hash_keys():
+    from ondine_spark.observability import (
+        CollectingObserver,
+        PipelineEvent,
+        SanitizingObserver,
+    )
+
+    sink = CollectingObserver()
+    obs = SanitizingObserver(
+        sink,
+        {"custom_patterns": {"account": r"ACC-\d{6}"}, "hash_keys": ["prompt"]},
+    )
+    obs.on_event(PipelineEvent(kind="x", run_id="r", payload={
+        "error": "failed for ACC-123456",
+        "prompt": "raw prompt text",
+        "rows": 7,
+    }))
+    p = sink.events[0].payload
+    assert p["error"] == "failed for [REDACTED]"
+    assert p["prompt"].startswith("<sanitized-")
+    assert p["rows"] == 7
+
+
+def test_metrics_observer_counters(spark, tmp_path):
+    """Counters aggregate across a real run and render as Prometheus
+    exposition text (reference: ondine/utils/metrics_exporter.py)."""
+    from ondine_spark.observability import MetricsObserver
+
+    m = MetricsObserver()
+    res = _run(spark, m, tmp_path)
+    snap = m.snapshot()
+    assert snap["ondine_rows_processed_total"] == 8.0
+    assert snap["ondine_valid_rows_total"] == 8.0
+    assert snap["ondine_api_calls_total"] == float(res.api_calls)
+    assert snap["ondine_cost_usd_total"] > 0
+    assert snap['ondine_events_total{kind="pipeline_start"}'] == 1.0
+    assert snap["ondine_last_run_seconds"] > 0
+    text = m.render()
+    assert "ondine_rows_processed_total 8" in text
+
+
+def test_metrics_observer_error_counter():
+    from ondine_spark.observability import MetricsObserver, PipelineEvent
+
+    m = MetricsObserver()
+    m.on_event(PipelineEvent(kind="error", run_id="r",
+                             payload={"error": "ValueError: nope"}))
+    assert m.snapshot()['ondine_errors_total{type="ValueError"}'] == 1.0

@@ -341,9 +341,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def q_jaccard_pairs(spark, sf_dir):
+        # max_shingle_freq=1000: the stop-shingle cap that keeps the plan
+        # sub-quadratic under mass duplication (at sf0.01/0.1 no shingle
+        # reaches the cap, so the result equals the exact uncapped set;
+        # the oracle applies the same cap)
         return ngram_jaccard_pairs(
             _docs(spark, sf_dir), "doc_id", "text", n=3, threshold=0.05,
-            max_shingle_freq=None,
+            max_shingle_freq=1000,
         )
 
     def q_minhash_sigs(spark, sf_dir):
@@ -1489,7 +1493,7 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             ) WHERE doc_id = keep
         """,
-        "jaccard_pairs": _jaccard_sql(threshold=0.05),
+        "jaccard_pairs": _jaccard_sql(threshold=0.05, max_df=1000),
         "minhash_sigs": _minhash_sql(num_hashes=8),
         "minhash_lsh_pairs": _minhash_lsh_sql(8, 4, 0.25),
         "dup_clusters": _dup_clusters_sql(final="clusters"),
@@ -2311,7 +2315,15 @@ def _lang_id_sql() -> str:
     """
 
 
-def _jaccard_sql(threshold: float) -> str:
+def _jaccard_sql(threshold: float, max_df: int | None = None) -> str:
+    # max_df mirrors the Spark side's max_shingle_freq stop-shingle cap:
+    # shingles in more than max_df docs are excluded from COMMON counting
+    # (set sizes stay uncapped) — under mass duplication the uncapped plan
+    # is quadratic per hot shingle, which no exact algorithm avoids
+    df_filter = (
+        f"QUALIFY count(*) OVER (PARTITION BY shingle) <= {max_df}"
+        if max_df is not None else ""
+    )
     return f"""
         WITH toks AS (
           SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS w
@@ -2324,8 +2336,11 @@ def _jaccard_sql(threshold: float) -> str:
           FROM toks
         ), sizes AS (
           SELECT doc_id, len(g) AS sz FROM grams
-        ), posting AS (
+        ), posting0 AS (
           SELECT doc_id, unnest(g) AS shingle FROM grams
+        ), posting AS (
+          SELECT doc_id, shingle FROM posting0
+          {df_filter}
         ), common AS (
           SELECT p1.doc_id AS a, p2.doc_id AS b, count(*) AS c
           FROM posting p1 JOIN posting p2 USING (shingle)

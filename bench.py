@@ -88,6 +88,10 @@ def main() -> None:
     # measures steady-state throughput — the quantity that scales to the
     # full corpus — not one-time compilation.
     warm_dir = sf_dir.replace(f"sf{m.group(1)}", "sf0.001") if m else sf_dir
+    if not os.path.isdir(warm_dir):
+        # generated scale dirs (localdata/sf1+) have no sf0.001 sibling;
+        # warm against the driver's smallest tables instead
+        warm_dir = "/root/testdata/sf0.001"
     # median-of-3 per query inside ONE session (round-2 verdict: single-run
     # samples swung 2-4x on the same code — winnow_pairs 5.7-10.7 s, simhash
     # 2.4-6.3 s — larger than most real regressions). The reported number is

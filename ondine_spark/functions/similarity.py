@@ -46,6 +46,38 @@ def cosine(a: Column, b: Column) -> Column:
     return F.when((na == 0) | (nb == 0), F.lit(0.0)).otherwise(d / (na * nb))
 
 
+def cosine_arrow(a: Column, b: Column) -> Column:
+    """Arrow/numpy cosine for HIGH-VOLUME pair verification.
+
+    Same math as :func:`cosine` (float64 dot / norms, 0.0 on zero norm)
+    but vectorized in numpy over Arrow batches. The higher-order-function
+    expression path is interpreted per element — fine for thousands of
+    pairs, but a hot LSH bucket (mass-duplicated corpus) can emit millions
+    of candidate pairs, where the expr path was measured ~40x slower than
+    this kernel at sf1 (235 s -> ~6 s on the 2M-pair skew probe)."""
+    import numpy as np
+    import pandas as pd
+
+    # NOTE: explicit Series annotations (not `from __future__ import
+    # annotations` strings — those don't resolve for locally-imported pd)
+    def _cos_fn(va, vb):
+        if not len(va):
+            return pd.Series([], dtype="float64")
+        x = np.array(va.tolist(), dtype="float64")
+        y = np.array(vb.tolist(), dtype="float64")
+        d = (x * y).sum(axis=1)
+        nx = np.sqrt((x * x).sum(axis=1))
+        ny = np.sqrt((y * y).sum(axis=1))
+        denom = nx * ny
+        out = np.where(denom == 0, 0.0, d / np.where(denom == 0, 1.0, denom))
+        return pd.Series(out)
+
+    _cos_fn.__annotations__ = {"va": pd.Series, "vb": pd.Series,
+                               "return": pd.Series}
+    _cos = F.pandas_udf(_cos_fn, "double")
+    return _cos(a, b)
+
+
 # --------------------------------------------------------------- token sets
 
 def tokens(col: Column) -> Column:

@@ -189,6 +189,9 @@ def test_plan_shapes(spark, sf_dir):
         .build()
     )
     batched = plan_of(pb.result_frame())
+    # one exchange total: the per-batch groupBy (map-side combined to one
+    # shuffle row per batch — the global index keeps batches contiguous
+    # within mapper partitions); the JVM offset map adds no join node
     assert len(re.findall(r"\(\d+\) Exchange\b", batched)) == 1
     assert "BroadcastHashJoin" in batched
 

@@ -54,10 +54,15 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
 
     con = duckdb.connect()
+    import os
+
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-        )
+        path = f"{sf_dir}/{t}.parquet"
+        # driver testdata = single files; generated scale dirs = Spark
+        # multi-part directories — glob those for duckdb
+        if os.path.isdir(os.path.realpath(path)):
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
 
     qs = entry.queries()
     oracles = entry.oracle_sql()

@@ -1,0 +1,186 @@
+"""Generate sfN variants of the documents/embeddings/events tables for the
+scale proof (round-2 verdict item 1): same schemas as the driver's
+/root/testdata tables, 10x-100x the rows, WITH adversarial skew the small
+tables don't have:
+
+- documents: a near-duplicate cluster holding 10% of the corpus (one
+  template, small word-level perturbations) — stresses LSH hot bands and
+  the SemDeDup hot-cell caveat; plus ONE paragraph shared verbatim by
+  1-in-50 docs (a 1000x-hot fingerprint at sf1) — stresses the winnowing
+  stop-gram df cap and paragraph dedup.
+- embeddings: 10% of vectors in one tight cluster around a single center
+  (hot IVF cell / hot sign-bucket).
+- events: one user owning ~3% of all events (hot sessionize key).
+
+Deterministic (hash-of-id features, fixed numpy seeds per partition), and
+generated DISTRIBUTED — mapInPandas over a range frame, so the same script
+generates a 10^10-row corpus on a real cluster.
+
+Usage: python tools/gen_scale_data.py [sf] [out_dir]
+  sf: scale multiplier relative to sf0.1 (default 10 -> "sf1": 50K docs,
+      20K embeddings, 1M events)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+VOCAB = (
+    "batch part spark line column order small sort fast value scan hash "
+    "slow group agg filter query big key window row table stream merge "
+    "data vector join shuffle stage task executor driver plan codegen "
+    "skew salt bucket probe build cache spill"
+).split()
+
+LANGS = ["en", "de", "fr", "es", "zh"]
+TEMPLATE = VOCAB[:40]  # the near-dup cluster's base text (40 words)
+HOT_PARAGRAPH = " ".join(VOCAB[5:25])  # shared verbatim by 1-in-50 docs
+
+
+def main() -> None:
+    mult = float(sys.argv[1]) if len(sys.argv) > 1 else 10.0
+    out = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "localdata", f"sf{mult * 0.1:g}",
+    )
+    n_docs = int(5000 * mult)
+    n_emb = int(2000 * mult)
+    n_events = int(100_000 * mult)
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("gen_scale_data")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # ------------------------------------------------------------ documents
+    def gen_docs(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            rng = np.random.RandomState(42 + int(ids[0]) % (1 << 31))
+            texts, langs, sources = [], [], []
+            for d in ids:
+                d = int(d)
+                if d < n_docs // 10:
+                    # near-dup cluster: template with 1-2 perturbed words
+                    words = list(TEMPLATE)
+                    words[d % len(words)] = VOCAB[(d * 7) % len(VOCAB)]
+                    if d % 3 == 0:
+                        words[(d * 5) % len(words)] = VOCAB[(d * 11) % len(VOCAB)]
+                    texts.append(" ".join(words))
+                else:
+                    n = 20 + (d * 2654435761 % 41)  # 20-60 words
+                    idx = rng.randint(0, len(VOCAB), size=n)
+                    body = " ".join(VOCAB[i] for i in idx)
+                    if d % 50 == 0:  # hot shared paragraph
+                        body = f"{body}\n\n{HOT_PARAGRAPH}\n\n{body[: len(body) // 2]}"
+                    texts.append(body)
+                langs.append(LANGS[d % len(LANGS)])
+                sources.append(f"src{d % 20}")
+            yield pd.DataFrame({
+                "doc_id": ids,
+                "text": texts,
+                "lang": langs,
+                "source": sources,
+                "n_chars": [len(t) for t in texts],
+            })
+
+    docs = (
+        spark.range(n_docs).repartition(int(cpus))
+        .mapInPandas(gen_docs, "doc_id long, text string, lang string, source string, n_chars long")
+    )
+    docs.write.mode("overwrite").parquet(f"{out}/documents.parquet")
+
+    # ----------------------------------------------------------- embeddings
+    def gen_emb(batches):
+        import numpy as np
+        import pandas as pd
+
+        center = np.random.RandomState(7).randn(64).astype("float32")
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            rng = np.random.RandomState(1042 + int(ids[0]) % (1 << 31))
+            vecs = rng.randn(len(ids), 64).astype("float32")
+            hot = (ids % 10) == 0  # 10% mass in one tight cluster
+            vecs[hot] = center + 0.05 * vecs[hot]
+            yield pd.DataFrame({
+                "vec_id": ids,
+                "embedding": [v for v in vecs],
+                "label": (ids % 10).astype("int32"),
+            })
+
+    emb = (
+        spark.range(n_emb).repartition(int(cpus))
+        .mapInPandas(gen_emb, "vec_id long, embedding array<float>, label int")
+    )
+    emb.write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+
+    # --------------------------------------------------------------- events
+    def gen_events(batches):
+        import numpy as np
+        import pandas as pd
+
+        types = np.array(["view", "click", "add", "purchase", "search"])
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            rng = np.random.RandomState(2042 + int(ids[0]) % (1 << 31))
+            # one hot user (~3% of events), rest uniform over 15K users
+            hot = rng.rand(len(ids)) < 0.03
+            users = rng.randint(1, 15_000 * max(int(mult) // 10, 1), size=len(ids))
+            users[hot] = 0
+            ts = pd.Timestamp("2024-01-01") + pd.to_timedelta(
+                rng.randint(0, 30 * 24 * 3600, size=len(ids)), unit="s"
+            ) + pd.to_timedelta(rng.randint(0, 1_000_000, size=len(ids)), unit="us")
+            yield pd.DataFrame({
+                "event_id": ids,
+                "ts": ts,
+                "user_id": users,
+                "event_type": types[ids % len(types)],
+                "value": np.round(rng.rand(len(ids)) * 100, 4),
+                "props": [f'{{"k": {int(k)}}}' for k in rng.randint(0, 100, size=len(ids))],
+            })
+
+    ev = (
+        spark.range(n_events).repartition(int(cpus))
+        .mapInPandas(
+            gen_events,
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        )
+    )
+    ev.write.mode("overwrite").parquet(f"{out}/events.parquet")
+
+    # relational tables: the scale story for dedup/ANN/curation lives in the
+    # three tables above; symlink the sf0.1 TPC-H-ish tables so bench's
+    # relational queries still run at their usual size
+    import subprocess
+
+    for t in ["region", "nation", "customer", "supplier", "part", "orders", "lineitem"]:
+        dst = f"{out}/{t}.parquet"
+        if not os.path.exists(dst):
+            subprocess.run(
+                ["ln", "-s", f"/root/testdata/sf0.1/{t}.parquet", dst], check=False
+            )
+
+    for t in ["documents", "embeddings", "events"]:
+        n = spark.read.parquet(f"{out}/{t}.parquet").count()
+        print(f"{t}: {n} rows -> {out}/{t}.parquet")
+
+
+if __name__ == "__main__":
+    main()

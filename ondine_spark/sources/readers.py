@@ -85,12 +85,15 @@ def read_source(spark: SparkSession, spec: DatasetSpec) -> DataFrame:
 
         try:
             pdf = pd.read_excel(src, sheet_name=spec.sheet_name)
-        except ImportError as e:  # openpyxl not installed here
-            raise ImportError(
-                "Excel input needs openpyxl (not installed in this "
-                "environment); convert to csv/parquet or install it"
-            ) from e
-        return spark.createDataFrame(pdf.astype(str))
+            return spark.createDataFrame(pdf.astype(str))
+        except ImportError:
+            # openpyxl absent: the stdlib OOXML reader covers the data
+            # subset (shared/inline strings, numbers, bools, sheet pick)
+            from ondine_spark.sources.xlsx import read_xlsx
+
+            cols, rows = read_xlsx(src, spec.sheet_name)
+            pdf = pd.DataFrame(rows, columns=cols)
+            return spark.createDataFrame(pdf.astype(str))
     raise ValueError(f"unsupported format: {fmt}")
 
 

@@ -109,10 +109,14 @@ def test_cli_progress_rendering(spark, tmp_path, reviews_csv, capsys):
     ])
     assert rc == 0
     err = capsys.readouterr().err
-    # one bar line per committed chunk, cumulative rows, final bar full
-    assert err.count("chunk ") == 3
+    # both progress surfaces render: the legacy per-commit bars
+    # (cumulative rows) and the round-3 tracker's per-chunk stages
+    # (live start at 0/10, full bar + cost at finish)
     assert "chunk 3/3" in err and "rows=30" in err
     assert "|########################|" in err
+    assert "0/10" in err  # tracker stage opened before the chunk ran
+    assert err.count("10/10") >= 3  # every chunk stage finished full
+    assert "cost=" in err
 
 
 def test_registry_state_machine(tmp_path):

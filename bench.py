@@ -36,6 +36,9 @@ BENCH_QUERIES = [
     "winnow_pairs",
     "winnow_pairs_fast",
     "topk_brute_vs_ivf",
+    # round 3: per-bucket BLAS verify (was 22x slower via per-pair exprs
+    # on skewed data) — benched so regressions in the kernel path surface
+    "embedding_neardup",
     "text_quality",
     "lang_fingerprints",
     "window_chunking",

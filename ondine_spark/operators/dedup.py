@@ -305,27 +305,64 @@ def minhash_lsh_pairs(
     """
     sig = minhash_signature(df, id_col, text_col, num_hashes, ngram)
     band_rows = minhash_band_rows(sig, num_hashes, bands)
-    # persist: the band frame self-joins and each side would recompute the
-    # signature aggregation (same hazard as simhash_pairs)
-    band_rows = band_rows.persist()
-    a = band_rows.select(F.col("_id").alias("a"), F.col("sig").alias("_siga"), "band", "key")
-    b = band_rows.select(F.col("_id").alias("b"), F.col("sig").alias("_sigb"), "band", "key")
-    cand = (
-        a.join(b, on=["band", "key"])
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b", "_siga", "_sigb")
-        .dropDuplicates(["a", "b"])
+
+    # Per-(band,key)-bucket numpy verify, NOT a band self-join: the join
+    # shipped BOTH full signatures per candidate row and a mass-duplicated
+    # corpus makes one band bucket quadratic (sf1 skew probe: a 5,000-doc
+    # cluster -> 12.5M candidates x 4 bands = 50M pre-dedup join rows).
+    # Here each signature travels once per band row; the quadratic part is
+    # a blocked element-equality count inside the group, and sub-threshold
+    # pairs never materialize. est_jaccard = #equal/num_hashes is an exact
+    # integer ratio — bit-identical to the join path and the SQL oracle.
+    import numpy as np
+    import pandas as pd
+
+    id_type = dict(df.dtypes)[id_col]
+    thr = float(threshold) if threshold is not None else None
+    nh, nb = num_hashes, bands
+    r = num_hashes // bands
+
+    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "a": pd.Series([], dtype=pdf["_id"].dtype),
+            "b": pd.Series([], dtype=pdf["_id"].dtype),
+            "est_jaccard": pd.Series([], dtype="float64"),
+        })
+        if len(pdf) < 2:
+            return empty
+        band_k = int(pdf["band"].iloc[0])
+        pdf = pdf.sort_values("_id")
+        ids = pdf["_id"].to_numpy()
+        S = np.array(pdf["sig"].tolist(), dtype="int64")
+        outs = []
+        block = 1024
+        for i0 in range(0, len(ids), block):
+            # eqpos[i, j, h]: hash position h matches
+            eqpos = S[i0 : i0 + block, None, :] == S[None, :, :]
+            est = eqpos.sum(axis=2) / nh
+            # FIRST-band ownership: a colliding pair is emitted only by the
+            # earliest band whose slice matches — globally unique output,
+            # so no cross-band duplicate emission and NO dedup shuffle
+            # (the sf1 hot cluster emitted every pair from all 4 bands:
+            # 50M rows to dedup down to 12.5M)
+            band_all = eqpos.reshape(eqpos.shape[0], eqpos.shape[1], nb, r).all(axis=3)
+            first = band_all.argmax(axis=2)  # index of first matching band
+            mask = first == band_k
+            if thr is not None:
+                mask &= est >= thr
+            ii, jj = np.nonzero(mask)
+            gi = ii + i0
+            m = gi < jj  # ids sorted -> position order == id order
+            if m.any():
+                outs.append(pd.DataFrame({
+                    "a": ids[gi[m]], "b": ids[jj[m]],
+                    "est_jaccard": est[ii[m], jj[m]],
+                }))
+        return pd.concat(outs, ignore_index=True) if outs else empty
+
+    return band_rows.groupBy("band", "key").applyInPandas(
+        bucket_pairs, schema=f"a {id_type}, b {id_type}, est_jaccard double"
     )
-    est = F.size(
-        F.filter(
-            F.zip_with("_siga", "_sigb", lambda x, y: x == y),
-            lambda m: m,
-        )
-    ).cast("double") / F.lit(float(num_hashes))
-    out = cand.withColumn("est_jaccard", est).select("a", "b", "est_jaccard")
-    if threshold is not None:
-        out = out.filter(F.col("est_jaccard") >= threshold)
-    return out
 
 
 # ----------------------------------------------- winnowing substring overlap

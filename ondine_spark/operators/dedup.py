@@ -636,16 +636,27 @@ def simhash_pairs(
     b = blocks.select(F.col("_id").alias("b"), F.col("simhash").alias("_hb"), "blk", "key")
     xor = F.col("_ha").bitwiseXOR(F.col("_hb"))
     dist = F.bit_count(xor)
-    # verify (cheap bit math) BEFORE the dedup shuffle: only pairs that
-    # survive the hamming filter pay for dropDuplicates — candidates from
-    # multiple shared blocks can be orders of magnitude more numerous
+    # FIRST-block ownership (pure bit math): a pair agreeing on several
+    # blocks is emitted only by the earliest one — no earlier block's
+    # slice of the XOR may be zero. Output is globally unique, so the
+    # dropDuplicates shuffle disappears entirely; under mass duplication
+    # (near-identical hashes agree on ALL blocks) it was re-emitting
+    # every hot pair nblocks times. Verify (cheap bit math) still runs
+    # BEFORE any shuffle.
+    mask = (1 << width) - 1
+    no_earlier = F.lit(True)
+    for m in range(nblocks - 1):
+        agrees_m = (
+            F.shiftright(xor, m * width).bitwiseAND(F.lit(mask)) == 0
+        )
+        no_earlier = no_earlier & ~((F.col("blk") > m) & agrees_m)
     return (
         a.join(b, on=["blk", "key"])
         .filter(F.col("a") < F.col("b"))
+        .filter(no_earlier)
         .withColumn("hamming", dist)
         .filter(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")
-        .dropDuplicates(["a", "b"])
     )
 
 

@@ -111,6 +111,34 @@ def main() -> int:
         bad = ("CartesianProduct" in plan) or ("BroadcastNestedLoopJoin" in plan)
         check(f"dedup.{name}.no_cartesian", not bad)
 
+    # 3a. round-3 kernel shapes: the pair enumerators run as per-bucket
+    # Arrow kernels with first-bucket ownership — their plans must carry
+    # NO pair self-join and NO pair-dedup aggregate after the kernel
+    # (regressing to join-then-dedup is the scale-killer the sf1 skew
+    # probe caught: 50M duplicate emissions for 11M true pairs)
+    plan = plan_of(lsh)
+    check(
+        "dedup.lsh_pairs.kernel_no_selfjoin",
+        "FlatMapGroupsInPandas" in plan and "SortMergeJoin" not in plan
+        and "BroadcastHashJoin" not in plan,
+    )
+    plan = plan_of(embedding_neardup_pairs(emb, "vec_id", "embedding"))
+    check(
+        "dedup.emb_neardup.kernel_no_selfjoin",
+        "FlatMapGroupsInPandas" in plan and "Join" not in plan,
+    )
+    plan = plan_of(simhash_pairs(docs, "doc_id", "text"))
+    # one shuffle exchange (the signature aggregation feeding the cached
+    # blocks frame); the block self-join broadcasts, and first-block
+    # ownership lives in the join condition (shiftright/bit_count) so no
+    # pair-dedup aggregate follows
+    check(
+        "dedup.simhash.no_pair_dedup",
+        len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1
+        and "bit_count" in plan
+        and "shiftright" in plan,
+    )
+
     # 3b. curation plan shapes: sessionize's two windows share ONE
     # exchange; stratified sampling is a pure filter (zero exchanges,
     # reaches the scan as a data filter)

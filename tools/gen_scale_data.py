@@ -16,9 +16,14 @@ Deterministic (hash-of-id features, fixed numpy seeds per partition), and
 generated DISTRIBUTED — mapInPandas over a range frame, so the same script
 generates a 10^10-row corpus on a real cluster.
 
-Usage: python tools/gen_scale_data.py [sf] [out_dir]
+Usage: python tools/gen_scale_data.py [sf] [out_dir] [cluster_frac]
   sf: scale multiplier relative to sf0.1 (default 10 -> "sf1": 50K docs,
       20K embeddings, 1M events)
+  cluster_frac: fraction of docs in the near-dup cluster (default 0.1).
+      At sf10+ use ~0.01: a 10%-mass EXACT near-dup cluster at 500K docs
+      has a ~1.25B-pair truth set — that is exact-dedup's job upstream,
+      not a pair enumerator's; keeping the cluster at the same ABSOLUTE
+      size isolates volume scaling from truth-set blowup.
 """
 
 from __future__ import annotations
@@ -49,6 +54,8 @@ def main() -> None:
     n_docs = int(5000 * mult)
     n_emb = int(2000 * mult)
     n_events = int(100_000 * mult)
+    cluster_frac = float(sys.argv[3]) if len(sys.argv) > 3 else 0.1
+    n_cluster = int(n_docs * cluster_frac)
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
     from pyspark.sql import SparkSession
@@ -76,7 +83,7 @@ def main() -> None:
             texts, langs, sources = [], [], []
             for d in ids:
                 d = int(d)
-                if d < n_docs // 10:
+                if d < n_cluster:
                     # near-dup cluster: template with 1-2 perturbed words
                     words = list(TEMPLATE)
                     words[d % len(words)] = VOCAB[(d * 7) % len(VOCAB)]
@@ -116,7 +123,9 @@ def main() -> None:
             ids = pdf["id"].to_numpy()
             rng = np.random.RandomState(1042 + int(ids[0]) % (1 << 31))
             vecs = rng.randn(len(ids), 64).astype("float32")
-            hot = (ids % 10) == 0  # 10% mass in one tight cluster
+            # cluster_frac of the vectors in one tight cluster
+            step = max(int(round(1.0 / cluster_frac)), 1)
+            hot = (ids % step) == 0
             vecs[hot] = center + 0.05 * vecs[hot]
             yield pd.DataFrame({
                 "vec_id": ids,

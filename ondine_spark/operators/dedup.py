@@ -342,6 +342,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     ngram: int = 3,
     threshold: float | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via LSH banding; optionally verify with the
     MinHash Jaccard estimate (matching rows of the signature).
@@ -349,6 +350,15 @@ def minhash_lsh_pairs(
     bands must divide num_hashes; rows-per-band r = num_hashes/bands gives
     the usual S-curve (collision prob = 1-(1-s^r)^b).
     Output: a, b, est_jaccard (signature agreement rate).
+
+    ``max_bucket_size`` is the occupancy guard (SCALE.md sf10 lesson:
+    pair enumeration is linear in rows + true pairs ONLY while bucket
+    occupancy stays bounded): a (band, key) bucket larger than the cap is
+    skipped entirely — an explicit recall-for-bound trade, the banding
+    analog of jaccard's ``max_shingle_freq`` stop-shingles. A bucket that
+    hot means either mass duplication (run exact/minhash DEDUP first —
+    ``near_dedup`` composes them in that order) or a saturated signature
+    space (raise num_hashes/bands). Default None = exact enumeration.
     """
     sig = minhash_signature(df, id_col, text_col, num_hashes, ngram)
     band_rows = minhash_band_rows(sig, num_hashes, bands)
@@ -377,7 +387,10 @@ def minhash_lsh_pairs(
         })
         if len(pdf) < 2:
             return empty
+        if max_bucket_size is not None and len(pdf) > max_bucket_size:
+            return empty  # occupancy guard: documented approximation
         band_k = int(pdf["band"].iloc[0])
+        own = max_bucket_size is None  # see ownership note below
         pdf = pdf.sort_values("_id")
         ids = pdf["_id"].to_numpy()
         S = np.array(pdf["sig"].tolist(), dtype="int64")
@@ -394,7 +407,12 @@ def minhash_lsh_pairs(
             # 50M rows to dedup down to 12.5M)
             band_all = eqpos.reshape(eqpos.shape[0], eqpos.shape[1], nb, r).all(axis=3)
             first = band_all.argmax(axis=2)  # index of first matching band
-            mask = first == band_k
+            # ownership note: with the occupancy cap active, a pair's
+            # first-matching band may have been a SKIPPED hot bucket, so
+            # ownership would silently drop pairs recoverable from later
+            # small buckets — capped mode emits from every surviving
+            # bucket and dedups instead (bounded volume by construction)
+            mask = (first == band_k) if own else band_all[:, :, band_k]
             if thr is not None:
                 mask &= est >= thr
             ii, jj = np.nonzero(mask)
@@ -407,9 +425,13 @@ def minhash_lsh_pairs(
                 }))
         return pd.concat(outs, ignore_index=True) if outs else empty
 
-    return band_rows.groupBy("band", "key").applyInPandas(
+    out = band_rows.groupBy("band", "key").applyInPandas(
         bucket_pairs, schema=f"a {id_type}, b {id_type}, est_jaccard double"
     )
+    if max_bucket_size is not None:
+        # capped mode emits per surviving bucket (see ownership note)
+        out = out.dropDuplicates(["a", "b"])
+    return out
 
 
 # ----------------------------------------------- winnowing substring overlap

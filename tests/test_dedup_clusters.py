@@ -228,3 +228,29 @@ def test_keep_representative_precomputed_components(spark):
         assert {r.doc_id for r in best.collect()} == {2, 5, 3, 4, 7, 8, 9}
     finally:
         comp.unpersist()
+
+
+def test_lsh_bucket_occupancy_cap(spark):
+    """max_bucket_size skips hot buckets (bounded work, documented recall
+    trade) while pairs recoverable from surviving buckets remain, deduped
+    across bands."""
+    from ondine_spark.operators.dedup import minhash_lsh_pairs
+
+    # 30 near-identical docs (one hot bucket per band) + 2 distinct near-dups
+    docs = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog number {}".format(i % 2))
+         for i in range(30)]
+        + [(100, "completely different text about cooking fresh pasta daily"),
+           (101, "completely different text about cooking fresh pasta weekly")],
+        "doc_id long, text string",
+    )
+    exact = minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=8, bands=4,
+                              threshold=0.25)
+    capped = minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=8, bands=4,
+                               threshold=0.25, max_bucket_size=10)
+    n_exact, n_capped = exact.count(), capped.count()
+    assert n_capped < n_exact  # hot-cluster pairs dropped by the guard
+    # the small pair (100, 101) lives in sub-cap buckets and survives
+    assert capped.filter("a = 100 and b = 101").count() == 1
+    # capped output is still unique per pair
+    assert capped.count() == capped.dropDuplicates(["a", "b"]).count()

@@ -379,54 +379,95 @@ def minhash_lsh_pairs(
     nh, nb = num_hashes, bands
     r = num_hashes // bands
 
-    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({
-            "a": pd.Series([], dtype=pdf["_id"].dtype),
-            "b": pd.Series([], dtype=pdf["_id"].dtype),
-            "est_jaccard": pd.Series([], dtype="float64"),
-        })
-        if len(pdf) < 2:
-            return empty
-        if max_bucket_size is not None and len(pdf) > max_bucket_size:
-            return empty  # occupancy guard: documented approximation
-        band_k = int(pdf["band"].iloc[0])
-        own = max_bucket_size is None  # see ownership note below
-        pdf = pdf.sort_values("_id")
-        ids = pdf["_id"].to_numpy()
-        S = np.array(pdf["sig"].tolist(), dtype="int64")
-        outs = []
+    own = max_bucket_size is None  # see ownership note below
+
+    def one_bucket(ids, S, band_k, outs):
+        """Emit pairs for one (band, key) bucket (ids sorted ascending)."""
+        if len(ids) < 2:
+            return
+        if max_bucket_size is not None and len(ids) > max_bucket_size:
+            return  # occupancy guard: documented approximation
         block = 1024
         for i0 in range(0, len(ids), block):
             # eqpos[i, j, h]: hash position h matches
             eqpos = S[i0 : i0 + block, None, :] == S[None, :, :]
             est = eqpos.sum(axis=2) / nh
-            # FIRST-band ownership: a colliding pair is emitted only by the
-            # earliest band whose slice matches — globally unique output,
-            # so no cross-band duplicate emission and NO dedup shuffle
-            # (the sf1 hot cluster emitted every pair from all 4 bands:
-            # 50M rows to dedup down to 12.5M)
-            band_all = eqpos.reshape(eqpos.shape[0], eqpos.shape[1], nb, r).all(axis=3)
-            first = band_all.argmax(axis=2)  # index of first matching band
-            # ownership note: with the occupancy cap active, a pair's
+            # FIRST-band ownership: a colliding pair is emitted only by
+            # the earliest band whose slice matches — globally unique
+            # output, so no cross-band duplicate emission and NO dedup
+            # shuffle (the sf1 hot cluster emitted every pair from all 4
+            # bands: 50M rows to dedup down to 12.5M).
+            # Ownership note: with the occupancy cap active, a pair's
             # first-matching band may have been a SKIPPED hot bucket, so
             # ownership would silently drop pairs recoverable from later
             # small buckets — capped mode emits from every surviving
-            # bucket and dedups instead (bounded volume by construction)
-            mask = (first == band_k) if own else band_all[:, :, band_k]
+            # bucket and dedups instead (bounded volume by construction).
+            band_all = eqpos.reshape(
+                eqpos.shape[0], eqpos.shape[1], nb, r
+            ).all(axis=3)
+            if own:
+                mask = band_all.argmax(axis=2) == band_k
+            else:
+                mask = band_all[:, :, band_k]
             if thr is not None:
                 mask &= est >= thr
             ii, jj = np.nonzero(mask)
             gi = ii + i0
             m = gi < jj  # ids sorted -> position order == id order
             if m.any():
-                outs.append(pd.DataFrame({
-                    "a": ids[gi[m]], "b": ids[jj[m]],
-                    "est_jaccard": est[ii[m], jj[m]],
-                }))
-        return pd.concat(outs, ignore_index=True) if outs else empty
+                outs.append((ids[gi[m]], ids[jj[m]], est[ii[m], jj[m]]))
 
-    out = band_rows.groupBy("band", "key").applyInPandas(
-        bucket_pairs, schema=f"a {id_type}, b {id_type}, est_jaccard double"
+    def gen_pairs(batches):
+        """Streaming pass over (band,key)-sorted partitions: group
+        boundaries via array compares, per-group numpy — tiny buckets
+        cost microseconds (a groupBy().applyInPandas variant paid ~0.2 ms
+        pandas machinery per bucket: 5x slower at sf0.1 where nearly all
+        20K buckets are singletons). Buckets spanning Arrow batches carry
+        over inside the partition iterator."""
+
+        def flush(pdf: pd.DataFrame):
+            bandv = pdf["band"].to_numpy()
+            keyv = pdf["key"].to_numpy()
+            ids = pdf["_id"].to_numpy()
+            S = np.array(pdf["sig"].tolist(), dtype="int64")
+            newg = np.r_[True, (bandv[1:] != bandv[:-1]) | (keyv[1:] != keyv[:-1])]
+            starts = np.flatnonzero(newg)
+            ends = np.r_[starts[1:], len(ids)]
+            outs: list = []
+            for s, e in zip(starts, ends):
+                one_bucket(ids[s:e], S[s:e], int(bandv[s]), outs)
+            if not outs:
+                return None
+            return pd.DataFrame({
+                "a": np.concatenate([o[0] for o in outs]),
+                "b": np.concatenate([o[1] for o in outs]),
+                "est_jaccard": np.concatenate([o[2] for o in outs]),
+            })
+
+        carry = None
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if not len(pdf):
+                continue
+            last_b, last_k = pdf["band"].iloc[-1], pdf["key"].iloc[-1]
+            is_last = ((pdf["band"] == last_b) & (pdf["key"] == last_k)).to_numpy()
+            carry = pdf[is_last]
+            body = pdf[~is_last]
+            out = flush(body) if len(body) else None
+            if out is not None:
+                yield out
+        if carry is not None and len(carry):
+            out = flush(carry)
+            if out is not None:
+                yield out
+
+    out = (
+        band_rows.repartition("band", "key")
+        .sortWithinPartitions("band", "key", "_id")
+        .mapInPandas(
+            gen_pairs, schema=f"a {id_type}, b {id_type}, est_jaccard double"
+        )
     )
     if max_bucket_size is not None:
         # capped mode emits per surviving bucket (see ownership note)

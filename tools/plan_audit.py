@@ -119,7 +119,8 @@ def main() -> int:
     plan = plan_of(lsh)
     check(
         "dedup.lsh_pairs.kernel_no_selfjoin",
-        "FlatMapGroupsInPandas" in plan and "SortMergeJoin" not in plan
+        ("FlatMapGroupsInPandas" in plan or "MapInPandas" in plan)
+        and "SortMergeJoin" not in plan
         and "BroadcastHashJoin" not in plan,
     )
     plan = plan_of(embedding_neardup_pairs(emb, "vec_id", "embedding"))

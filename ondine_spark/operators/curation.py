@@ -218,6 +218,49 @@ def sample_to_token_budget(
     )
 
 
+def perplexity_buckets(
+    df: DataFrame,
+    ppl_col: str = "perplexity",
+    bucket_col: str = "ppl_bucket",
+    head_frac: float = 1.0 / 3.0,
+    tail_frac: float = 1.0 / 3.0,
+    relative_error: float = 0.001,
+) -> DataFrame:
+    """CCNet-style head/middle/tail split on an LM-perplexity column
+    (pair with ``text_analysis.unigram_perplexity`` / KenLM scores):
+    the lowest-perplexity ``head_frac`` of rows is "head" (most fluent),
+    the highest ``tail_frac`` is "tail", the rest "middle". CCNet keeps
+    head+middle for pre-training and drops tail.
+
+    Scale shape: thresholds come from ``approx_percentile`` (a single
+    map-side-combinable sketch aggregate — ONE row to the driver side of
+    the plan), then bucket assignment is a zero-shuffle broadcast
+    cross-join + CASE. No global sort, no window: the full-corpus
+    alternative (ntile) would shuffle every row into one ordering.
+    NULL perplexities (empty docs) get a NULL bucket.
+    """
+    qs = df.agg(
+        F.percentile_approx(
+            ppl_col,
+            F.array(F.lit(float(head_frac)), F.lit(1.0 - float(tail_frac))),
+            F.lit(int(1.0 / relative_error)),
+        ).alias("_qs")
+    ).select(
+        F.col("_qs")[0].alias("_head_max"), F.col("_qs")[1].alias("_tail_min")
+    )
+    return (
+        df.crossJoin(F.broadcast(qs))
+        .withColumn(
+            bucket_col,
+            F.when(F.col(ppl_col).isNull(), F.lit(None).cast("string"))
+            .when(F.col(ppl_col) <= F.col("_head_max"), F.lit("head"))
+            .when(F.col(ppl_col) > F.col("_tail_min"), F.lit("tail"))
+            .otherwise(F.lit("middle")),
+        )
+        .drop("_head_max", "_tail_min")
+    )
+
+
 def remove_boilerplate_lines(
     df: DataFrame,
     id_col: str,

@@ -1,0 +1,131 @@
+"""Learned document-quality classifier (fastText/DataComp-style).
+
+Rule-based quality (text_analysis.quality_rules — Gopher) catches
+boilerplate and garbage; modern curation pipelines ALSO train a
+lightweight linear classifier against a high-quality reference corpus
+(positives = curated text, negatives = raw crawl) and keep documents by
+predicted probability — the approach of CCNet, fastText-filtering
+(Joulin et al. 2017) and DataComp-LM.
+
+Spark-idiomatic shape: hashing-trick bag of word uni+bigrams
+(``HashingTF`` — murmur3, fixed dimensionality, no vocabulary state to
+ship) → TF scaling → ``LogisticRegression`` (pyspark.ml — distributed
+L-BFGS; each iteration is one map-side-combinable gradient pass). Scoring
+runs entirely JVM-side through the fitted PipelineModel: tokenize → hash
+→ sparse dot + sigmoid. No Python in either the training hot loop or the
+scoring path, so the classifier scores 100 TB at scan speed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _pipeline(text_col: str, num_features: int, reg_param: float,
+              max_iter: int, use_bigrams: bool):
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import (
+        HashingTF,
+        NGram,
+        RegexTokenizer,
+        VectorAssembler,
+    )
+
+    stages = [
+        RegexTokenizer(
+            inputCol=text_col, outputCol="_qc_words",
+            pattern=r"\W+", toLowercase=True, minTokenLength=1,
+        ),
+        HashingTF(
+            inputCol="_qc_words", outputCol="_qc_tf1",
+            numFeatures=num_features, binary=False,
+        ),
+    ]
+    feature_cols = ["_qc_tf1"]
+    if use_bigrams:
+        stages += [
+            NGram(n=2, inputCol="_qc_words", outputCol="_qc_bigrams"),
+            HashingTF(
+                inputCol="_qc_bigrams", outputCol="_qc_tf2",
+                numFeatures=num_features, binary=False,
+            ),
+        ]
+        feature_cols.append("_qc_tf2")
+    if len(feature_cols) > 1:
+        stages.append(
+            VectorAssembler(inputCols=feature_cols, outputCol="_qc_features")
+        )
+        feat = "_qc_features"
+    else:
+        feat = feature_cols[0]
+    stages.append(
+        LogisticRegression(
+            featuresCol=feat, labelCol="_qc_label",
+            predictionCol="_qc_pred", probabilityCol="_qc_prob",
+            rawPredictionCol="_qc_raw",
+            regParam=reg_param, maxIter=max_iter, standardization=False,
+        )
+    )
+    return Pipeline(stages=stages)
+
+
+def train_quality_classifier(
+    labeled: DataFrame,
+    text_col: str = "text",
+    label_col: str = "label",
+    num_features: int = 1 << 16,
+    reg_param: float = 1e-4,
+    max_iter: int = 50,
+    use_bigrams: bool = True,
+):
+    """Fit the classifier on a labeled frame (label 1 = high quality).
+    Returns the fitted ``PipelineModel`` — broadcastable, saveable with
+    ``model.write().save(path)``, and scoreable JVM-side. Train on a
+    SAMPLE (10⁵–10⁶ rows is the literature norm); score the full corpus.
+
+    Memory shape of ``num_features``: Spark ML's LR training keeps DENSE
+    per-dimension summarizer/gradient buffers (several double arrays of
+    length 2·num_features with bigrams) per task, merged treewise — the
+    knob costs executor HEAP during fit, independent of data size
+    (verified: 2¹⁸ OOMs a 1 GB local JVM; 2¹⁶ ≈ 1 MB/buffer is safe
+    anywhere). Scoring is sparse and unaffected. Raise toward 2²⁰ only
+    with multi-GB executors; collision noise at 2¹⁶ costs ~1% accuracy
+    on quality filtering (hashing-trick literature, Weinberger et al.).
+    """
+    train = labeled.withColumn("_qc_label", F.col(label_col).cast("double"))
+    return _pipeline(
+        text_col, num_features, reg_param, max_iter, use_bigrams
+    ).fit(train)
+
+
+def score_quality(
+    df: DataFrame,
+    model,
+    text_col: str = "text",
+    out_col: str = "quality_prob",
+) -> DataFrame:
+    """Append P(high quality) to every row. Pure JVM transform — safe to
+    run over the full corpus. Input column name must match training."""
+    from pyspark.ml.functions import vector_to_array
+
+    scored = model.transform(df)
+    keep = [c for c in df.columns]
+    return scored.select(
+        *keep, vector_to_array(F.col("_qc_prob"))[1].alias(out_col)
+    )
+
+
+def filter_by_quality(
+    df: DataFrame,
+    model,
+    text_col: str = "text",
+    threshold: float = 0.5,
+    out_col: str = "quality_prob",
+) -> DataFrame:
+    """Keep rows with predicted quality ≥ threshold (CCNet-style keep
+    rule; pair with ``perplexity_buckets`` for the full CCNet recipe)."""
+    return score_quality(df, model, text_col, out_col).filter(
+        F.col(out_col) >= threshold
+    )

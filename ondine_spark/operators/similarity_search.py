@@ -176,31 +176,122 @@ def train_ivf_centroids(
     vec_col: str = "embedding",
     max_iter: int = 10,
     seed: int = 42,
+    max_train_rows: int = 100_000,
+    impl: str = "sample",
 ):
-    """Coarse quantizer for IVF: k-means over the corpus vectors
-    (pyspark.ml KMeans — Lloyd's on DataFrames). Returns the local
-    centroid list (nlist × dim floats — tiny, broadcastable)."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    """Coarse quantizer for IVF. Returns the local centroid list
+    (nlist × dim floats — tiny, broadcastable).
 
-    train = corpus.select(array_to_vector(F.col(vec_col)).alias("features"))
-    model = KMeans(
-        k=nlist, maxIter=max_iter, seed=seed, initMode="k-means||"
-    ).fit(train)
-    return [list(map(float, c)) for c in model.clusterCenters()]
+    Default ``impl="sample"`` is the FAISS shape: pull a bounded sample
+    (``max_train_rows``, ≈50 MB at 100k × 64 doubles) to the driver and
+    run numpy Lloyd's with k-means++ seeding — IVF coarse quantizers are
+    trained on a sample at ANY corpus scale, so a distributed trainer
+    over the full corpus buys nothing but JVM job overhead (measured
+    ~1.3 s per fit at sf0.1 vs ~50 ms here; at 100 TB the full-corpus
+    fit would be max_iter scans of the whole table). The sample is the
+    first ``max_train_rows`` rows (scan order): quantizer quality needs
+    a representative spread, not statistical rigor — pass a
+    ``hash_sample``-ed frame if scan order correlates with content.
+
+    ``impl="ml"`` keeps the distributed pyspark.ml KMeans path for the
+    rare case where the training set itself must not be sampled."""
+    if impl == "ml":
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        train = corpus.select(array_to_vector(F.col(vec_col)).alias("features"))
+        model = KMeans(
+            k=nlist, maxIter=max_iter, seed=seed, initMode="k-means||"
+        ).fit(train)
+        return [list(map(float, c)) for c in model.clusterCenters()]
+
+    import numpy as np
+
+    sample = corpus.select(vec_col).limit(max_train_rows).collect()
+    x = np.asarray([r[0] for r in sample], dtype="float64")
+    if len(x) < nlist:
+        raise ValueError(f"need at least nlist={nlist} vectors, got {len(x)}")
+    # spherical k-means: cell assignment downstream is COSINE, so train on
+    # unit vectors — Euclidean argmin over normalized points is cosine
+    # argmax, making the learned cells match how they will be probed
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    x = x / np.where(norms == 0, 1.0, norms)
+    def _lloyd(rng):
+        # k-means++ seeding
+        cents = [x[rng.randint(len(x))]]
+        for _ in range(1, nlist):
+            d2 = np.min(
+                [((x - c) ** 2).sum(axis=1) for c in cents], axis=0
+            )
+            total = d2.sum()
+            if total <= 0:
+                cents.append(x[rng.randint(len(x))])
+                continue
+            cents.append(
+                x[np.searchsorted(np.cumsum(d2 / total), rng.rand())]
+            )
+        c = np.asarray(cents)
+        for _ in range(max_iter):
+            # dist² = |x|² − 2x·c + |c|²; |x|² is constant per row for argmin
+            assign = (-2.0 * x @ c.T + (c * c).sum(axis=1)).argmin(axis=1)
+            new_c = c.copy()
+            for j in range(nlist):
+                members = x[assign == j]
+                if len(members):
+                    new_c[j] = members.mean(axis=0)
+                else:  # empty cell: reseed to the farthest point
+                    far = (((x - c[assign]) ** 2).sum(axis=1)).argmax()
+                    new_c[j] = x[far]
+            if np.allclose(new_c, c):
+                c = new_c
+                break
+            c = new_c
+        assign = (-2.0 * x @ c.T + (c * c).sum(axis=1)).argmin(axis=1)
+        inertia = ((x - c[assign]) ** 2).sum()
+        return c, inertia
+
+    # a handful of restarts, keep the lowest-inertia fit (sklearn's n_init
+    # discipline): single-restart quality is seed luck, and on the driver
+    # restarts cost milliseconds
+    best_c, best_inertia = None, None
+    for i in range(4):
+        c, inertia = _lloyd(np.random.RandomState(seed + i))
+        if best_inertia is None or inertia < best_inertia:
+            best_c, best_inertia = c, inertia
+    return [list(map(float, row)) for row in best_c]
 
 
 def _nearest_centroids_expr(vec_col, centroids: list[list[float]], n: int):
     """array of the ``n`` nearest centroid ids (by cosine) — a pure JVM
-    expression over the broadcast centroid literals."""
-    sims = F.array(*[
-        F.struct(
-            cosine(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c]))
-            .alias("s"),
-            F.lit(i).alias("c"),
-        )
-        for i, c in enumerate(centroids)
-    ])
+    expression over the broadcast centroid literals.
+
+    Construction cost matters as much as evaluation cost here — two
+    designs were measured and rejected:
+
+    - per-literal construction (``F.array(*[F.lit(x) ...])`` — k·dim
+      separate ``F.lit`` calls) spends ~1 s of driver-side py4j
+      round-trips PER CALL at 8×64; the whole centroid matrix now parses
+      JVM-side from ONE SQL string (``D`` suffix keeps the literals
+      DOUBLE; ``repr`` round-trips bit-exactly).
+    - a k×dim static-arithmetic unroll of the cosine (≈1,500
+      Add/Multiply nodes) blew up Catalyst analysis/codegen — 8x SLOWER
+      end-to-end on the sf0.1 IVF probe than the higher-order-function
+      cosine, whose interpreted per-row cost is dwarfed by the plan
+      around it.
+
+    Ties rank the HIGHER centroid id first (struct sort on (sim, id),
+    reversed) — the contract the ``semantic_clusters`` oracle gate
+    replays in SQL."""
+    cents_sql = "array(" + ",".join(
+        "array(" + ",".join(f"{float(x)!r}D" for x in c) + ")"
+        for c in centroids
+    ) + ")"
+    sims = F.transform(
+        F.expr(cents_sql),
+        lambda c, i: F.struct(
+            cosine(F.col(vec_col), c).alias("s"), i.alias("c")
+        ),
+    )
     top = F.slice(F.reverse(F.array_sort(sims)), 1, n)
     return F.transform(top, lambda x: x["c"])
 
@@ -221,15 +312,18 @@ def ivf_topk(
     centroids and scores ONLY those lists — exact cosine within the probed
     cells, so with nprobe = nlist this equals brute force.
 
-    Scale shape: the corpus is partitioned by centroid cell once
-    (repartition on a small int key — co-locates each inverted list);
-    queries explode to nprobe rows and hash-join on the cell id. No
-    crossJoin against the full corpus."""
+    Scale shape: queries explode to nprobe rows and broadcast-join the
+    assigned corpus on the cell id — the broadcast hash join needs NO
+    co-location, so assignment adds zero exchanges per query batch. (At
+    corpus scale, persist the assigned table once — written bucketed by
+    ``_cell`` — and reuse it across query batches; a per-batch
+    repartition on the cell would be a full corpus shuffle bought for a
+    join that doesn't need it.) No crossJoin against the full corpus."""
     assigned = corpus.select(
         F.col(corpus_id).alias("_cid"), F.col(corpus_vec).alias("_cv")
     ).withColumn(
         "_cell", _nearest_centroids_expr("_cv", centroids, 1)[0]
-    ).repartition("_cell")
+    )
     probes = queries.select(
         F.col(query_id).alias("_qid"), F.col(query_vec).alias("_qv")
     ).withColumn(

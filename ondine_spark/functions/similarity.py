@@ -46,6 +46,28 @@ def cosine(a: Column, b: Column) -> Column:
     return F.when((na == 0) | (nb == 0), F.lit(0.0)).otherwise(d / (na * nb))
 
 
+def sign_bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane LSH bucket key: a '0101…' string with bit i =
+    (vec · planes[i] >= 0). The plane matrix parses JVM-side from ONE SQL
+    literal string — building it element-wise (a Column op per component)
+    costs ~2 py4j round-trips each, ~1.5k driver-side calls at 8 planes ×
+    64 dims, measured ~1 s of pure expression-construction time. ``D``
+    suffixes keep the literals DOUBLE; ``repr`` round-trips bit-exactly."""
+    sql = "array(" + ",".join(
+        "array(" + ",".join(f"{float(x)!r}D" for x in p) + ")"
+        for p in planes
+    ) + ")"
+    return F.array_join(
+        F.transform(
+            F.expr(sql),
+            lambda p: F.when(dot(vec, p) >= 0, F.lit("1")).otherwise(
+                F.lit("0")
+            ),
+        ),
+        "",
+    )
+
+
 def cosine_arrow(a: Column, b: Column) -> Column:
     """Arrow/numpy cosine for HIGH-VOLUME pair verification.
 

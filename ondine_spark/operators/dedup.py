@@ -954,15 +954,13 @@ def embedding_neardup_pairs(
         ]
         for i in range(num_planes)
     ]
+    from ondine_spark.functions.similarity import sign_bucket_expr
+
     vec = F.col(vec_col)
-    bits = [
-        F.when(
-            sum(vec[d] * planes[i][d] for d in range(dim)) >= 0, F.lit("1")
-        ).otherwise(F.lit("0"))
-        for i in range(num_planes)
-    ]
     keyed = df.select(
-        F.col(id_col).alias("_id"), vec.alias("_v"), F.concat(*bits).alias("_bucket")
+        F.col(id_col).alias("_id"),
+        vec.alias("_v"),
+        sign_bucket_expr(vec, planes).alias("_bucket"),
     )
 
     # Per-bucket BLAS verify, NOT a pair self-join. The sf1 skew probe

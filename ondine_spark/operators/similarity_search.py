@@ -101,13 +101,9 @@ def _hyperplanes(dim: int, num_planes: int, seed: int) -> list[list[float]]:
 
 
 def _bucket_expr(vec, planes):
-    bits = [
-        F.when(sum(vec[d] * p[d] for d in range(len(p))) >= 0, F.lit("1")).otherwise(
-            F.lit("0")
-        )
-        for p in planes
-    ]
-    return F.concat(*bits)
+    from ondine_spark.functions.similarity import sign_bucket_expr
+
+    return sign_bucket_expr(vec, planes)
 
 
 def lsh_topk(

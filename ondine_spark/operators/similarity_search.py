@@ -212,10 +212,23 @@ def train_ivf_centroids(
     # argmax, making the learned cells match how they will be probed
     norms = np.linalg.norm(x, axis=1, keepdims=True)
     x = x / np.where(norms == 0, 1.0, norms)
+    best_c = kmeans_numpy(x, nlist, max_iter=max_iter, seed=seed)
+    return [list(map(float, row)) for row in best_c]
+
+
+def kmeans_numpy(x, k: int, max_iter: int = 10, seed: int = 42,
+                 n_init: int = 4):
+    """Driver-side Lloyd's with k-means++ seeding and ``n_init`` restarts
+    (lowest inertia wins — sklearn's discipline; single-restart quality is
+    seed luck and restarts cost milliseconds at sample scale). Shared by
+    the IVF coarse quantizer and the PQ sub-quantizers. Deterministic for
+    a given (x, k, seed). Returns a (k × dim) ndarray."""
+    import numpy as np
+
     def _lloyd(rng):
         # k-means++ seeding
         cents = [x[rng.randint(len(x))]]
-        for _ in range(1, nlist):
+        for _ in range(1, k):
             d2 = np.min(
                 [((x - c) ** 2).sum(axis=1) for c in cents], axis=0
             )
@@ -231,7 +244,7 @@ def train_ivf_centroids(
             # dist² = |x|² − 2x·c + |c|²; |x|² is constant per row for argmin
             assign = (-2.0 * x @ c.T + (c * c).sum(axis=1)).argmin(axis=1)
             new_c = c.copy()
-            for j in range(nlist):
+            for j in range(k):
                 members = x[assign == j]
                 if len(members):
                     new_c[j] = members.mean(axis=0)
@@ -246,15 +259,12 @@ def train_ivf_centroids(
         inertia = ((x - c[assign]) ** 2).sum()
         return c, inertia
 
-    # a handful of restarts, keep the lowest-inertia fit (sklearn's n_init
-    # discipline): single-restart quality is seed luck, and on the driver
-    # restarts cost milliseconds
     best_c, best_inertia = None, None
-    for i in range(4):
+    for i in range(n_init):
         c, inertia = _lloyd(np.random.RandomState(seed + i))
         if best_inertia is None or inertia < best_inertia:
             best_c, best_inertia = c, inertia
-    return [list(map(float, row)) for row in best_c]
+    return best_c
 
 
 def _nearest_centroids_expr(vec_col, centroids: list[list[float]], n: int):

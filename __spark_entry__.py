@@ -2355,8 +2355,26 @@ def _jaccard_sql(threshold: float, max_df: int | None = None) -> str:
     """
 
 
+_MINHASH_PRIME = (1 << 61) - 1
+
+
+def _minhash_case_sql(num_hashes: int) -> str:
+    """CASE mapping i → the affine Carter-Wegman hash of the base md5
+    hash hb: (a_i·hb + b_i) mod (2^61−1), HUGEINT intermediate — same
+    constants and values as operators/dedup.py:minhash_signature."""
+    from ondine_spark.operators.dedup import minhash_coeffs
+
+    arms = " ".join(
+        "WHEN i = {i} THEN (({a}::HUGEINT * hb + {b}) % {p})::BIGINT".format(
+            i=i, a=minhash_coeffs(i)[0], b=minhash_coeffs(i)[1],
+            p=_MINHASH_PRIME,
+        )
+        for i in range(num_hashes)
+    )
+    return f"CASE {arms} END"
+
+
 def _minhash_sql(num_hashes: int) -> str:
-    h = _MD5L.format(x=f"shingle || '#' || i")
     mins = ", ".join(
         f"min(CASE WHEN i = {i} THEN h END) AS h{i}" for i in range(num_hashes)
     )
@@ -2370,9 +2388,13 @@ def _minhash_sql(num_hashes: int) -> str:
                    generate_series(1, greatest(len(w) - 2, 0)),
                    j -> w[j] || ' ' || w[j+1] || ' ' || w[j+2])) AS shingle
           FROM toks
+        ), based AS (
+          SELECT doc_id,
+                 ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS hb
+          FROM grams
         ), hashed AS (
-          SELECT doc_id, i, {h} AS h
-          FROM grams CROSS JOIN range({num_hashes}) r(i)
+          SELECT doc_id, i, {_minhash_case_sql(num_hashes)} AS h
+          FROM based CROSS JOIN range({num_hashes}) r(i)
         )
         SELECT doc_id, {mins} FROM hashed GROUP BY doc_id
     """
@@ -2382,7 +2404,6 @@ def _minhash_lsh_sql(num_hashes: int, bands: int, threshold: float) -> str:
     """LSH banding over the md5 MinHash signatures: candidates share ≥1
     band key; est_jaccard = signature agreement rate."""
     r = num_hashes // bands
-    h = _MD5L.format(x="shingle || '#' || i")
     mins = ", ".join(
         f"min(CASE WHEN i = {i} THEN h END) AS h{i}" for i in range(num_hashes)
     )
@@ -2410,10 +2431,13 @@ def _minhash_lsh_sql(num_hashes: int, bands: int, threshold: float) -> str:
                    generate_series(1, greatest(len(w) - 2, 0)),
                    j -> w[j] || ' ' || w[j+1] || ' ' || w[j+2])) AS shingle
           FROM toks
-        ), hashed AS (
-          SELECT doc_id, i, {h} AS h
+        ), based AS (
+          SELECT doc_id,
+                 ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS hb
           FROM (SELECT DISTINCT doc_id, shingle FROM grams)
-          CROSS JOIN range({num_hashes}) r(i)
+        ), hashed AS (
+          SELECT doc_id, i, {_minhash_case_sql(num_hashes)} AS h
+          FROM based CROSS JOIN range({num_hashes}) r(i)
         ), sigs AS (
           SELECT doc_id, {mins} FROM hashed GROUP BY doc_id
         ), keyed AS (

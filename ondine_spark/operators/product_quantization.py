@@ -221,3 +221,113 @@ def pq_topk(
             "rank",
         )
     )
+
+
+def ivfpq_topk(
+    coded: DataFrame,
+    queries: DataFrame,
+    k: int,
+    codebooks,
+    centroids: list[list[float]],
+    nprobe: int = 4,
+    corpus_id: str = "vec_id",
+    code_col: str = "pq_code",
+    cell_col: str = "ivf_cell",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """FAISS IVFPQ: each query scores ONLY the PQ codes in its ``nprobe``
+    nearest IVF cells — query cost independent of corpus size for fixed
+    cell occupancy, at m bytes per corpus row.
+
+    ``coded`` must carry ``cell_col`` (assign once with
+    ``similarity_search._nearest_centroids_expr`` when encoding, persist
+    bucketed by cell). Per-query probe sets are computed driver-side in
+    numpy from the same spherical-cosine rule the assignment expression
+    uses, and the scoring batch masks rows by cell membership before the
+    LUT gather — everything else is ``pq_topk``'s prereduce shape. With
+    nprobe = nlist this equals ``pq_topk`` exactly (asserted in tests)."""
+    import numpy as np
+
+    from pyspark.sql import Window
+
+    books = [np.asarray(b, dtype="float64") for b in codebooks]
+    m = len(books)
+    dsub = books[0].shape[1]
+    qrows = queries.select(query_id, query_vec).collect()
+    if not qrows:
+        raise ValueError("queries frame is empty")
+    qids = [r[0] for r in qrows]
+    qx = _normalize(np.asarray([r[1] for r in qrows], dtype="float64"))
+    c = np.asarray(centroids, dtype="float64")
+    cn = np.linalg.norm(c, axis=1)
+    cn = np.where(cn == 0, 1.0, cn)
+    # cosine to each centroid (queries are already unit); ties to the
+    # higher centroid id — same contract as _nearest_centroids_expr
+    sims = (qx @ c.T) / cn
+    probe_cells = []
+    for qi in range(len(qids)):
+        idx = sorted(range(c.shape[0]), key=lambda j: (-sims[qi, j], -j))
+        probe_cells.append(np.asarray(idx[:nprobe]))
+    luts = np.stack(
+        [
+            np.stack([
+                books[j] @ qx[qi, j * dsub : (j + 1) * dsub]
+                for j in range(m)
+            ])
+            for qi in range(len(qids))
+        ]
+    )
+    id_field = coded.schema[corpus_id]
+    out_schema = T.StructType(
+        [
+            T.StructField("_qi", T.IntegerType()),
+            T.StructField("_cid", id_field.dataType),
+            T.StructField("approx_cos", T.DoubleType()),
+        ]
+    )
+
+    def score(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        nq = luts.shape[0]
+        cols = np.arange(m)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.array(pdf[code_col].tolist(), dtype="int64")
+            cells = pdf[cell_col].values
+            cids = pdf[corpus_id].values
+            parts = []
+            for qi in range(nq):
+                mask = np.isin(cells, probe_cells[qi])
+                if not mask.any():
+                    continue
+                sub = codes[mask]
+                s = luts[qi][cols, sub].sum(axis=1)
+                sub_ids = cids[mask]
+                top = np.lexsort((sub_ids, -s))[:k]
+                parts.append(
+                    pd.DataFrame(
+                        {"_qi": qi, "_cid": sub_ids[top],
+                         "approx_cos": s[top]}
+                    )
+                )
+            if parts:
+                yield pd.concat(parts, ignore_index=True)
+
+    scored = coded.select(corpus_id, code_col, cell_col).mapInPandas(
+        score, schema=out_schema
+    )
+    qmap = F.array(*[F.lit(q) for q in qids])
+    w = Window.partitionBy("_qi").orderBy(F.desc("approx_cos"), F.asc("_cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            qmap[F.col("_qi")].alias(query_id),
+            F.col("_cid").alias(corpus_id),
+            "approx_cos",
+            "rank",
+        )
+    )

@@ -105,3 +105,32 @@ def test_training_determinism(emb):
 def test_dim_not_divisible_raises(emb):
     with pytest.raises(ValueError, match="not divisible"):
         train_pq_codebooks(emb, "embedding", m=7)
+
+
+def test_ivfpq_full_probe_equals_pq(spark, emb, books):
+    from ondine_spark.operators.product_quantization import ivfpq_topk
+    from ondine_spark.operators.similarity_search import (
+        _nearest_centroids_expr,
+        train_ivf_centroids,
+    )
+
+    cents = train_ivf_centroids(emb, nlist=8)
+    coded = pq_encode(emb, "embedding", books).withColumn(
+        "ivf_cell", _nearest_centroids_expr("embedding", cents, 1)[0]
+    )
+    q = emb.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    full = ivfpq_topk(coded, q, k=5, codebooks=books, centroids=cents,
+                      nprobe=8)
+    plain = pq_topk(coded, q, k=5, codebooks=books)
+    f = {(r["query_id"], r["rank"]): r["vec_id"] for r in full.collect()}
+    p = {(r["query_id"], r["rank"]): r["vec_id"] for r in plain.collect()}
+    assert f == p  # probing every cell == scanning every code
+
+    # reduced probe keeps decent overlap with the full-scan PQ answer
+    approx = ivfpq_topk(coded, q, k=5, codebooks=books, centroids=cents,
+                        nprobe=3)
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    pp = {(r["query_id"], r["vec_id"]) for r in plain.collect()}
+    assert len(a & pp) / len(pp) >= 0.4

@@ -39,6 +39,11 @@ BENCH_QUERIES = [
     # round 3: per-bucket BLAS verify (was 22x slower via per-pair exprs
     # on skewed data) — benched so regressions in the kernel path surface
     "embedding_neardup",
+    # round 3 (cont.): FAISS IVFPQ — train codebooks + coarse cells,
+    # encode the corpus to m-byte codes, answer 10 queries at nprobe=4.
+    # Bench-local (the driver's 50-gate registry is at its cap; recall
+    # quality is pytest-gated in tests/test_product_quantization.py)
+    "ivfpq_topk",
     "text_quality",
     "lang_fingerprints",
     "window_chunking",
@@ -48,6 +53,39 @@ BENCH_QUERIES = [
     "revenue_by_nation",
     "rrf_fusion",
 ]
+
+
+def _q_ivfpq_topk(spark, sf_dir):
+    """End-to-end IVFPQ: train sub-quantizers + coarse cells on a sample,
+    encode the corpus (zero-shuffle Arrow pass), answer 10 queries at
+    nprobe=4 over the m-byte codes."""
+    from pyspark.sql import functions as F
+
+    from ondine_spark.operators.product_quantization import (
+        ivfpq_topk,
+        pq_encode,
+        train_pq_codebooks,
+    )
+    from ondine_spark.operators.similarity_search import (
+        _nearest_centroids_expr,
+        train_ivf_centroids,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    books = train_pq_codebooks(emb, "embedding", m=8, nbits=8)
+    cents = train_ivf_centroids(emb, nlist=8)
+    coded = pq_encode(emb, "embedding", books).withColumn(
+        "ivf_cell", _nearest_centroids_expr("embedding", cents, 1)[0]
+    )
+    queries_df = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ivfpq_topk(
+        coded, queries_df, k=5, codebooks=books, centroids=cents, nprobe=4
+    )
 
 
 def main() -> None:
@@ -75,6 +113,7 @@ def main() -> None:
     import __spark_entry__ as entry
 
     qs = dict(entry.queries())
+    qs["ivfpq_topk"] = _q_ivfpq_topk
     # JVM + python-worker warmup so the first timed query isn't charged for
     # it: the mapInPandas no-op spins up the full Arrow worker pool (one
     # Python interpreter per core, pandas/pyarrow imported) before timing

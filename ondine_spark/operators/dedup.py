@@ -843,7 +843,35 @@ def connected_components(
     plan does not grow with iterations. Only nodes that appear in a pair
     are returned; both paths produce identical output (cross-checked in
     tests/test_dedup_clusters.py).
+
+    Checkpoint hygiene: ``localCheckpoint`` blocks are RAW RDD caches —
+    ``spark.catalog.clearCache()`` does NOT free them, and each star
+    round materializes a full edge-set copy (≈214 MB at 11M edges), so
+    without explicit cleanup a large run leaks rounds × reps copies into
+    the block manager and every LATER job on the session degrades under
+    the GC pressure (measured at sf1: same-session bench reps walked
+    47 s → 96 s, and unrelated downstream queries doubled). Each round
+    therefore unpersists the superseded checkpoint via the persistent-RDD
+    registry; only the round backing the RETURNED frame stays alive (its
+    lineage is truncated — freeing it would make the result
+    unrecoverable).
     """
+    sc = pairs.sparkSession.sparkContext
+
+    def _persistent_ids() -> set:
+        return {
+            int(i)
+            for i in sc._jsc.getPersistentRDDs().keySet().toArray()
+        }
+
+    def _unpersist(ids: set) -> None:
+        reg = sc._jsc.getPersistentRDDs()
+        for i in ids:
+            rdd = reg.get(i)
+            if rdd is not None:
+                rdd.unpersist(False)
+
+    before = _persistent_ids()
     edges = (
         pairs.select(
             F.least(F.col(a), F.col(b)).alias("a"),
@@ -853,6 +881,7 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    edges_ids = _persistent_ids() - before
     sig = edges.select(
         F.count(F.lit(1)).alias("n"),
         F.bit_xor(F.xxhash64("a", "b")).alias("h"),
@@ -874,29 +903,40 @@ def connected_components(
             if ra != rb:
                 parent[max(ra, rb)] = min(ra, rb)
         labels = [(n_, find(n_)) for n_ in parent]
-        return pairs.sparkSession.createDataFrame(
+        out = pairs.sparkSession.createDataFrame(
             labels, schema=edges.select(
                 F.col("a").alias("node"), F.col("a").alias("component")
             ).schema,
         )
+        _unpersist(edges_ids)  # consumed by the union-find; free now
+        return out
     for _ in range(max_iter):
+        pre = _persistent_ids()
         nxt = _star_round(_star_round(edges, large=True), large=False)
         nxt = nxt.localCheckpoint(eager=True)
+        nxt_ids = _persistent_ids() - pre
         nsig = nxt.select(
             F.count(F.lit(1)).alias("n"),
             F.bit_xor(F.xxhash64("a", "b")).alias("h"),
         ).first()
-        edges = nxt
+        _unpersist(edges_ids)  # superseded round — free its blocks
+        edges, edges_ids = nxt, nxt_ids
         if (nsig.n, nsig.h) == (sig.n, sig.h):
             break
         sig = nsig
-    # converged: every edge is (component-min, member)
-    return (
+    # converged: every edge is (component-min, member). Checkpoint the
+    # LABELS (one row per node — orders of magnitude smaller than the
+    # edge set) so the final round's edge copy can be freed too; what
+    # stays persisted per call is node-sized, not edge-sized.
+    out = (
         edges.select(F.col("b").alias("node"), F.col("a").alias("component"))
         .union(edges.select(F.col("a").alias("node"), F.col("a").alias("component")))
         .groupBy("node")
         .agg(F.min("component").alias("component"))
+        .localCheckpoint(eager=True)
     )
+    _unpersist(edges_ids)
+    return out
 
 
 def dedup_keep_representative(

@@ -57,11 +57,17 @@ def train_pq_codebooks(
     max_iter: int = 10,
     seed: int = 42,
     max_train_rows: int = 100_000,
+    n_init: int = 1,
 ):
     """Train m sub-quantizers of 2^nbits centroids each on a bounded
     driver-side sample. Returns codebooks as a list of m (k × dsub)
     nested lists — tiny (m·256·dsub floats), broadcastable, and JSON- or
-    parquet-serializable for reuse across runs."""
+    parquet-serializable for reuse across runs.
+
+    ``n_init=1`` is FAISS's own nredo default for sub-quantizers: a weak
+    local optimum in one subspace is diluted across the other m−1, so
+    restarts buy little here (unlike the IVF coarse quantizer, where
+    cell balance shapes every probe)."""
     from ondine_spark.operators.similarity_search import kmeans_numpy
 
     import numpy as np
@@ -80,7 +86,8 @@ def train_pq_codebooks(
         kk = min(k, len(sub))
         books.append(
             [list(map(float, row)) for row in
-             kmeans_numpy(sub, kk, max_iter=max_iter, seed=seed + 101 * j)]
+             kmeans_numpy(sub, kk, max_iter=max_iter, seed=seed + 101 * j,
+                          n_init=n_init)]
         )
     return books
 

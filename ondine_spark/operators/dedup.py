@@ -856,20 +856,18 @@ def connected_components(
     lineage is truncated — freeing it would make the result
     unrecoverable).
     """
+    from ondine_spark.core.checkpoints import (
+        persistent_rdd_ids,
+        unpersist_rdd_ids,
+    )
+
     sc = pairs.sparkSession.sparkContext
 
     def _persistent_ids() -> set:
-        return {
-            int(i)
-            for i in sc._jsc.getPersistentRDDs().keySet().toArray()
-        }
+        return persistent_rdd_ids(sc)
 
     def _unpersist(ids: set) -> None:
-        reg = sc._jsc.getPersistentRDDs()
-        for i in ids:
-            rdd = reg.get(i)
-            if rdd is not None:
-                rdd.unpersist(False)
+        unpersist_rdd_ids(sc, ids)
 
     before = _persistent_ids()
     edges = (

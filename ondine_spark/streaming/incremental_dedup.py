@@ -154,12 +154,26 @@ def run_dedup_stream(
         # materialize + truncate lineage BEFORE touching the store dir:
         # the kept_rows plan READS state_dir (the anti-join), so appending
         # to it from the same live plan would be a self-referential write
+        from ondine_spark.core.checkpoints import (
+            persistent_rdd_ids,
+            unpersist_rdd_ids,
+        )
+
+        sc = batch_df.sparkSession.sparkContext
+        pre = persistent_rdd_ids(sc)
         kept_docs = kept_docs.localCheckpoint(eager=True)
         kept_rows = kept_rows.localCheckpoint(eager=True)
+        ckpt_ids = persistent_rdd_ids(sc) - pre
         for c in cached:
             c.unpersist()
-        kept_docs.write.mode("append").parquet(output_path)
-        kept_rows.write.mode("append").parquet(state_dir)
+        try:
+            kept_docs.write.mode("append").parquet(output_path)
+            kept_rows.write.mode("append").parquet(state_dir)
+        finally:
+            # checkpoint blocks are raw RDD caches — without this every
+            # micro-batch leaks its survivors into the block manager for
+            # the stream's lifetime (core/checkpoints.py)
+            unpersist_rdd_ids(sc, ckpt_ids)
 
     query = (
         stream.writeStream.foreachBatch(process_batch)

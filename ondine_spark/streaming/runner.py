@@ -122,7 +122,15 @@ def iter_chunks(
     # a merely-persisted plan and silently recompute it against the grown
     # cache with stale offsets (rows vanish mid-loop). Checkpointing truncates
     # the lineage so the chunk assignment is frozen for the whole run.
+    from ondine_spark.core.checkpoints import (
+        persistent_rdd_ids,
+        unpersist_rdd_ids,
+    )
+
+    sc = spark.sparkContext
+    _pre_ckpt_ids = persistent_rdd_ids(sc)
     chunked = chunked.localCheckpoint(eager=True)
+    _ckpt_ids = persistent_rdd_ids(sc) - _pre_ckpt_ids
     # the checkpoint materialized from the index's internal cache (one
     # source scan total for count + checkpoint); release those blocks now
     for _c in getattr(seq, "_ondine_cached", []):
@@ -180,7 +188,11 @@ def iter_chunks(
             )
             yield result
     finally:
-        chunked.unpersist()
+        # DataFrame.unpersist() does NOT free localCheckpoint blocks (they
+        # are raw RDD caches, not CacheManager entries) — release through
+        # the persistent-RDD registry or every run leaks its full todo set
+        # for the session lifetime (core/checkpoints.py)
+        unpersist_rdd_ids(sc, _ckpt_ids)
     summary.total_cost = spent
     state.cleanup()  # success: the response cache alone is the record
 

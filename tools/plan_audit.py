@@ -191,6 +191,29 @@ def main() -> int:
           "CartesianProduct" not in plan
           and "BroadcastNestedLoopJoin" not in plan)
 
+    # 5. IVF probe: broadcast hash join on the cell id with NO corpus
+    # repartition bought for it — the only exchange in the probe plan is
+    # the final per-query ranking window (a forced repartition("_cell")
+    # was removed in round 3: a broadcast join needs no co-location)
+    from ondine_spark.operators.similarity_search import (
+        ivf_topk,
+        train_ivf_centroids,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    cents = train_ivf_centroids(emb, nlist=4)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    plan = plan_of(ivf_topk(emb, queries, k=3, centroids=cents, nprobe=4))
+    n_exchange = len(re.findall(r"\(\d+\) Exchange\b", plan))
+    check("ann.ivf_probe.broadcast_no_repartition",
+          "BroadcastHashJoin" in plan and n_exchange <= 1,
+          f"{n_exchange} exchanges")
+
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     return 1 if failures else 0
 

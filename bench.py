@@ -75,8 +75,12 @@ def _q_ivfpq_topk(spark, sf_dir):
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
     )
-    books = train_pq_codebooks(emb, "embedding", m=8, nbits=8)
-    cents = train_ivf_centroids(emb, nlist=8)
+    # 25K training rows ≈ 100 points/centroid (FAISS's guideline is ~39
+    # minimum): at sf10 the default 100K cap made driver-side Lloyd's the
+    # dominant cost of the whole query (~2 min) for no recall gain
+    books = train_pq_codebooks(emb, "embedding", m=8, nbits=8,
+                               max_train_rows=25_000)
+    cents = train_ivf_centroids(emb, nlist=8, max_train_rows=25_000)
     coded = pq_encode(emb, "embedding", books).withColumn(
         "ivf_cell", _nearest_centroids_expr("embedding", cents, 1)[0]
     )

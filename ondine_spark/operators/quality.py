@@ -153,6 +153,63 @@ def run_stats(df: DataFrame) -> RunStats:
     )
 
 
+def run_stats_and_quality(
+    df: DataFrame, output_cols: list[str]
+) -> tuple[RunStats, QualityReport, int]:
+    """A4 + A3 + the auto-retry probe in ONE aggregation job.
+
+    ``execute()`` previously ran three jobs over the persisted result —
+    run_stats, quality_report, and auto-retry's failed-row take(1) — all
+    map-side-combinable aggregates over the same frame. At 100 TB each
+    extra pass re-reads the whole (cached or spilled) result, so they are
+    folded into a single agg; the third return value is the count of rows
+    whose EVERY output cell failed, letting the caller skip the auto-retry
+    machinery without a probe job when it is zero.
+    """
+    cols = set(df.columns)
+    aggs = [F.count(F.lit(1)).alias("n")]
+    if "cost" in cols:
+        aggs.append(F.sum("cost").alias("cost"))
+    if "tokens_in" in cols:
+        aggs.append(F.sum("tokens_in").alias("tin"))
+        aggs.append(F.sum("tokens_out").alias("tout"))
+    for c in output_cols:
+        col = F.col(c).cast("string")
+        aggs.append(F.sum(F.when(col.isNull(), 1).otherwise(0)).alias(f"null_{c}"))
+        aggs.append(
+            F.sum(F.when(col.isNotNull() & (F.trim(col) == ""), 1).otherwise(0)).alias(
+                f"empty_{c}"
+            )
+        )
+        aggs.append(F.sum(F.when(col == SKIPPED, 1).otherwise(0)).alias(f"skip_{c}"))
+    all_valid = reduce(
+        lambda a, b: a & b, [~_cell_is_empty(c) for c in output_cols]
+    )
+    all_failed = reduce(
+        lambda a, b: a & b, [_cell_is_empty(c) for c in output_cols]
+    )
+    aggs.append(F.sum(F.when(all_valid, 1).otherwise(0)).alias("valid"))
+    aggs.append(F.sum(F.when(all_failed, 1).otherwise(0)).alias("failed"))
+    row = df.agg(*aggs).collect()[0]
+    d = row.asDict()
+    n = d["n"]
+    stats = RunStats(
+        rows=n,
+        total_cost=Decimal(d.get("cost") or 0),
+        tokens_in=int(d.get("tin") or 0),
+        tokens_out=int(d.get("tout") or 0),
+    )
+    report = QualityReport(
+        total_rows=n,
+        valid_rows=d["valid"] or 0,
+        null_cells=sum(d[f"null_{c}"] or 0 for c in output_cols),
+        empty_cells=sum(d[f"empty_{c}"] or 0 for c in output_cols),
+        skipped_cells=sum(d[f"skip_{c}"] or 0 for c in output_cols),
+        success_rate=((d["valid"] or 0) / n) if n else 0.0,
+    )
+    return stats, report, int(d["failed"] or 0)
+
+
 def failed_rows(df: DataFrame, output_cols: list[str]) -> DataFrame:
     """P6: rows where ALL output cells are null/empty/skipped
     (reference: ondine/api/pipeline.py:1794-1823) — the auto-retry set."""

@@ -40,8 +40,8 @@ from ondine_spark.operators.quality import (
     RunStats,
     assert_some_output,
     failed_rows,
-    quality_report,
     run_stats,
+    run_stats_and_quality,
 )
 from ondine_spark.sources.readers import ROW_ID, infer_format, load_dataset
 
@@ -135,7 +135,12 @@ class Pipeline:
                 ).otherwise(p)
         df = df.withColumn("prompt", p)
         df = self._apply_stages(df, "after_prompt")
-        self._call_counter = self.spark.sparkContext.accumulator(0)
+        # created once per Pipeline, not per plan build: the auto-retry
+        # pass builds a second plan through here, and replacing the
+        # accumulator would zero the count of the main pass — api_calls
+        # is cumulative for the pipeline object
+        if self._call_counter is None:
+            self._call_counter = self.spark.sparkContext.accumulator(0)
         if spec.prompt.batch_size > 1:
             # The prompt frame is consumed three times in this branch: the
             # global-index count pass, the batch-assembly pass, and the
@@ -399,12 +404,13 @@ class Pipeline:
                         ctx.contradiction_tolerance,
                     )
                 )
-        if spec.processing.auto_retry_failed:
-            result = self._auto_retry(result, out_cols)
-
         result = result.drop(*[c for c in RESPONSE_META if c != "cost"] )
-        stats = run_stats(result)
-        report = quality_report(result, out_cols)
+        # one aggregation job yields stats + quality + the failed count;
+        # auto-retry (and its second pass) runs only when failures exist
+        stats, report, n_failed = run_stats_and_quality(result, out_cols)
+        if spec.processing.auto_retry_failed and n_failed:
+            result = self._auto_retry(result, out_cols)
+            stats, report, _ = run_stats_and_quality(result, out_cols)
         assert_some_output(report, stats)
         # result is materialized (checkpointed or persisted + aggregated):
         # the prompt-frame cache pinned in response_frame is no longer
@@ -439,7 +445,16 @@ class Pipeline:
             )
             if not failed_inputs.take(1):
                 break
-            retried = self.result_frame(failed_inputs)
+            # eager localCheckpoint: without it the retry sub-plan is lazy
+            # and every later action (the post-retry aggregate, the user's
+            # own consumption of .data) re-invokes the LLM for the failed
+            # rows — repeated paid calls on a real provider. The retried
+            # set is small (failed rows only), so the pinned blocks are
+            # cheap; lineage truncation also keeps repeated retry rounds
+            # from stacking plans.
+            retried = self.result_frame(failed_inputs).localCheckpoint(
+                eager=True
+            )
             result = patch_retried_rows(
                 result, retried.select(ROW_ID, *out_cols), out_cols
             )

@@ -285,3 +285,94 @@ def test_batched_spine_single_source_scan(spark):
     )
     for df in pipe._persisted:
         df.unpersist()
+
+
+# ---------------------------------------------------------- auto-retry (O9)
+
+def _flaky_factory(marker_dir):
+    """Client that fails any prompt containing 'flaky' on its FIRST attempt
+    (tracked by a sentinel file, so the failure memory survives the fresh
+    client instances the retry pass constructs in new tasks), succeeds
+    after. Class is defined inside the closure so cloudpickle ships it by
+    value to the workers (tests/ is not importable there)."""
+    marker_dir = str(marker_dir)
+
+    def factory():
+        import hashlib
+        import os
+
+        from ondine_spark.llm.client import (
+            DeterministicMockClient,
+            TransientLLMError,
+        )
+
+        class FailFirstAttemptClient(DeterministicMockClient):
+            def complete(self, prompt, system=None):
+                if "flaky" in prompt.lower():
+                    key = hashlib.md5(prompt.encode()).hexdigest()
+                    p = os.path.join(marker_dir, key)
+                    if not os.path.exists(p):
+                        with open(p, "w"):
+                            pass
+                        raise TransientLLMError("injected first-attempt failure")
+                return super().complete(prompt, system)
+
+        return FailFirstAttemptClient()
+
+    return factory
+
+
+def test_auto_retry_recovers_failed_rows(spark, tmp_path):
+    """O9: rows whose every output cell failed are re-run through the plan
+    and patched in; the combined stats+quality+failed aggregate both gates
+    the retry and reports post-retry numbers."""
+    rows = [
+        {"review_id": "r0", "review": "This product is great"},
+        {"review_id": "r1", "review": "flaky terrible experience"},
+        {"review_id": "r2", "review": "flaky but excellent build"},
+    ]
+    p = (
+        PipelineBuilder(spark)
+        .from_dataframe(spark.createDataFrame(rows), ["review"], id_column="review_id")
+        .with_prompt("Classify: {review}", ["sentiment"])
+        .with_custom_llm_client(_flaky_factory(tmp_path))
+        .with_max_retries(0)
+        .with_error_policy("skip")
+        .with_auto_retry(2)
+        .build()
+    )
+    res = p.execute()
+    got = {r["review_id"]: r["sentiment"] for r in res.data.collect()}
+    assert got == {"r0": "positive", "r1": "negative", "r2": "positive"}
+    # post-retry quality: every row valid, nothing left skipped
+    assert res.quality.valid_rows == 3
+    assert res.quality.skipped_cells == 0
+    # the accumulator survives the retry pass's second plan build (it used
+    # to be re-created there, zeroing the main pass's count): 1 success on
+    # the first pass + 2 retry successes; the 2 first-attempt failures are
+    # not counted (api_calls counts completed calls)
+    assert res.api_calls == 3
+    # the retried frame is checkpointed: consuming .data again must not
+    # re-invoke the LLM (the live accumulator would drift if it did)
+    res.data.collect()
+    assert p._call_counter.value == 3
+
+
+def test_auto_retry_no_failures_single_pass(spark, tmp_path):
+    """With zero failed rows the retry machinery must not run at all —
+    result_frame is built exactly once (the retry pass would construct a
+    second plan over the failed inputs)."""
+    p = _pipeline(spark)
+    p.spec.processing.auto_retry_failed = True
+    p.spec.processing.max_auto_retries = 2
+    calls = {"n": 0}
+    orig = p.result_frame
+
+    def counting_result_frame(*a, **kw):
+        calls["n"] += 1
+        return orig(*a, **kw)
+
+    p.result_frame = counting_result_frame
+    res = p.execute()
+    assert res.quality.valid_rows == len(REVIEWS)
+    assert calls["n"] == 1, "auto-retry ran a second plan with no failures"

@@ -1,0 +1,119 @@
+"""Persistence for trained pipeline artifacts (train once, reuse across runs).
+
+A 100-TB pipeline trains its small model-like artifacts — BPE merge
+tables, PQ codebooks, IVF coarse centroids — ONCE on a bounded sample
+and then reuses them for every later run (and for the streaming /
+incremental variants of the same job). These artifacts are all tiny
+(kilobytes to a few MB) driver-side values, so persistence is a single
+scheme-aware JSON file, not a distributed write; the Spark ML quality
+classifier already persists natively via ``PipelineModel.save/load``.
+
+Reference parity note: the reference keeps trained state implicit in
+its process lifetime (no artifact store); this module is part of the
+training-data extension layer, where reuse across runs is the normal
+mode of operation.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+__all__ = [
+    "save_artifact",
+    "load_artifact",
+    "save_bpe_tokenizer",
+    "load_bpe_tokenizer",
+]
+
+_FORMAT_VERSION = 1
+
+
+def _hadoop_fs(spark, path: str):
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+
+
+def _write_text(path: str, text: str, spark=None) -> None:
+    """Scheme-aware small-file write: Hadoop FS when a session is given
+    (hdfs://, s3a://, ... all work on a cluster), plain local IO otherwise."""
+    if spark is not None:
+        try:
+            fs, jpath = _hadoop_fs(spark, path)
+            out = fs.create(jpath, True)
+            try:
+                out.write(bytearray(text.encode("utf-8")))
+            finally:
+                out.close()
+            return
+        except Exception:
+            pass  # py4j unavailable (plain tests) → local write below
+    d = os.path.dirname(path)
+    if d:
+        os.makedirs(d, exist_ok=True)
+    with open(path, "w", encoding="utf-8") as f:
+        f.write(text)
+
+
+def _read_text(path: str, spark=None) -> str:
+    if spark is not None:
+        try:
+            fs, jpath = _hadoop_fs(spark, path)
+            stream = fs.open(jpath)
+            try:
+                # py4j passes byte[] buffers BY VALUE (Java-side writes
+                # into a passed bytearray never reach Python), so a
+                # read-into-buffer loop silently yields nothing — drain
+                # the stream JVM-side instead
+                return str(
+                    spark._jvm.org.apache.commons.io.IOUtils.toString(
+                        stream, "UTF-8"
+                    )
+                )
+            finally:
+                stream.close()
+        except Exception:
+            pass
+    with open(path, encoding="utf-8") as f:
+        return f.read()
+
+
+def save_artifact(path: str, kind: str, payload, spark=None) -> None:
+    """Persist a JSON-serializable trained artifact with a kind tag.
+
+    ``kind`` is free-form but the conventional values are
+    ``"bpe_tokenizer"``, ``"pq_codebooks"``, ``"ivf_centroids"``; pass
+    ``spark`` to write through the Hadoop FS API (scheme-aware).
+    """
+    doc = {"kind": kind, "format_version": _FORMAT_VERSION, "payload": payload}
+    _write_text(path, json.dumps(doc, separators=(",", ":")), spark)
+
+
+def load_artifact(path: str, expect: str | None = None, spark=None):
+    """Load a saved artifact; with ``expect`` set, the kind must match."""
+    doc = json.loads(_read_text(path, spark))
+    if not isinstance(doc, dict) or "payload" not in doc:
+        raise ValueError(f"{path} is not an ondine_spark artifact file")
+    if doc.get("format_version", 0) > _FORMAT_VERSION:
+        raise ValueError(
+            f"{path} was written by a newer format "
+            f"(v{doc['format_version']} > v{_FORMAT_VERSION})"
+        )
+    if expect is not None and doc.get("kind") != expect:
+        raise ValueError(
+            f"{path} holds a {doc.get('kind')!r} artifact, expected {expect!r}"
+        )
+    return doc["payload"]
+
+
+def save_bpe_tokenizer(tok, path: str, spark=None) -> None:
+    save_artifact(path, "bpe_tokenizer", tok.to_dict(), spark)
+
+
+def load_bpe_tokenizer(path: str, spark=None):
+    from ondine_spark.operators.tokenizer import BpeTokenizer
+
+    return BpeTokenizer.from_dict(
+        load_artifact(path, expect="bpe_tokenizer", spark=spark)
+    )

@@ -35,25 +35,44 @@ def _hadoop_fs(spark, path: str):
     return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
 
 
+def _has_scheme(path: str) -> bool:
+    return "://" in path
+
+
 def _write_text(path: str, text: str, spark=None) -> None:
     """Scheme-aware small-file write: Hadoop FS when a session is given
-    (hdfs://, s3a://, ... all work on a cluster), plain local IO otherwise."""
+    (hdfs://, s3a://, ... all work on a cluster), plain local IO otherwise.
+
+    Atomic: writes ``<path>.tmp`` then renames over the target, so a
+    driver crash mid-write never truncates the previously good artifact.
+    A failure on a scheme'd path RAISES — silently falling back to local
+    IO would 'succeed' by writing ./s3a:/... on the driver's disk while
+    the artifact never reaches the store. The local fallback exists only
+    for schemeless paths when py4j is unavailable (plain tests)."""
     if spark is not None:
         try:
             fs, jpath = _hadoop_fs(spark, path)
-            out = fs.create(jpath, True)
+            jtmp = spark._jvm.org.apache.hadoop.fs.Path(path + ".tmp")
+            out = fs.create(jtmp, True)
             try:
                 out.write(bytearray(text.encode("utf-8")))
             finally:
                 out.close()
+            fs.delete(jpath, False)  # rename won't overwrite on HDFS
+            if not fs.rename(jtmp, jpath):
+                raise IOError(f"rename {path}.tmp -> {path} failed")
             return
         except Exception:
-            pass  # py4j unavailable (plain tests) → local write below
+            if _has_scheme(path):
+                raise
+            # py4j unavailable (plain tests) → local write below
     d = os.path.dirname(path)
     if d:
         os.makedirs(d, exist_ok=True)
-    with open(path, "w", encoding="utf-8") as f:
+    tmp = path + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
         f.write(text)
+    os.replace(tmp, path)
 
 
 def _read_text(path: str, spark=None) -> str:
@@ -74,7 +93,8 @@ def _read_text(path: str, spark=None) -> str:
             finally:
                 stream.close()
         except Exception:
-            pass
+            if _has_scheme(path):
+                raise  # a real remote-FS failure, not a py4j gap
     with open(path, encoding="utf-8") as f:
         return f.read()
 

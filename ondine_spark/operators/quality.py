@@ -107,50 +107,15 @@ def _cell_is_empty(c):
 
 
 def quality_report(df: DataFrame, output_cols: list[str]) -> QualityReport:
-    """One aggregate pass over the result frame."""
-    aggs = [F.count(F.lit(1)).alias("n")]
-    for c in output_cols:
-        col = F.col(c).cast("string")
-        aggs.append(F.sum(F.when(col.isNull(), 1).otherwise(0)).alias(f"null_{c}"))
-        aggs.append(
-            F.sum(F.when(col.isNotNull() & (F.trim(col) == ""), 1).otherwise(0)).alias(
-                f"empty_{c}"
-            )
-        )
-        aggs.append(F.sum(F.when(col == SKIPPED, 1).otherwise(0)).alias(f"skip_{c}"))
-    all_valid = reduce(
-        lambda a, b: a & b, [~_cell_is_empty(c) for c in output_cols]
-    )
-    aggs.append(F.sum(F.when(all_valid, 1).otherwise(0)).alias("valid"))
-    row = df.agg(*aggs).collect()[0]
-    n = row["n"]
-    return QualityReport(
-        total_rows=n,
-        valid_rows=row["valid"],
-        null_cells=sum(row[f"null_{c}"] for c in output_cols),
-        empty_cells=sum(row[f"empty_{c}"] for c in output_cols),
-        skipped_cells=sum(row[f"skip_{c}"] for c in output_cols),
-        success_rate=(row["valid"] / n) if n else 0.0,
-    )
+    """A3: one aggregate pass over the result frame (thin wrapper over the
+    combined fold — single source of truth for the failure predicates)."""
+    return run_stats_and_quality(df, output_cols)[1]
 
 
 def run_stats(df: DataFrame) -> RunStats:
-    """A4: cost/token totals. Cost stays Decimal end-to-end."""
-    cols = set(df.columns)
-    aggs = [F.count(F.lit(1)).alias("n")]
-    if "cost" in cols:
-        aggs.append(F.sum("cost").alias("cost"))
-    if "tokens_in" in cols:
-        aggs.append(F.sum("tokens_in").alias("tin"))
-        aggs.append(F.sum("tokens_out").alias("tout"))
-    row = df.agg(*aggs).collect()[0]
-    d = row.asDict()
-    return RunStats(
-        rows=d["n"],
-        total_cost=Decimal(d.get("cost") or 0),
-        tokens_in=int(d.get("tin") or 0),
-        tokens_out=int(d.get("tout") or 0),
-    )
+    """A4: cost/token totals. Cost stays Decimal end-to-end. Wrapper over
+    the combined fold with no quality columns."""
+    return run_stats_and_quality(df, [])[0]
 
 
 def run_stats_and_quality(
@@ -182,14 +147,19 @@ def run_stats_and_quality(
             )
         )
         aggs.append(F.sum(F.when(col == SKIPPED, 1).otherwise(0)).alias(f"skip_{c}"))
-    all_valid = reduce(
-        lambda a, b: a & b, [~_cell_is_empty(c) for c in output_cols]
-    )
-    all_failed = reduce(
-        lambda a, b: a & b, [_cell_is_empty(c) for c in output_cols]
-    )
-    aggs.append(F.sum(F.when(all_valid, 1).otherwise(0)).alias("valid"))
-    aggs.append(F.sum(F.when(all_failed, 1).otherwise(0)).alias("failed"))
+    if output_cols:
+        all_valid = reduce(
+            lambda a, b: a & b, [~_cell_is_empty(c) for c in output_cols]
+        )
+        all_failed = reduce(
+            lambda a, b: a & b, [_cell_is_empty(c) for c in output_cols]
+        )
+        aggs.append(F.sum(F.when(all_valid, 1).otherwise(0)).alias("valid"))
+        aggs.append(F.sum(F.when(all_failed, 1).otherwise(0)).alias("failed"))
+    else:
+        # no quality columns: every row is vacuously valid, none failed
+        aggs.append(F.count(F.lit(1)).alias("valid"))
+        aggs.append(F.sum(F.lit(0)).alias("failed"))
     row = df.agg(*aggs).collect()[0]
     d = row.asDict()
     n = d["n"]

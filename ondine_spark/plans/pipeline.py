@@ -240,10 +240,17 @@ class Pipeline:
             frame.unpersist()
         self._memo_pending.clear()
 
-    def result_frame(self, df: DataFrame | None = None) -> DataFrame:
-        """Full plan: responses parsed into output columns, meta dropped."""
+    def result_frame(
+        self, df: DataFrame | None = None, resume: bool = True
+    ) -> DataFrame:
+        """Full plan: responses parsed into output columns, meta dropped.
+
+        ``resume=False`` bypasses the response-cache replay — required by
+        the auto-retry pass, whose failed rows are already IN the cache
+        (written by the main pass); with resume on, the retry plan would
+        replay those failed responses instead of re-invoking."""
         spec = self.spec
-        responses = self.response_frame(df)
+        responses = self.response_frame(df, resume=resume)
         if spec.prompt.custom_parser is not None:
             parsed = spec.prompt.custom_parser(
                 responses, spec.dataset.output_columns
@@ -348,6 +355,12 @@ class Pipeline:
         return result
 
     def _execute_inner(self, spec) -> ExecutionResult:
+        # the accumulator is shared across plan builds (the retry pass must
+        # not zero the main pass's count), so an earlier estimate_cost() on
+        # the same pipeline would otherwise leak its sample calls into this
+        # run's api_calls — reset at run start, on the driver
+        if self._call_counter is not None:
+            self._call_counter.value = 0
         if spec.prompt.batch_size > 1:
             # §4: context-window validation of the mega-batch size — a
             # driver-side sample check before any LLM spend
@@ -404,14 +417,17 @@ class Pipeline:
                         ctx.contradiction_tolerance,
                     )
                 )
-        result = result.drop(*[c for c in RESPONSE_META if c != "cost"] )
         # one aggregation job yields stats + quality + the failed count;
-        # auto-retry (and its second pass) runs only when failures exist
+        # auto-retry (and its second pass) runs only when failures exist.
+        # The aggregate runs BEFORE the meta drop so stats see the real
+        # tokens_in/tokens_out (dropping first zeroed them, which also
+        # made assert_some_output's tokens_out==0 arm always true).
         stats, report, n_failed = run_stats_and_quality(result, out_cols)
         if spec.processing.auto_retry_failed and n_failed:
             result = self._auto_retry(result, out_cols)
             stats, report, _ = run_stats_and_quality(result, out_cols)
         assert_some_output(report, stats)
+        result = result.drop(*[c for c in RESPONSE_META if c != "cost"] )
         # result is materialized (checkpointed or persisted + aggregated):
         # the prompt-frame cache pinned in response_frame is no longer
         # reachable from any pending action — release the blocks
@@ -438,25 +454,45 @@ class Pipeline:
     def _auto_retry(self, result: DataFrame, out_cols: list[str]) -> DataFrame:
         """O9: re-run the plan for rows whose every output cell failed
         (≤ max_auto_retries rounds; reference: ondine/api/pipeline.py:1741-1879)."""
-        for _ in range(self.spec.processing.max_auto_retries):
+        proc = self.spec.processing
+        for _ in range(proc.max_auto_retries):
             failed = failed_rows(result, out_cols)
             failed_inputs = failed.select(
                 *[c for c in failed.columns if c not in out_cols and c not in RESPONSE_META]
             )
             if not failed_inputs.take(1):
                 break
-            # eager localCheckpoint: without it the retry sub-plan is lazy
+            # resume=False: the failed rows are already in the response
+            # cache (the main pass wrote them) — with resume on, the retry
+            # plan would replay those cached failures instead of
+            # re-invoking, making auto-retry a no-op that burns all
+            # max_auto_retries rounds.
+            # Eager localCheckpoint: without it the retry sub-plan is lazy
             # and every later action (the post-retry aggregate, the user's
             # own consumption of .data) re-invokes the LLM for the failed
             # rows — repeated paid calls on a real provider. The retried
-            # set is small (failed rows only), so the pinned blocks are
-            # cheap; lineage truncation also keeps repeated retry rounds
-            # from stacking plans.
-            retried = self.result_frame(failed_inputs).localCheckpoint(
-                eager=True
-            )
+            # set is small (failed rows only); its blocks back the
+            # returned frame, so they share the result pin's lifecycle
+            # and cannot be freed here.
+            retried = self.result_frame(
+                failed_inputs, resume=False
+            ).localCheckpoint(eager=True)
+            if proc.session_id and proc.checkpoint_dir:
+                # write the fixes back so a RESUMED run replays the
+                # retried responses, not the failures (read_cache prefers
+                # error-free rows per _row_id)
+                from ondine_spark.sources.cache import write_responses
+
+                write_responses(retried, proc.checkpoint_dir, proc.session_id)
+            # patch response meta too (cost/tokens/error), not just the
+            # output columns — otherwise the retry invocations' spend is
+            # invisible to total_cost and the max_budget check
+            patch_cols = out_cols + [
+                c for c in RESPONSE_META if c in retried.columns
+                and c in result.columns
+            ]
             result = patch_retried_rows(
-                result, retried.select(ROW_ID, *out_cols), out_cols
+                result, retried.select(ROW_ID, *patch_cols), patch_cols
             )
         return result
 

@@ -36,10 +36,22 @@ def read_cache(spark, checkpoint_dir: str, session_id: str) -> DataFrame | None:
         df = spark.read.parquet(path)
     except Exception:
         return None
+    sess = df.filter(F.col("session_id") == session_id).drop("session_id")
+    if "error" not in sess.columns:
+        return sess.dropDuplicates([ROW_ID])
+    # prefer error-free rows per _row_id: auto-retry appends its successful
+    # re-invocations AFTER the failed originals, and an arbitrary
+    # dropDuplicates could resurrect the failure on resume. One window
+    # shuffle over the cache (resume path only).
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(ROW_ID).orderBy(
+        F.col("error").isNotNull().cast("int")
+    )
     return (
-        df.filter(F.col("session_id") == session_id)
-        .drop("session_id")
-        .dropDuplicates([ROW_ID])
+        sess.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
     )
 
 
@@ -69,7 +81,8 @@ def write_responses(
     result: DataFrame, checkpoint_dir: str, session_id: str
 ) -> None:
     """Append this run's responses for ``session_id``. Idempotent per row:
-    readers de-dup on ``_row_id`` keeping the first seen."""
+    readers de-dup on ``_row_id``, preferring error-free rows (so a
+    retried success appended after a failure wins on resume)."""
     cols = [ROW_ID] + [c for c in CACHE_COLS if c in result.columns]
     out = result.select(*cols).withColumn("session_id", F.lit(session_id))
     (

@@ -376,3 +376,62 @@ def test_auto_retry_no_failures_single_pass(spark, tmp_path):
     res = p.execute()
     assert res.quality.valid_rows == len(REVIEWS)
     assert calls["n"] == 1, "auto-retry ran a second plan with no failures"
+
+
+def test_auto_retry_with_resume_checkpoint(spark, tmp_path):
+    """The failed rows are IN the response cache when the retry pass runs
+    (the main pass writes responses first): the retry plan must bypass
+    resume (or it replays the cached failures and retries nothing), write
+    its fixes back, and a later resumed run must replay the retried
+    SUCCESS with zero new invocations."""
+    rows = [
+        {"review_id": "r0", "review": "This product is great"},
+        {"review_id": "r1", "review": "flaky terrible experience"},
+    ]
+    markers = tmp_path / "markers"
+    markers.mkdir()
+    calls = str(tmp_path / "calls.txt")
+
+    def build():
+        base = _flaky_factory(markers)
+
+        def factory():
+            client = base()
+            orig = client.complete
+
+            def counted(prompt, system=None):
+                with open(calls, "a") as f:
+                    f.write("1\n")
+                return orig(prompt, system)
+
+            client.complete = counted
+            return client
+
+        return (
+            PipelineBuilder(spark)
+            .from_dataframe(
+                spark.createDataFrame(rows), ["review"], id_column="review_id"
+            )
+            .with_prompt("Classify: {review}", ["sentiment"])
+            .with_custom_llm_client(factory)
+            .with_max_retries(0)
+            .with_error_policy("skip")
+            .with_auto_retry(2)
+            .with_checkpoint_dir(str(tmp_path / "ckpt"), "sess-ar")
+            .build()
+        )
+
+    res = build().execute()
+    got = {r["review_id"]: r["sentiment"] for r in res.data.collect()}
+    assert got == {"r0": "positive", "r1": "negative"}
+    assert res.quality.skipped_cells == 0
+    n_calls_run1 = sum(1 for _ in open(calls))
+    # 2 first-pass + 1 retry re-invocation (NOT a cached-failure replay)
+    assert n_calls_run1 == 3
+
+    # resumed run: replays the retried success, invokes nothing
+    res2 = build().execute()
+    got2 = {r["review_id"]: r["sentiment"] for r in res2.data.collect()}
+    assert got2 == got
+    assert res2.quality.skipped_cells == 0
+    assert sum(1 for _ in open(calls)) == n_calls_run1

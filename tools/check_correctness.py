@@ -34,6 +34,39 @@ def frame_to_rows(cols, rows):
     return sorted(cols), sorted(out)
 
 
+# results larger than this compare by STREAMING order-insensitive hash
+# instead of collect-and-sort: collecting 10M wide rows on both engines
+# OOMs the comparison harness (a harness limit, not an engine one)
+STREAM_THRESHOLD = 3_000_000
+
+
+def stream_digest(cols, row_iter):
+    """Order-insensitive digest: per-row md5 over the normalized tuple
+    (columns sorted by name), xor-folded + summed so row order does not
+    matter but multiplicity does. Constant memory at any row count."""
+    import hashlib
+
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    xor, total, n = 0, 0, 0
+    for r in row_iter:
+        h = hashlib.md5(
+            "\x1f".join(normalize(r[i]) for i in order).encode()
+        ).digest()
+        v = int.from_bytes(h[:16], "big")
+        xor ^= v
+        total = (total + v) % (1 << 128)
+        n += 1
+    return sorted(cols), (xor, total, n)
+
+
+def duckdb_iter(res, batch=100_000):
+    while True:
+        rows = res.fetchmany(batch)
+        if not rows:
+            return
+        yield from rows
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -73,21 +106,48 @@ def main():
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            n_spark = sdf.count()
+            stream = n_spark > STREAM_THRESHOLD
+            if stream:
+                srows = None
+            else:
+                srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             failures.append(name)
-            print(f"FAIL {name}: spark error: {e}")
+            print(f"FAIL {name}: spark error: {type(e).__name__}: {e}")
             continue
         if name not in oracles:
-            print(f"SKIP {name}: no oracle ({len(srows)} rows)")
+            print(f"SKIP {name}: no oracle ({n_spark} rows)")
             continue
         try:
             res = con.execute(oracles[name])
             ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            if stream:
+                oc, odig = stream_digest(ocols, duckdb_iter(res))
+            else:
+                orows = res.fetchall()
         except Exception as e:
             failures.append(name)
-            print(f"FAIL {name}: oracle error: {e}")
+            print(f"FAIL {name}: oracle error: {type(e).__name__}: {e}")
+            continue
+        if stream:
+            try:
+                sc, sdig = stream_digest(scols, sdf.toLocalIterator())
+            except Exception as e:
+                failures.append(name)
+                print(f"FAIL {name}: spark error: {type(e).__name__}: {e}")
+                continue
+            if sc != oc:
+                failures.append(name)
+                print(f"FAIL {name}: columns {sc} vs {oc}")
+            elif sdig[2] != odig[2]:
+                failures.append(name)
+                print(f"FAIL {name}: rows {sdig[2]} vs {odig[2]}")
+            elif sdig != odig:
+                failures.append(name)
+                print(f"FAIL {name}: value digest mismatch over {sdig[2]} rows")
+            else:
+                print(f"OK   {name}: {sdig[2]} rows (streamed digest)")
             continue
         sc, sv = frame_to_rows(scols, srows)
         oc, ov = frame_to_rows(ocols, orows)

@@ -87,6 +87,16 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
 
     con = duckdb.connect()
+    # let the oracle spill instead of OOMing on the heavy sf10 queries
+    # (in-memory duckdb has no temp dir by default, so it cannot spill)
+    try:
+        import tempfile
+
+        con.execute(
+            f"PRAGMA temp_directory='{tempfile.mkdtemp(prefix='duck_spill_')}'"
+        )
+    except Exception:
+        pass
     import os
 
     for t in TABLES:

@@ -465,6 +465,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         emb = _emb(spark, sf_dir)
         cents = seed_centroids(emb, "vec_id", "embedding", k=8)
+        if not cents:  # empty corpus: no cells to assign
+            return emb.select(
+                "vec_id", F.lit(None).cast("bigint").alias("cell")
+            )
         return emb.select(
             "vec_id",
             _nearest_centroids_expr("embedding", cents, 1)[0]

@@ -1046,7 +1046,15 @@ def embedding_neardup_pairs(
     a ≥0.95 pair lands in the same bucket with high probability. For exact
     recall use brute_force (similarity_search module) on the suspect set.
     """
-    dim = len(df.select(vec_col).first()[0])
+    id_type = dict(df.dtypes)[id_col]
+    probe = df.select(vec_col).first()
+    if probe is None or probe[0] is None:
+        # empty corpus (or a null vector in row 1 — no dim to infer):
+        # empty pair set, correct schema
+        return df.sparkSession.createDataFrame(
+            [], f"a {id_type}, b {id_type}, cos_sim double"
+        )
+    dim = len(probe[0])
     # deterministic hyperplanes: component p[i][d] in [-1,1) from md5
     planes = [
         [
@@ -1081,7 +1089,6 @@ def embedding_neardup_pairs(
     import numpy as np
     import pandas as pd
 
-    id_type = dict(df.dtypes)[id_col]
     thr = float(threshold)
 
     def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -1160,6 +1167,12 @@ def semantic_dup_pairs(
 
     Output: ``a``, ``b``, ``cell``, ``cos_sim``.
     """
+    if not centroids:
+        # no centroids (empty training corpus): no cells, no candidates
+        idt = dict(df.dtypes)[id_col]
+        return df.sparkSession.createDataFrame(
+            [], f"a {idt}, b {idt}, cell int, cos_sim double"
+        )
     from ondine_spark.operators.similarity_search import _nearest_centroids_expr
 
     assigned = df.select(

@@ -81,7 +81,11 @@ def profile_table(
     aggs = [F.count(F.lit(1)).alias("_n")]
     for c in cols:
         aggs += [
-            F.sum(F.col(c).isNull().cast("long")).alias(f"_nulls_{c}"),
+            # coalesce: sum over zero rows is NULL, but "0 nulls" is the
+            # right profile of an empty table
+            F.coalesce(
+                F.sum(F.col(c).isNull().cast("long")), F.lit(0)
+            ).alias(f"_nulls_{c}"),
             distinct(c).alias(f"_dist_{c}"),
             F.min(F.col(c)).cast("string").alias(f"_min_{c}"),
             F.max(F.col(c)).cast("string").alias(f"_max_{c}"),

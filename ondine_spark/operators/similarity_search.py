@@ -205,8 +205,16 @@ def train_ivf_centroids(
 
     sample = corpus.select(vec_col).limit(max_train_rows).collect()
     x = np.asarray([r[0] for r in sample], dtype="float64")
+    if len(x) == 0:
+        # empty corpus (an empty partition, a filter that matched nothing):
+        # nothing to train — return no centroids; ivf_topk treats an empty
+        # centroid list as "no index" and yields an empty result rather
+        # than crashing the whole job.
+        return []
     if len(x) < nlist:
-        raise ValueError(f"need at least nlist={nlist} vectors, got {len(x)}")
+        # fewer training points than requested cells: clamp (FAISS warns
+        # and degrades the same way — a cell per point is the max useful)
+        nlist = len(x)
     # spherical k-means: cell assignment downstream is COSINE, so train on
     # unit vectors — Euclidean argmin over normalized points is cosine
     # argmax, making the learned cells match how they will be probed
@@ -335,6 +343,13 @@ def ivf_topk(
     ``_cell`` — and reuse it across query batches; a per-batch
     repartition on the cell would be a full corpus shuffle bought for a
     join that doesn't need it.) No crossJoin against the full corpus."""
+    if not centroids:
+        # no index (empty training corpus): empty result, correct schema
+        ct = dict(corpus.dtypes)[corpus_id]
+        qt = dict(queries.dtypes)[query_id]
+        return corpus.sparkSession.createDataFrame(
+            [], f"{query_id} {qt}, {corpus_id} {ct}, cos_sim double, rank int"
+        )
     assigned = corpus.select(
         F.col(corpus_id).alias("_cid"), F.col(corpus_vec).alias("_cv")
     ).withColumn(

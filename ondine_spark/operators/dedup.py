@@ -1047,10 +1047,11 @@ def embedding_neardup_pairs(
     recall use brute_force (similarity_search module) on the suspect set.
     """
     id_type = dict(df.dtypes)[id_col]
-    probe = df.select(vec_col).first()
-    if probe is None or probe[0] is None:
-        # empty corpus (or a null vector in row 1 — no dim to infer):
-        # empty pair set, correct schema
+    probe = (
+        df.select(vec_col).filter(F.col(vec_col).isNotNull()).first()
+    )
+    if probe is None:
+        # no non-null vector anywhere: no dim to infer, no pairs to emit
         return df.sparkSession.createDataFrame(
             [], f"a {id_type}, b {id_type}, cos_sim double"
         )
@@ -1069,7 +1070,7 @@ def embedding_neardup_pairs(
     from ondine_spark.functions.similarity import sign_bucket_expr
 
     vec = F.col(vec_col)
-    keyed = df.select(
+    keyed = df.filter(vec.isNotNull()).select(
         F.col(id_col).alias("_id"),
         vec.alias("_v"),
         sign_bucket_expr(vec, planes).alias("_bucket"),
@@ -1136,6 +1137,7 @@ def seed_centroids(
     the sort is a TakeOrderedAndProject, not a full shuffle."""
     rows = (
         df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .filter(F.col("_v").isNotNull())  # null vectors can't seed
         .orderBy(md5_long(F.col("_id").cast("string")))
         .limit(k)
         .collect()
@@ -1175,9 +1177,13 @@ def semantic_dup_pairs(
         )
     from ondine_spark.operators.similarity_search import _nearest_centroids_expr
 
-    assigned = df.select(
-        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
-    ).withColumn("cell", _nearest_centroids_expr("_v", centroids, 1)[0])
+    assigned = (
+        df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        # null vectors belong to no cell (and would otherwise land in an
+        # arbitrary one via the null-sim sort order)
+        .filter(F.col("_v").isNotNull())
+        .withColumn("cell", _nearest_centroids_expr("_v", centroids, 1)[0])
+    )
     # persist: the assignment (k × dim multiply-adds per row) feeds both
     # self-join sides
     assigned = assigned.persist()

@@ -203,7 +203,12 @@ def train_ivf_centroids(
 
     import numpy as np
 
-    sample = corpus.select(vec_col).limit(max_train_rows).collect()
+    sample = (
+        corpus.select(vec_col)
+        .filter(F.col(vec_col).isNotNull())  # null vectors can't train
+        .limit(max_train_rows)
+        .collect()
+    )
     x = np.asarray([r[0] for r in sample], dtype="float64")
     if len(x) == 0:
         # empty corpus (an empty partition, a filter that matched nothing):

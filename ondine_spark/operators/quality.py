@@ -26,6 +26,10 @@ class QualityReport:
     empty_cells: int
     skipped_cells: int
     success_rate: float
+    #: first non-null per-row error, when the result carries an ``error``
+    #: column — so total-failure runs name their cause instead of just
+    #: counting zeros
+    sample_error: str | None = None
 
     @property
     def quality_score(self) -> str:
@@ -164,6 +168,12 @@ def run_stats_and_quality(
         # no quality columns: every row is vacuously valid, none failed
         aggs.append(F.count(F.lit(1)).alias("valid"))
         aggs.append(F.sum(F.lit(0)).alias("failed"))
+    if "error" in cols:
+        # ONE sample cause, folded into the same pass: when every row
+        # failed, "what went wrong" should not require a second job
+        aggs.append(
+            F.first(F.col("error"), ignorenulls=True).alias("sample_error")
+        )
     row = df.agg(*aggs).collect()[0]
     d = row.asDict()
     n = d["n"]
@@ -180,6 +190,7 @@ def run_stats_and_quality(
         empty_cells=sum(d[f"empty_{c}"] or 0 for c in output_cols),
         skipped_cells=sum(d[f"skip_{c}"] or 0 for c in output_cols),
         success_rate=((d["valid"] or 0) / n) if n else 0.0,
+        sample_error=d.get("sample_error"),
     )
     return stats, report, int(d["failed"] or 0)
 
@@ -196,10 +207,15 @@ def assert_some_output(report: QualityReport, stats: RunStats) -> None:
     if report.valid_rows == 0 and (
         report.skipped_cells > 0 or stats.tokens_out == 0
     ):
+        cause = (
+            f"; first error: {report.sample_error}"
+            if report.sample_error
+            else ""
+        )
         raise RuntimeError(
             "pipeline produced no valid outputs "
             f"({report.total_rows} rows, {report.skipped_cells} skipped cells, "
-            f"{stats.tokens_out} output tokens)"
+            f"{stats.tokens_out} output tokens{cause})"
         )
 
 

@@ -923,13 +923,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         docs = with_binary_column(_docs(spark, sf_dir), "text")
         out = frame_sample(docs, "media_bytes", n_frames=4)
+        # digest domain is md5(HEX(frame bytes)) — hex is injective, so
+        # this is still a content identity per frame, and (unlike a raw
+        # byte md5) DuckDB can replay it for NON-ASCII text: its md5 only
+        # takes VARCHAR, and byte slices of multi-byte utf-8 are not
+        # valid strings. The slice uses the OPERATOR's offset/frame_len,
+        # so its boundary arithmetic stays the thing under test.
         return out.select(
-            "doc_id", F.explode("frames").alias("f")
+            "doc_id", F.explode("frames").alias("f"), "media_bytes"
         ).select(
             "doc_id",
             F.col("f.frame_idx").alias("frame_idx"),
             F.col("f.frame_len").alias("frame_len"),
-            F.col("f.frame_md5").alias("frame_md5"),
+            F.md5(
+                F.hex(
+                    F.expr(
+                        "substring(media_bytes, cast(f.offset as int), "
+                        "greatest(f.frame_len, 0))"
+                    )
+                )
+            ).alias("frame_hexmd5"),
         )
 
     # 50 gates EXACTLY at the driver's 50-gate cap (consolidated from 62 by
@@ -1206,24 +1219,29 @@ def oracle_sql() -> dict[str, str]:
                chunk_tokens, chunk_text
         FROM pieces
     """
+    # BYTE-faithful (valid for any unicode text, not just ASCII):
+    # octet_length for byte counts; duckdb md5(varchar) hashes the utf-8
+    # bytes, matching Spark's md5(encode(text)); the histogram reads each
+    # byte as a hex pair of hex(encode(text)).
     mm_meta_sql = """
         SELECT doc_id,
-               length(text)::BIGINT AS byte_len,
+               octet_length(encode(text))::BIGINT AS byte_len,
                md5(text) AS md5_hex,
-               (length(text) % 640 + 16)::INT AS width,
-               (length(text) % 480 + 16)::INT AS height
+               (octet_length(encode(text)) % 640 + 16)::INT AS width,
+               (octet_length(encode(text)) % 480 + 16)::INT AS height
         FROM documents
     """
     mm_hist_sql = """
-        WITH chars AS (
+        WITH bytes AS (
           SELECT doc_id,
-                 ascii(substr(text, i::INT, 1)) % 16 AS bucket
-          FROM (SELECT doc_id, text,
-                       unnest(generate_series(1, length(text))) AS i
+                 ('0x' || substr(h, (2 * i - 1)::INT, 2))::INT % 16 AS bucket
+          FROM (SELECT doc_id, hex(encode(text)) AS h,
+                       unnest(generate_series(1,
+                         octet_length(encode(text)))) AS i
                 FROM documents)
         )
         SELECT doc_id, bucket::INT AS bucket, count(*)::BIGINT AS cnt
-        FROM chars GROUP BY doc_id, bucket
+        FROM bytes GROUP BY doc_id, bucket
     """
 
     sql: dict[str, str] = {
@@ -1269,9 +1287,30 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN n_chars > 300 THEN ' LONG' ELSE '' END || ': ' || text "
             "AS jinja_prompt FROM documents"
         ),
+        # FULL transcription of functions/preprocessing.preprocess_text:
+        # NFC → category-C chars to space → ®™-strip + curly-quote
+        # straighten + zero-width strip → Python-\\w scrub (RE2
+        # [^\\p{L}\\p{N}_..] — Python's \\w is isalnum-based, so NO \\p{M}:
+        # combining marks are scrubbed) → whitespace collapse (incl. \\p{Z},
+        # Python \\s matches NBSP) → word-boundary truncation. Property-
+        # tested 0/900 mismatches vs the Python chain on unicode fuzz
+        # (tests/test_unicode_parity.py).
         "preprocess_truncate": """
             WITH t AS (
-              SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS s
+              SELECT doc_id,
+                     trim(regexp_replace(
+                       regexp_replace(
+                         regexp_replace(
+                           replace(replace(replace(replace(
+                             regexp_replace(
+                               regexp_replace(nfc_normalize(text),
+                                              '\\p{C}', ' ', 'g'),
+                               '[®™©℗℠]', '', 'g'),
+                           chr(8220), '"'), chr(8221), '"'),
+                           chr(8216), chr(39)), chr(8217), chr(39)),
+                           '[\\x{200b}-\\x{200f}\\x{feff}]', '', 'g'),
+                         '[^\\p{L}\\p{N}_\\s\\p{Z},\\-/\\.\\(\\)&]', ' ', 'g'),
+                       '[\\s\\p{Z}]+', ' ', 'g')) AS s
               FROM documents
             ), pos AS (
               SELECT doc_id, s,
@@ -1901,24 +1940,29 @@ def oracle_sql() -> dict[str, str]:
             FROM ({mm_hist_sql}) h JOIN ({mm_meta_sql}) m
               ON h.doc_id = m.doc_id
         """,
+        # BYTE-faithful: frame windows are BYTE ranges of the utf-8
+        # payload (hex-pair slicing of hex(encode(text))); digest =
+        # md5 of the hex slice, mirroring the gate's md5(hex(bytes))
         "mm_frames": """
             WITH base AS (
-              SELECT doc_id, text,
-                     greatest(length(text) // 4, 1) AS flen
+              SELECT doc_id, hex(encode(text)) AS h,
+                     octet_length(encode(text)) AS blen,
+                     greatest(octet_length(encode(text)) // 4, 1) AS flen
               FROM documents
             ), idx AS (
-              SELECT doc_id, text, flen,
+              SELECT doc_id, h, blen, flen,
                      unnest(generate_series(0, 3)) AS frame_idx
               FROM base
             )
             SELECT doc_id, frame_idx::INT AS frame_idx,
                    (CASE WHEN frame_idx = 3
-                         THEN length(text) - frame_idx * flen
+                         THEN blen - frame_idx * flen
                          ELSE flen END)::INT AS frame_len,
-                   md5(substr(text, (frame_idx * flen + 1)::INT,
-                       (CASE WHEN frame_idx = 3
-                             THEN length(text) - frame_idx * flen
-                             ELSE flen END)::INT)) AS frame_md5
+                   md5(substr(h, (frame_idx * flen * 2 + 1)::INT,
+                       (greatest(CASE WHEN frame_idx = 3
+                                      THEN blen - frame_idx * flen
+                                      ELSE flen END, 0) * 2)::INT))
+                     AS frame_hexmd5
             FROM idx
         """,
         "confidence_blend": """
@@ -1943,24 +1987,25 @@ def _winnow_poly_sql(k: int, w: int, min_shared: int, max_df: int) -> str:
     polynomial rolling hashes over the byte values of lower(text) —
     fp = (h1 << 31) | h2, h_x = Σ byte[i+j]·b_x^(k-1-j) mod m_x — then
     the same w-window min, distinct, df-cap and pair join as the md5
-    path. Valid because the synthetic corpus is pure ASCII, where
-    DuckDB's character-indexed ascii(substr(s,i,1)) IS the utf-8 byte."""
+    path. BYTE-faithful for any unicode text: byte i of the utf-8
+    payload is read as hex pair i of hex(encode(lower(text))), matching
+    the kernel's text.lower().encode('utf-8') exactly (duckdb and Python
+    lower() agree on the full-unicode simple+special mappings)."""
     m1, b1 = 2147483647, 131
     m2, b2 = 2147483629, 137
     pw1 = [pow(b1, k - 1 - j, m1) for j in range(k)]
     pw2 = [pow(b2, k - 1 - j, m2) for j in range(k)]
+    byte = "('0x' || substr(s, (2 * (i + {j}) - 1)::INT, 2))::BIGINT"
     h1 = " + ".join(
-        f"ascii(substr(s, (i + {j})::INT, 1))::BIGINT * {pw1[j]}"
-        for j in range(k)
+        f"{byte.format(j=j)} * {pw1[j]}" for j in range(k)
     )
     h2 = " + ".join(
-        f"ascii(substr(s, (i + {j})::INT, 1))::BIGINT * {pw2[j]}"
-        for j in range(k)
+        f"{byte.format(j=j)} * {pw2[j]}" for j in range(k)
     )
     return f"""
         WITH g AS (
-          SELECT doc_id, lower(text) AS s,
-                 greatest(length(text) - {k - 1}, 0) AS p
+          SELECT doc_id, hex(encode(lower(text))) AS s,
+                 greatest(octet_length(encode(lower(text))) - {k - 1}, 0) AS p
           FROM documents
         ), h AS (
           SELECT doc_id, p,

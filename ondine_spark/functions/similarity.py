@@ -38,6 +38,20 @@ def norm(a: Column) -> Column:
     )
 
 
+def finite_vector(col: Column) -> Column:
+    """True iff the array is non-null and every component is a finite
+    number. The corpus-hygiene predicate for every embedding consumer:
+    a NaN/Inf component makes cosine NaN, and Spark's NaN ordering
+    (NaN > everything) would rank such garbage FIRST in top-k windows
+    and pass ``>= threshold`` pair filters; a single non-finite training
+    row poisons a k-means mean; and a non-finite centroid renders an
+    invalid SQL literal. Filter at ingestion, not per consumer."""
+    return col.isNotNull() & F.forall(
+        col,
+        lambda x: x.isNotNull() & ~F.isnan(x) & (F.abs(x) < F.lit(float("inf"))),
+    )
+
+
 def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity; 0.0 when either norm is zero (reference
     semantics: evidence/store.rs:654-674 returns 0 for zero vectors)."""

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from ondine_spark.core.partitioning import spread_small
 from ondine_spark.functions.similarity import (
     cosine,
+    finite_vector,
     md5_long,
     seeded_md5_long,
     word_ngrams,
@@ -1047,9 +1048,8 @@ def embedding_neardup_pairs(
     recall use brute_force (similarity_search module) on the suspect set.
     """
     id_type = dict(df.dtypes)[id_col]
-    probe = (
-        df.select(vec_col).filter(F.col(vec_col).isNotNull()).first()
-    )
+    df = df.filter(finite_vector(F.col(vec_col)))
+    probe = df.select(vec_col).first()
     if probe is None:
         # no non-null vector anywhere: no dim to infer, no pairs to emit
         return df.sparkSession.createDataFrame(
@@ -1070,7 +1070,7 @@ def embedding_neardup_pairs(
     from ondine_spark.functions.similarity import sign_bucket_expr
 
     vec = F.col(vec_col)
-    keyed = df.filter(vec.isNotNull()).select(
+    keyed = df.select(
         F.col(id_col).alias("_id"),
         vec.alias("_v"),
         sign_bucket_expr(vec, planes).alias("_bucket"),
@@ -1097,7 +1097,9 @@ def embedding_neardup_pairs(
         ids = pdf["_id"].to_numpy()
         X = np.array(pdf["_v"].tolist(), dtype="float64")
         norms = np.sqrt((X * X).sum(axis=1))
-        keep = norms > 0  # cosine(0-vector, ·) = 0 < threshold by contract
+        # >0 drops zero vectors (cosine(0,·)=0 by contract); isfinite
+        # drops any NaN/Inf row that slipped past the frame filter
+        keep = (norms > 0) & np.isfinite(norms)
         ids, X, norms = ids[keep], X[keep], norms[keep]
         if len(ids) < 2:
             return pd.DataFrame({"a": ids[:0], "b": ids[:0],
@@ -1137,7 +1139,7 @@ def seed_centroids(
     the sort is a TakeOrderedAndProject, not a full shuffle."""
     rows = (
         df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
-        .filter(F.col("_v").isNotNull())  # null vectors can't seed
+        .filter(finite_vector(F.col("_v")))  # null/NaN/Inf can't seed
         .orderBy(md5_long(F.col("_id").cast("string")))
         .limit(k)
         .collect()
@@ -1179,9 +1181,10 @@ def semantic_dup_pairs(
 
     assigned = (
         df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
-        # null vectors belong to no cell (and would otherwise land in an
-        # arbitrary one via the null-sim sort order)
-        .filter(F.col("_v").isNotNull())
+        # null/NaN/Inf vectors belong to no cell (NaN cosine would rank
+        # an arbitrary cell FIRST under Spark's NaN-greatest ordering and
+        # pass >= threshold pair filters)
+        .filter(finite_vector(F.col("_v")))
         .withColumn("cell", _nearest_centroids_expr("_v", centroids, 1)[0])
     )
     # persist: the assignment (k × dim multiply-adds per row) feeds both

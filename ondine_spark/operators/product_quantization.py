@@ -73,7 +73,15 @@ def train_pq_codebooks(
     import numpy as np
 
     k = 1 << nbits
-    sample = corpus.select(vec_col).limit(max_train_rows).collect()
+    from ondine_spark.functions.similarity import finite_vector
+
+    # null/NaN/Inf vectors can't train (they poison sub-quantizer means)
+    sample = (
+        corpus.select(vec_col)
+        .filter(finite_vector(F.col(vec_col)))
+        .limit(max_train_rows)
+        .collect()
+    )
     x = np.asarray([r[0] for r in sample], dtype="float64")
     dim = x.shape[1]
     if dim % m:

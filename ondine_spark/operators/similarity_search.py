@@ -19,7 +19,7 @@ import hashlib
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ondine_spark.functions.similarity import cosine
+from ondine_spark.functions.similarity import cosine, finite_vector
 
 
 def brute_force_topk(
@@ -53,7 +53,7 @@ def brute_force_topk(
     q = F.broadcast(
         queries.select(F.col(query_id).alias("_qid"), F.col(query_vec).alias("_qv"))
     )
-    scored = corpus.select(
+    scored = corpus.filter(finite_vector(F.col(corpus_vec))).select(
         F.col(corpus_id).alias("_cid"), F.col(corpus_vec).alias("_cv")
     ).crossJoin(q)
     sim = cosine(F.col("_cv"), F.col("_qv"))
@@ -122,7 +122,16 @@ def lsh_topk(
     tables; a query only scores corpus vectors sharing a bucket in at least
     one table. Recall grows with num_tables; cost is bounded by bucket
     sizes (expected |corpus| / 2^num_planes per bucket per table)."""
-    dim = len(corpus.select(corpus_vec).first()[0])
+    corpus = corpus.filter(finite_vector(F.col(corpus_vec)))
+    probe = corpus.select(corpus_vec).first()
+    if probe is None:
+        # no usable corpus vector: empty result, correct schema
+        ct = dict(corpus.dtypes)[corpus_id]
+        qt = dict(queries.dtypes)[query_id]
+        return corpus.sparkSession.createDataFrame(
+            [], f"{query_id} {qt}, {corpus_id} {ct}, cos_sim double, rank int"
+        )
+    dim = len(probe[0])
     c = corpus.select(F.col(corpus_id).alias("_cid"), F.col(corpus_vec).alias("_cv"))
     q = queries.select(F.col(query_id).alias("_qid"), F.col(query_vec).alias("_qv"))
 
@@ -205,7 +214,9 @@ def train_ivf_centroids(
 
     sample = (
         corpus.select(vec_col)
-        .filter(F.col(vec_col).isNotNull())  # null vectors can't train
+        # null / NaN / Inf vectors can't train (one non-finite row
+        # poisons a k-means mean)
+        .filter(finite_vector(F.col(vec_col)))
         .limit(max_train_rows)
         .collect()
     )
@@ -311,6 +322,13 @@ def _nearest_centroids_expr(vec_col, centroids: list[list[float]], n: int):
     Ties rank the HIGHER centroid id first (struct sort on (sim, id),
     reversed) — the contract the ``semantic_clusters`` oracle gate
     replays in SQL."""
+    import math
+
+    if any(not math.isfinite(x) for c in centroids for x in c):
+        # a non-finite centroid would render an unparseable SQL literal
+        # (e.g. `infD`) — fail with the cause, not an analysis error
+        raise ValueError("non-finite centroid component; train on a "
+                         "finite_vector-filtered corpus")
     cents_sql = "array(" + ",".join(
         "array(" + ",".join(f"{float(x)!r}D" for x in c) + ")"
         for c in centroids
@@ -355,7 +373,7 @@ def ivf_topk(
         return corpus.sparkSession.createDataFrame(
             [], f"{query_id} {qt}, {corpus_id} {ct}, cos_sim double, rank int"
         )
-    assigned = corpus.select(
+    assigned = corpus.filter(finite_vector(F.col(corpus_vec))).select(
         F.col(corpus_id).alias("_cid"), F.col(corpus_vec).alias("_cv")
     ).withColumn(
         "_cell", _nearest_centroids_expr("_cv", centroids, 1)[0]

@@ -33,6 +33,39 @@ from pyspark.sql import functions as F
 
 from ondine_spark.functions.similarity import md5_long, word_ngrams
 
+# ------------------------------------------------------ timestamp hygiene
+
+def filter_valid_timestamps(
+    df: DataFrame,
+    ts_col: str,
+    min_ts: str = "1900-01-01",
+    max_ts: str = "2200-01-01",
+    quarantine: bool = False,
+):
+    """Keep rows whose ``ts_col`` is non-null and inside a sane validity
+    window; with ``quarantine=True`` return ``(kept, quarantined)``.
+
+    The timestamp analog of the embedding ``finite_vector`` filter: a
+    100 TB event log WILL contain epoch-0 defaults, 9999-12-31
+    sentinels, and pre-Gregorian garbage from broken parsers. Beyond
+    being semantically wrong, extreme values are a PLATFORM hazard:
+    PySpark cannot even ``collect()`` a year-1 timestamp (the
+    hybrid-calendar rebase lands on year 0, which Python datetime
+    rejects), so one poisoned row aborts an otherwise-correct job at
+    result time. The comparison is a pure JVM filter — pushable to the
+    scan — so quarantining at load costs one predicate."""
+    col = F.col(ts_col)
+    ok = (
+        col.isNotNull()
+        & (col >= F.lit(min_ts).cast("timestamp"))
+        & (col < F.lit(max_ts).cast("timestamp"))
+    )
+    kept = df.filter(ok)
+    if quarantine:
+        return kept, df.filter(~F.coalesce(ok, F.lit(False)))
+    return kept
+
+
 # ------------------------------------------------------------- sessionize
 
 def sessionize(

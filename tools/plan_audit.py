@@ -214,6 +214,19 @@ def main() -> int:
           "BroadcastHashJoin" in plan and n_exchange <= 1,
           f"{n_exchange} exchanges")
 
+    # 6. timestamp hygiene: the validity-window quarantine is a plain
+    # range predicate, so it must reach the parquet scan as PushedFilters
+    # (quarantining 100 TB at load costs a scan predicate, not a pass)
+    from ondine_spark.operators.curation import filter_valid_timestamps
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    plan = plan_of(filter_valid_timestamps(ev, "ts").select("event_id", "ts"))
+    pushed = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    check("hygiene.ts_filter_pushdown",
+          pushed is not None and "GreaterThanOrEqual(ts" in pushed.group(1)
+          and "LessThan(ts" in pushed.group(1),
+          (pushed.group(1)[:100] if pushed else "no PushedFilters"))
+
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     return 1 if failures else 0
 

@@ -59,6 +59,17 @@ def test_preprocess_total_and_bounded(text, max_len):
 
 
 @settings(max_examples=200, deadline=None)
+@given(st.text(max_size=400), st.integers(min_value=10, max_value=100))
+def test_preprocess_idempotent(text, max_len):
+    """Running the chain twice changes nothing: cleaned text contains no
+    char the scrub would touch, and a truncated text fits max_length so
+    the second pass never re-truncates. The property the memoized
+    retry path relies on (retry re-cleans already-cleaned input)."""
+    once = preprocess_text(text, max_length=max_len)
+    assert preprocess_text(once, max_length=max_len) == once
+
+
+@settings(max_examples=200, deadline=None)
 @given(
     st.dictionaries(st.text(max_size=8), st.one_of(
         st.none(), st.text(max_size=10), st.integers(),

@@ -30,12 +30,22 @@ def _pipeline(text_col: str, num_features: int, reg_param: float,
         HashingTF,
         NGram,
         RegexTokenizer,
+        SQLTransformer,
         VectorAssembler,
     )
 
     stages = [
+        # null text = no features (ML's RegexTokenizer NPEs on null);
+        # inside the pipeline so BOTH fit and transform are null-safe
+        # and the saved model carries the guard with it
+        SQLTransformer(
+            statement=(
+                f"SELECT *, coalesce({text_col}, '') AS _qc_text "
+                "FROM __THIS__"
+            )
+        ),
         RegexTokenizer(
-            inputCol=text_col, outputCol="_qc_words",
+            inputCol="_qc_text", outputCol="_qc_words",
             pattern=r"\W+", toLowercase=True, minTokenLength=1,
         ),
         HashingTF(

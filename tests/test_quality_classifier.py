@@ -98,3 +98,27 @@ def test_perplexity_buckets_ccnet(spark, documents):
         F.min("perplexity")
     ).first()[0]
     assert head_max <= tail_min
+
+
+def test_classifier_null_text_safe(spark):
+    """Null text must neither crash fit (ML's RegexTokenizer NPEs on
+    null) nor scoring; the coalesce guard lives INSIDE the pipeline so a
+    saved model carries it."""
+    from ondine_spark.operators.quality_classifier import (
+        score_quality,
+        train_quality_classifier,
+    )
+
+    rows = [
+        (0, None, 0.0), (1, "low low low", 0.0),
+        (2, "the quick brown fox", 1.0), (3, "", 0.0),
+        (4, "the quick brown dog", 1.0), (5, "spam spam spam", 0.0),
+    ]
+    df = spark.createDataFrame(rows, "id int, text string, label double")
+    model = train_quality_classifier(df, "text", "label",
+                                     num_features=1 << 12, max_iter=10)
+    out = {r["id"]: r["quality_prob"] for r in
+           score_quality(df, model, "text").collect()}
+    assert len(out) == 6
+    # null and empty text score identically (both featurize to nothing)
+    assert out[0] == pytest.approx(out[3])

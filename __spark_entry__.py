@@ -469,7 +469,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             return emb.select(
                 "vec_id", F.lit(None).cast("bigint").alias("cell")
             )
-        return emb.select(
+        # null embeddings belong to no cell (operator semantics —
+        # semantic_dup_pairs filters them the same way)
+        return emb.filter(F.col("embedding").isNotNull()).select(
             "vec_id",
             _nearest_centroids_expr("embedding", cents, 1)[0]
             .cast("bigint")
@@ -1031,7 +1033,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    toks_text = _TOKS.format(col="text")
+    # prompt token count: the template renders null text as 'None'
+    # (str.format parity), one extra whitespace token
+    toks_text = _TOKS.format(col="coalesce(text,'None')")
 
     intra_sql = """
         WITH toks AS (
@@ -1257,7 +1261,8 @@ def oracle_sql() -> dict[str, str]:
         "router_distribution": f"""
             WITH prompts AS (
               SELECT text,
-                     'Classify this document: ' || text AS prompt
+                     'Classify this document: ' || coalesce(text, 'None')
+                       AS prompt
               FROM documents
             )
             SELECT 'dep' || ({_MD5L.format(x="prompt")} % 3)::VARCHAR
@@ -1280,12 +1285,14 @@ def oracle_sql() -> dict[str, str]:
                    sum(tin * 5 + tout * 15)::DOUBLE / 1e7 AS cost_total
             FROM resp GROUP BY sentiment
         """,
+        # null renders as the string 'None' on BOTH template paths
+        # (Python str.format / jinja2 parity — engine render_format_template)
         "prompt_render": (
-            "SELECT doc_id, 'Summarize: ' || coalesce(text,'') || ' [lang=' || "
-            "coalesce(lang,'') || ']' AS prompt, "
-            "'Doc ' || doc_id || ' [' || lang || ']' || "
-            "CASE WHEN n_chars > 300 THEN ' LONG' ELSE '' END || ': ' || text "
-            "AS jinja_prompt FROM documents"
+            "SELECT doc_id, 'Summarize: ' || coalesce(text,'None') || ' [lang=' || "
+            "coalesce(lang,'None') || ']' AS prompt, "
+            "'Doc ' || doc_id || ' [' || coalesce(lang,'None') || ']' || "
+            "CASE WHEN coalesce(n_chars,0) > 300 THEN ' LONG' ELSE '' END || ': ' "
+            "|| coalesce(text,'None') AS jinja_prompt FROM documents"
         ),
         # FULL transcription of functions/preprocessing.preprocess_text:
         # NFC → category-C chars to space → ®™-strip + curly-quote
@@ -1548,7 +1555,9 @@ def oracle_sql() -> dict[str, str]:
         # join in the Spark query and fails the row-count compare
         "topk_brute_vs_ivf": """
             WITH emb AS (
+              -- engine filters non-finite/null vectors on BOTH sides
               SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+              WHERE embedding IS NOT NULL
             ), q AS (
               SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < 10
             ), scored AS (
@@ -1582,7 +1591,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "semantic_clusters": f"""
             WITH emb AS (
+              -- null embeddings can't seed or belong to a cell
+              -- (engine: seed_centroids / semantic_dup_pairs filter)
               SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+              WHERE embedding IS NOT NULL
             ), seeds AS (
               SELECT v AS cv,
                      row_number() OVER (
@@ -1605,7 +1617,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "semantic_dup_pairs": f"""
             WITH emb AS (
+              -- null embeddings can't seed or belong to a cell
+              -- (engine: seed_centroids / semantic_dup_pairs filter)
               SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+              WHERE embedding IS NOT NULL
             ), seeds AS (
               SELECT v AS cv,
                      row_number() OVER (
@@ -2355,7 +2370,11 @@ def _lang_id_sql() -> str:
     case += "END"
     return f"""
         WITH t AS (
-          SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS toks
+          -- null text tokenizes to the empty list (engine: lang_id of
+          -- null scores 0 everywhere -> 'unknown')
+          SELECT doc_id,
+                 coalesce(regexp_extract_all(lower(text), '\\S+'),
+                          []::VARCHAR[]) AS toks
           FROM documents
         ), s AS (
           SELECT doc_id, {", ".join(score_cols)} FROM t

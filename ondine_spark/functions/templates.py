@@ -23,11 +23,14 @@ def render_format_template(template: str) -> Column:
     """Compile a str.format-style template (``{col}`` placeholders, no
     format specs) into a codegen-friendly concat of literals and columns.
 
-    Null semantics: null column values render as empty string (concat of a
-    null would null the whole prompt; the reference renders Python ``None``
-    as the string "None" only via str.format — we use '' which matches how
-    cleaned CSV data behaves; callers needing "None" literals can coalesce
-    first).
+    Null semantics: null column values render as the string "None" —
+    exact Python ``str.format`` parity with the reference
+    (prompt_formatter_stage renders row values through ``.format``, and
+    ``"{x}".format(x=None)`` is ``"None"``) and with this engine's own
+    jinja2 path (jinja stringifies None the same way). A bare concat
+    would instead null the whole prompt on one null cell. Callers who
+    want empty strings can coalesce first (or validate nulls away —
+    see operators.curation hygiene filters).
     """
     parts: list[Column] = []
     for literal, field_name, format_spec, conversion in string.Formatter().parse(
@@ -41,7 +44,9 @@ def render_format_template(template: str) -> Column:
                     f"unsupported placeholder {{{field_name}}} — use a plain column "
                     "name or a jinja2 template"
                 )
-            parts.append(F.coalesce(F.col(field_name).cast("string"), F.lit("")))
+            parts.append(
+                F.coalesce(F.col(field_name).cast("string"), F.lit("None"))
+            )
     if not parts:
         return F.lit("")
     return F.concat(*parts) if len(parts) > 1 else parts[0]

@@ -727,7 +727,11 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             ).otherwise(F.lit(0).cast("bigint"))
         return sig
 
-    return spread_small(df).select(
+    # null text has NO signature: the bit-vote lambda folds a null token
+    # array to sig 0, which silently made every null-text doc a
+    # "duplicate" of every other (and of genuinely empty docs). Empty
+    # TEXT keeps sig 0 — two empty documents are identical content.
+    return spread_small(df.filter(F.col(text_col).isNotNull())).select(
         F.col(id_col).alias("_id"), let_bind(hashes, build).alias("simhash")
     )
 

@@ -50,8 +50,11 @@ def brute_force_topk(
     tests/test_topk_prereduce.py). Shuffle volume drops from
     |corpus|·|queries| rows to ≤ k·|queries| per Arrow batch.
     """
+    # a null/non-finite QUERY vector has no meaningful ranking — it
+    # yields no result rows (instead of a NaN-sim garbage top-k)
     q = F.broadcast(
-        queries.select(F.col(query_id).alias("_qid"), F.col(query_vec).alias("_qv"))
+        queries.filter(finite_vector(F.col(query_vec)))
+        .select(F.col(query_id).alias("_qid"), F.col(query_vec).alias("_qv"))
     )
     scored = corpus.filter(finite_vector(F.col(corpus_vec))).select(
         F.col(corpus_id).alias("_cid"), F.col(corpus_vec).alias("_cv")
@@ -133,7 +136,9 @@ def lsh_topk(
         )
     dim = len(probe[0])
     c = corpus.select(F.col(corpus_id).alias("_cid"), F.col(corpus_vec).alias("_cv"))
-    q = queries.select(F.col(query_id).alias("_qid"), F.col(query_vec).alias("_qv"))
+    q = queries.filter(finite_vector(F.col(query_vec))).select(
+        F.col(query_id).alias("_qid"), F.col(query_vec).alias("_qv")
+    )
 
     c_buckets = []
     q_buckets = []
@@ -378,7 +383,7 @@ def ivf_topk(
     ).withColumn(
         "_cell", _nearest_centroids_expr("_cv", centroids, 1)[0]
     )
-    probes = queries.select(
+    probes = queries.filter(finite_vector(F.col(query_vec))).select(
         F.col(query_id).alias("_qid"), F.col(query_vec).alias("_qv")
     ).withColumn(
         "_cell",

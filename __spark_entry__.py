@@ -469,9 +469,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             return emb.select(
                 "vec_id", F.lit(None).cast("bigint").alias("cell")
             )
-        # null embeddings belong to no cell (operator semantics —
-        # semantic_dup_pairs filters them the same way)
-        return emb.filter(F.col("embedding").isNotNull()).select(
+        # null/non-finite embeddings belong to no cell (operator
+        # semantics — semantic_dup_pairs filters them the same way)
+        from ondine_spark.functions.similarity import finite_vector
+
+        return emb.filter(finite_vector(F.col("embedding"))).select(
             "vec_id",
             _nearest_centroids_expr("embedding", cents, 1)[0]
             .cast("bigint")
@@ -1558,6 +1560,7 @@ def oracle_sql() -> dict[str, str]:
               -- engine filters non-finite/null vectors on BOTH sides
               SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
               WHERE embedding IS NOT NULL
+                AND len(list_filter(v, x -> x IS NULL OR NOT isfinite(x))) = 0
             ), q AS (
               SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < 10
             ), scored AS (
@@ -1591,10 +1594,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "semantic_clusters": f"""
             WITH emb AS (
-              -- null embeddings can't seed or belong to a cell
-              -- (engine: seed_centroids / semantic_dup_pairs filter)
+              -- null/non-finite embeddings can't seed or belong to a cell
+              -- (engine: seed_centroids / semantic_dup_pairs finite_vector)
               SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
               WHERE embedding IS NOT NULL
+                AND len(list_filter(v, x -> x IS NULL OR NOT isfinite(x))) = 0
             ), seeds AS (
               SELECT v AS cv,
                      row_number() OVER (
@@ -1617,10 +1621,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "semantic_dup_pairs": f"""
             WITH emb AS (
-              -- null embeddings can't seed or belong to a cell
-              -- (engine: seed_centroids / semantic_dup_pairs filter)
+              -- null/non-finite embeddings can't seed or belong to a cell
+              -- (engine: seed_centroids / semantic_dup_pairs finite_vector)
               SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
               WHERE embedding IS NOT NULL
+                AND len(list_filter(v, x -> x IS NULL OR NOT isfinite(x))) = 0
             ), seeds AS (
               SELECT v AS cv,
                      row_number() OVER (
@@ -1691,7 +1696,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": """
             SELECT date_trunc('hour', ts) AS ts_hour, event_type,
                    count(*) AS n,
-                   (sum(value::DECIMAL(18,6)))::DOUBLE AS sum_value
+                   (sum(CASE WHEN isfinite(value) THEN value END::DECIMAL(18,6)))::DOUBLE AS sum_value
             FROM events GROUP BY 1, 2
         """,
         "sessions": """
@@ -1714,7 +1719,7 @@ def oracle_sql() -> dict[str, str]:
                    min(ts) AS session_start, max(ts) AS session_end,
                    floor(epoch(max(ts)))::BIGINT
                      - floor(epoch(min(ts)))::BIGINT AS span_seconds,
-                   (sum(value::DECIMAL(18,6)))::DOUBLE AS value_sum
+                   (sum(CASE WHEN isfinite(value) THEN value END::DECIMAL(18,6)))::DOUBLE AS value_sum
             FROM sess GROUP BY 1, 2
         """,
         "decontaminate": """
@@ -2250,7 +2255,10 @@ def _embedding_neardup_sql(
     ).format(dim=dim)
     return f"""
         WITH emb AS (
+          -- engine: finite_vector filter at bucketing
           SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+          WHERE embedding IS NOT NULL
+            AND len(list_filter(v, x -> x IS NULL OR NOT isfinite(x))) = 0
         ), planes_t(i, p) AS (VALUES {vals}),
         bits AS (
           SELECT vec_id, i, {bit} AS b

@@ -324,6 +324,11 @@ class PipelineBuilder:
     def to_parquet(self, path: str):
         return self.with_output(path, format="parquet")
 
+    def to_excel(self, path: str):
+        """Reference: pipeline_builder output format "excel"
+        (ondine/api/pipeline_builder.py:975-983)."""
+        return self.with_output(path, format="excel")
+
     # --------------------------------------------------------------- build
     def build(self):
         from ondine_spark.plans.pipeline import Pipeline

@@ -564,8 +564,46 @@ def write_output(df: DataFrame, output) -> None:
         writer.json(output.path)
     elif fmt == "orc":
         writer.orc(output.path)
+    elif fmt == "excel":
+        _write_excel(df, output)
     else:
         raise ValueError(f"unsupported output format: {fmt}")
+
+
+def _write_excel(df: DataFrame, output) -> None:
+    """Excel sink: a driver-side single .xlsx file, like the reference's
+    ``df.to_excel`` (ondine/cli/main.py:105; pipeline_builder output
+    format "excel"). The OOXML 2^20-row sheet cap bounds driver memory;
+    anything bigger belongs in parquet/csv. openpyxl is used when
+    installed, the stdlib OOXML writer (sources/xlsx.write_xlsx)
+    otherwise."""
+    import os
+
+    from ondine_spark.sources.xlsx import XLSX_MAX_DATA_ROWS, write_xlsx
+
+    if output.mode in ("error", "errorifexists") and os.path.exists(output.path):
+        raise FileExistsError(f"{output.path} exists and mode={output.mode}")
+    if output.mode == "append":
+        raise ValueError(
+            "append is not supported for the excel sink (single-file "
+            "format) — use overwrite, or a csv/parquet sink"
+        )
+    pdf = df.limit(XLSX_MAX_DATA_ROWS + 1).toPandas()
+    if len(pdf) > XLSX_MAX_DATA_ROWS:
+        raise ValueError(
+            f"result exceeds the xlsx sheet cap ({XLSX_MAX_DATA_ROWS} "
+            "rows) — write parquet/csv for results this large"
+        )
+    try:
+        pdf.to_excel(output.path, index=False)  # needs openpyxl
+    except ImportError:
+        import pandas as pd
+
+        cells = pdf.astype(object).where(pd.notnull(pdf), None)
+        write_xlsx(
+            output.path, [str(c) for c in pdf.columns],
+            cells.values.tolist(),
+        )
 
 
 def _default_session() -> SparkSession:

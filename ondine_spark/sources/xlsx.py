@@ -1,12 +1,15 @@
-"""Minimal dependency-free .xlsx reader (S4 fallback).
+"""Minimal dependency-free .xlsx reader + writer (S4/S8 fallback).
 
 An .xlsx file is a zip of OOXML parts; the subset a data pipeline needs —
 shared strings, inline strings, numbers, booleans, pick-a-sheet — parses
-with stdlib ``zipfile`` + ``ElementTree``. The reference tests Excel
-ingestion for real (tests/verification/test_verify_data_formats.py) via
-pandas+openpyxl; this module makes the same path work where openpyxl is
-not installable, with pandas+openpyxl still preferred when present
-(sources/readers.py tries it first).
+with stdlib ``zipfile`` + ``ElementTree``, and the write side emits the
+same subset (inline strings, so no sharedStrings part is needed). The
+reference tests Excel ingestion for real
+(tests/verification/test_verify_data_formats.py) via pandas+openpyxl and
+writes .xlsx results (ondine/cli/main.py:105 ``df.to_excel``); this
+module makes both paths work where openpyxl is not installable, with
+pandas+openpyxl still preferred when present (sources/readers.py tries
+it first).
 
 Scope: cell VALUES only (no formula evaluation — the cached <v> result is
 used, which is what every reader reports; no styles/dates coercion —
@@ -129,3 +132,120 @@ def read_xlsx(
         ]
         return cols, rows[1:]
     return [str(i) for i in range(width)], rows
+
+
+# --------------------------------------------------------------- writer
+
+#: the OOXML sheet grid is hard-capped at 2^20 rows (ECMA-376 §18.3.1.73);
+#: one header row leaves this many data rows — the cap also bounds driver
+#: memory for this inherently single-file, driver-side sink.
+XLSX_MAX_DATA_ROWS = 1_048_576 - 1
+
+_XML_ESC = {"&": "&amp;", "<": "&lt;", ">": "&gt;", '"': "&quot;"}
+
+
+def _esc(s: str) -> str:
+    out = []
+    for ch in s:
+        if ch in _XML_ESC:
+            out.append(_XML_ESC[ch])
+        elif ch in ("\t", "\n", "\r") or ord(ch) >= 0x20:
+            out.append(ch)
+        else:
+            # control chars are invalid in XML 1.0 — escape like openpyxl
+            out.append(f"_x{ord(ch):04X}_")
+    return "".join(out)
+
+
+def _col_letters(i: int) -> str:
+    """0 -> 'A', 27 -> 'AB' (inverse of _col_index)."""
+    s = ""
+    i += 1
+    while i:
+        i, r = divmod(i - 1, 26)
+        s = chr(ord("A") + r) + s
+    return s
+
+
+def _cell_xml(ref: str, v) -> str:
+    if v is None:
+        return ""
+    if isinstance(v, bool):
+        return f'<c r="{ref}" t="b"><v>{int(v)}</v></c>'
+    if isinstance(v, (int, float)):
+        if isinstance(v, float) and (v != v or v in (float("inf"), float("-inf"))):
+            # IEEE specials have no OOXML numeric form — write as text,
+            # matching what openpyxl shows for inf/nan round-trips
+            return (f'<c r="{ref}" t="inlineStr"><is><t>{v}</t></is></c>')
+        return f'<c r="{ref}"><v>{v!r}</v></c>'
+    text = _esc(str(v))
+    sp = ' xml:space="preserve"' if text[:1].isspace() or text[-1:].isspace() else ""
+    return f'<c r="{ref}" t="inlineStr"><is><t{sp}>{text}</t></is></c>'
+
+
+def write_xlsx(
+    path: str, cols: list[str], rows: list[list], sheet_name: str = "Sheet1"
+) -> None:
+    """Write (column names, rows) as a single-sheet .xlsx.
+
+    Strings go as inline strings (no sharedStrings part), numbers as
+    native numeric cells, booleans as ``t="b"``; None cells are omitted.
+    Everything else is stringified (timestamps surface as their ISO
+    ``str()`` — same policy as the reader's no-date-coercion scope). The
+    output round-trips through :func:`read_xlsx` and opens in
+    Excel/LibreOffice/pandas.
+    """
+    if len(rows) > XLSX_MAX_DATA_ROWS:
+        raise ValueError(
+            f"xlsx sheet cap is {XLSX_MAX_DATA_ROWS} data rows, got "
+            f"{len(rows)} — write parquet/csv for results this large"
+        )
+    body = []
+    header_cells = "".join(
+        _cell_xml(f"{_col_letters(j)}1", str(c)) for j, c in enumerate(cols)
+    )
+    body.append(f'<row r="1">{header_cells}</row>')
+    for i, row in enumerate(rows, start=2):
+        cells = "".join(
+            _cell_xml(f"{_col_letters(j)}{i}", v) for j, v in enumerate(row)
+        )
+        body.append(f'<row r="{i}">{cells}</row>')
+    sheet = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<worksheet xmlns="{_NS[1:-1]}"><sheetData>'
+        + "".join(body)
+        + "</sheetData></worksheet>"
+    )
+    ct = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+        '<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
+        '<Default Extension="xml" ContentType="application/xml"/>'
+        '<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+        '<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>'
+        "</Types>"
+    )
+    rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<Relationships xmlns="{_PKG_REL_NS[1:-1]}">'
+        '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>'
+        "</Relationships>"
+    )
+    wb = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<workbook xmlns="{_NS[1:-1]}" xmlns:r="{_REL_NS[1:-1]}">'
+        f'<sheets><sheet name="{_esc(sheet_name)}" sheetId="1" r:id="rId1"/></sheets>'
+        "</workbook>"
+    )
+    wb_rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<Relationships xmlns="{_PKG_REL_NS[1:-1]}">'
+        '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>'
+        "</Relationships>"
+    )
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("[Content_Types].xml", ct)
+        z.writestr("_rels/.rels", rels)
+        z.writestr("xl/workbook.xml", wb)
+        z.writestr("xl/_rels/workbook.xml.rels", wb_rels)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)

@@ -111,3 +111,77 @@ def test_excel_pipeline_end_to_end(spark, xlsx_path):
     )
     rows = {r["id"]: r["sentiment"] for r in res.data.collect()}
     assert rows == {"1": "positive", "2": "negative", "3": "neutral"}
+
+
+# --------------------------------------------------------------- writer
+
+
+def test_write_xlsx_roundtrip(tmp_path):
+    """S8 excel sink: the stdlib writer's output parses back exactly with
+    the stdlib reader (types preserved: str/int/float/bool/None)."""
+    from ondine_spark.sources.xlsx import write_xlsx
+
+    p = str(tmp_path / "out.xlsx")
+    cols = ["id", "text", "score", "ok"]
+    rows = [
+        [1, "plain", 0.5, True],
+        [2, "a&b <c> \"d\"", -3.25, False],
+        [3, "  leading and trailing  ", 7, None],
+        [4, None, 1e300, True],
+        [5, "unicode: héllo — 世界", 0.0, False],
+        [6, "multi\nline\ttabbed", 42, True],
+    ]
+    write_xlsx(p, cols, rows)
+    rcols, rrows = read_xlsx(p)
+    assert rcols == cols
+    assert rrows == rows
+
+
+def test_write_xlsx_row_cap(tmp_path):
+    from ondine_spark.sources.xlsx import XLSX_MAX_DATA_ROWS, write_xlsx
+
+    class _FakeRows(list):
+        def __len__(self):
+            return XLSX_MAX_DATA_ROWS + 1
+
+    with pytest.raises(ValueError, match="sheet cap"):
+        write_xlsx(str(tmp_path / "big.xlsx"), ["a"], _FakeRows())
+
+
+def test_pipeline_to_excel_sink(spark, tmp_path, xlsx_path):
+    """End-to-end S8: builder .to_excel writes a real workbook the reader
+    (and pandas+openpyxl, when present) can load back."""
+    from ondine_spark import PipelineBuilder, mock_client_factory
+
+    out = str(tmp_path / "result.xlsx")
+    (
+        PipelineBuilder(spark)
+        .from_excel(xlsx_path, ["review"], id_column="id")
+        .with_prompt("Classify: {review}", ["sentiment"])
+        .with_custom_llm_client(mock_client_factory())
+        .to_excel(out)
+        .build()
+        .execute()
+    )
+    cols, rows = read_xlsx(out)
+    assert "sentiment" in cols
+    si, ii = cols.index("sentiment"), cols.index("id")
+    got = {r[ii]: r[si] for r in rows}
+    assert got == {"1": "positive", "2": "negative", "3": "neutral"}
+
+
+def test_excel_sink_mode_error_and_append(spark, tmp_path):
+    from ondine_spark.core.specs import OutputSpec
+    from ondine_spark.plans.pipeline import write_output
+
+    df = spark.createDataFrame([(1, "a")], ["id", "text"])
+    p = str(tmp_path / "m.xlsx")
+    write_output(df, OutputSpec(path=p, format="excel", mode="overwrite"))
+    with pytest.raises(FileExistsError):
+        write_output(df, OutputSpec(path=p, format="excel", mode="error"))
+    with pytest.raises(ValueError, match="append"):
+        write_output(df, OutputSpec(path=p, format="excel", mode="append"))
+    # overwrite replaces cleanly
+    write_output(df, OutputSpec(path=p, format="excel", mode="overwrite"))
+    cols, rows = read_xlsx(p)
+    assert cols == ["id", "text"] and rows == [[1, "a"]]

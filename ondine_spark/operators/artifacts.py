@@ -28,6 +28,15 @@ __all__ = [
 
 _FORMAT_VERSION = 1
 
+try:  # py4j ships with pyspark; guarded for spark-free unit imports
+    from py4j.protocol import Py4JError, Py4JJavaError
+except Exception:  # pragma: no cover
+    class Py4JJavaError(Exception):
+        pass
+
+    class Py4JError(Exception):
+        pass
+
 
 def _hadoop_fs(spark, path: str):
     jvm = spark._jvm
@@ -62,10 +71,15 @@ def _write_text(path: str, text: str, spark=None) -> None:
             if not fs.rename(jtmp, jpath):
                 raise IOError(f"rename {path}.tmp -> {path} failed")
             return
-        except Exception:
+        except Py4JJavaError:
+            raise  # a real JVM-side filesystem failure, any path kind
+        except (Py4JError, AttributeError):
             if _has_scheme(path):
                 raise
-            # py4j unavailable (plain tests) → local write below
+            # py4j gap only (no gateway / fake session) → local write below.
+            # A genuine Hadoop failure is Py4JJavaError and propagates, so
+            # a cluster whose default FS is HDFS never silently "succeeds"
+            # onto the driver's local disk.
     d = os.path.dirname(path)
     if d:
         os.makedirs(d, exist_ok=True)
@@ -92,9 +106,11 @@ def _read_text(path: str, spark=None) -> str:
                 )
             finally:
                 stream.close()
-        except Exception:
+        except Py4JJavaError:
+            raise  # a real JVM-side filesystem failure, any path kind
+        except (Py4JError, AttributeError):
             if _has_scheme(path):
-                raise  # a real remote-FS failure, not a py4j gap
+                raise
     with open(path, encoding="utf-8") as f:
         return f.read()
 

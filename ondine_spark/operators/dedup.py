@@ -861,30 +861,23 @@ def connected_components(
     lineage is truncated — freeing it would make the result
     unrecoverable).
     """
-    from ondine_spark.core.checkpoints import (
-        persistent_rdd_ids,
-        unpersist_rdd_ids,
-    )
+    from ondine_spark.core.checkpoints import checkpoint_df, unpersist_rdd_ids
 
     sc = pairs.sparkSession.sparkContext
-
-    def _persistent_ids() -> set:
-        return persistent_rdd_ids(sc)
 
     def _unpersist(ids: set) -> None:
         unpersist_rdd_ids(sc, ids)
 
-    before = _persistent_ids()
-    edges = (
+    # checkpoint_df resolves each checkpoint's block id from its own
+    # LogicalRDD — safe against concurrent checkpoints on a shared session
+    edges, edges_ids = checkpoint_df(
         pairs.select(
             F.least(F.col(a), F.col(b)).alias("a"),
             F.greatest(F.col(a), F.col(b)).alias("b"),
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    edges_ids = _persistent_ids() - before
     sig = edges.select(
         F.count(F.lit(1)).alias("n"),
         F.bit_xor(F.xxhash64("a", "b")).alias("h"),
@@ -914,10 +907,9 @@ def connected_components(
         _unpersist(edges_ids)  # consumed by the union-find; free now
         return out
     for _ in range(max_iter):
-        pre = _persistent_ids()
-        nxt = _star_round(_star_round(edges, large=True), large=False)
-        nxt = nxt.localCheckpoint(eager=True)
-        nxt_ids = _persistent_ids() - pre
+        nxt, nxt_ids = checkpoint_df(
+            _star_round(_star_round(edges, large=True), large=False)
+        )
         nsig = nxt.select(
             F.count(F.lit(1)).alias("n"),
             F.bit_xor(F.xxhash64("a", "b")).alias("h"),
@@ -931,12 +923,11 @@ def connected_components(
     # LABELS (one row per node — orders of magnitude smaller than the
     # edge set) so the final round's edge copy can be freed too; what
     # stays persisted per call is node-sized, not edge-sized.
-    out = (
+    out, _out_ids = checkpoint_df(
         edges.select(F.col("b").alias("node"), F.col("a").alias("component"))
         .union(edges.select(F.col("a").alias("node"), F.col("a").alias("component")))
         .groupBy("node")
         .agg(F.min("component").alias("component"))
-        .localCheckpoint(eager=True)
     )
     _unpersist(edges_ids)
     return out

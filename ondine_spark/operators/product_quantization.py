@@ -82,6 +82,14 @@ def train_pq_codebooks(
         .limit(max_train_rows)
         .collect()
     )
+    if not sample:
+        # same degenerate-input contract as train_ivf_centroids (which
+        # returns [] for an empty/all-non-finite corpus), but encoding
+        # with 0 codebooks is meaningless, so fail loud instead
+        raise ValueError(
+            f"no finite training vectors in {vec_col!r}: corpus is empty "
+            "or every vector is null/NaN/Inf"
+        )
     x = np.asarray([r[0] for r in sample], dtype="float64")
     dim = x.shape[1]
     if dim % m:
@@ -110,6 +118,8 @@ def pq_encode(
     Arrow-batched pass, zero shuffle; vectors are normalized before
     encoding (cosine contract). Persist the coded frame — it is the
     64x-smaller stand-in for the embedding column at query time."""
+    if not codebooks:
+        raise ValueError("codebooks is empty — train_pq_codebooks first")
     books = [
         [[float(v) for v in row] for row in b] for b in codebooks
     ]
@@ -166,6 +176,8 @@ def pq_topk(
 
     from pyspark.sql import Window
 
+    if not codebooks:
+        raise ValueError("codebooks is empty — train_pq_codebooks first")
     books = [np.asarray(b, dtype="float64") for b in codebooks]
     m = len(books)
     dsub = books[0].shape[1]
@@ -266,6 +278,8 @@ def ivfpq_topk(
 
     from pyspark.sql import Window
 
+    if not codebooks:
+        raise ValueError("codebooks is empty — train_pq_codebooks first")
     books = [np.asarray(b, dtype="float64") for b in codebooks]
     m = len(books)
     dsub = books[0].shape[1]

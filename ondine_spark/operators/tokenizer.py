@@ -55,6 +55,22 @@ _GPT2_PAT = re.compile(
 
 END_OF_WORD = "</w>"
 
+# The EXACT character set Python str.split() (str.isspace()) splits on,
+# as an explicit Java-regex character class. Java's \s is ASCII-only and
+# even (?U)\s (White_Space property) differs from Python (\x1c-\x1f are
+# isspace() but not White_Space), so the set is enumerated literally.
+# tests/test_tokenizer.py asserts this matches a full-codepoint scan.
+PY_WHITESPACE = "".join(
+    chr(c)
+    for c in (
+        0x09, 0x0A, 0x0B, 0x0C, 0x0D, 0x1C, 0x1D, 0x1E, 0x1F, 0x20,
+        0x85, 0xA0, 0x1680,
+        0x2000, 0x2001, 0x2002, 0x2003, 0x2004, 0x2005, 0x2006, 0x2007,
+        0x2008, 0x2009, 0x200A, 0x2028, 0x2029, 0x202F, 0x205F, 0x3000,
+    )
+)
+_JVM_WS_SPLIT = "[" + PY_WHITESPACE + "]+"
+
 
 def pretokenize(text: str, mode: str = "gpt2") -> list[str]:
     """Split text into pre-tokens (the units BPE merges within)."""
@@ -82,8 +98,12 @@ def word_counts(
     per (partition, word-type), never per token.
     """
     if pretokenizer == "whitespace":
+        # _JVM_WS_SPLIT enumerates Python's isspace() set so the JVM split
+        # agrees with str.split() on unicode whitespace (NBSP, \x85, ...).
         return (
-            df.select(F.explode(F.split(F.col(text_col), r"\s+")).alias("word"))
+            df.select(
+                F.explode(F.split(F.col(text_col), _JVM_WS_SPLIT)).alias("word")
+            )
             .filter(F.col("word") != "")
             .groupBy("word")
             .agg(F.count(F.lit(1)).alias("count"))
@@ -238,6 +258,11 @@ class BpeTokenizer:
     ):
         self.merges = list(merges)
         self.pretokenizer = pretokenizer
+        # kept verbatim for to_dict: deriving it back from vocab by
+        # set-difference drops alphabet symbols that a merge can also
+        # produce (e.g. '</w>' from '<','/','w','>'), shifting vocab ids
+        # across a save/load round-trip.
+        self.alphabet = list(alphabet or [])
         self.ranks = {pair: i for i, pair in enumerate(self.merges)}
         vocab: dict[str, int] = {}
         for sym in alphabet or []:
@@ -290,8 +315,7 @@ class BpeTokenizer:
         return {
             "merges": [list(m) for m in self.merges],
             "pretokenizer": self.pretokenizer,
-            "alphabet": [s for s, _ in sorted(self.vocab.items(), key=lambda kv: kv[1])
-                         if s not in {a + b for a, b in self.merges}],
+            "alphabet": list(self.alphabet),
         }
 
     @classmethod

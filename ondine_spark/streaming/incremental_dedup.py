@@ -154,16 +154,14 @@ def run_dedup_stream(
         # materialize + truncate lineage BEFORE touching the store dir:
         # the kept_rows plan READS state_dir (the anti-join), so appending
         # to it from the same live plan would be a self-referential write
-        from ondine_spark.core.checkpoints import (
-            persistent_rdd_ids,
-            unpersist_rdd_ids,
-        )
+        from ondine_spark.core.checkpoints import checkpoint_df, unpersist_rdd_ids
 
         sc = batch_df.sparkSession.sparkContext
-        pre = persistent_rdd_ids(sc)
-        kept_docs = kept_docs.localCheckpoint(eager=True)
-        kept_rows = kept_rows.localCheckpoint(eager=True)
-        ckpt_ids = persistent_rdd_ids(sc) - pre
+        # ids resolved per-frame from the LogicalRDD (registry-diff-free,
+        # safe alongside concurrent checkpoints on the shared session)
+        kept_docs, ids_docs = checkpoint_df(kept_docs)
+        kept_rows, ids_rows = checkpoint_df(kept_rows)
+        ckpt_ids = ids_docs | ids_rows
         for c in cached:
             c.unpersist()
         try:

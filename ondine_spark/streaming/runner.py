@@ -122,15 +122,12 @@ def iter_chunks(
     # a merely-persisted plan and silently recompute it against the grown
     # cache with stale offsets (rows vanish mid-loop). Checkpointing truncates
     # the lineage so the chunk assignment is frozen for the whole run.
-    from ondine_spark.core.checkpoints import (
-        persistent_rdd_ids,
-        unpersist_rdd_ids,
-    )
+    from ondine_spark.core.checkpoints import checkpoint_df, unpersist_rdd_ids
 
     sc = spark.sparkContext
-    _pre_ckpt_ids = persistent_rdd_ids(sc)
-    chunked = chunked.localCheckpoint(eager=True)
-    _ckpt_ids = persistent_rdd_ids(sc) - _pre_ckpt_ids
+    # id resolved from the frame's own LogicalRDD (no registry-diff race
+    # with concurrent pipelines on a shared session)
+    chunked, _ckpt_ids = checkpoint_df(chunked)
     # the checkpoint materialized from the index's internal cache (one
     # source scan total for count + checkpoint); release those blocks now
     for _c in getattr(seq, "_ondine_cached", []):

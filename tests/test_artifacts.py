@@ -113,3 +113,36 @@ def test_quality_classifier_native_persistence(spark, docs, tmp_path):
     ra = {r["doc_id"]: round(r["quality_prob"], 9) for r in a.collect()}
     rb = {r["doc_id"]: round(r["quality_prob"], 9) for r in b.collect()}
     assert ra == rb
+
+
+def test_real_jvm_failure_propagates_for_schemeless_paths(monkeypatch):
+    # A genuine Hadoop-side failure (Py4JJavaError) must RAISE even on a
+    # schemeless path — falling back to driver-local IO would silently
+    # "succeed" onto the wrong filesystem on an HDFS-default cluster
+    from ondine_spark.operators import artifacts as art
+
+    class _FakeJavaErr(art.Py4JJavaError):
+        def __init__(self):
+            Exception.__init__(self, "boom")
+
+    def _boom(spark, path):
+        raise _FakeJavaErr()
+
+    monkeypatch.setattr(art, "_hadoop_fs", _boom)
+    with pytest.raises(art.Py4JJavaError):
+        art._write_text("relative/path.json", "{}", spark=object())
+    with pytest.raises(art.Py4JJavaError):
+        art._read_text("relative/path.json", spark=object())
+
+
+def test_py4j_gap_still_falls_back_local(tmp_path):
+    # a session stub with no working gateway (AttributeError inside
+    # _hadoop_fs) → schemeless paths use plain local IO
+    from ondine_spark.operators.artifacts import load_artifact, save_artifact
+
+    class _NoGateway:
+        pass  # no _jvm attribute
+
+    p = str(tmp_path / "x.json")
+    save_artifact(p, "probe", {"v": 1}, spark=_NoGateway())
+    assert load_artifact(p, expect="probe", spark=_NoGateway()) == {"v": 1}

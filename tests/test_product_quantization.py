@@ -134,3 +134,25 @@ def test_ivfpq_full_probe_equals_pq(spark, emb, books):
     a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
     pp = {(r["query_id"], r["vec_id"]) for r in plain.collect()}
     assert len(a & pp) / len(pp) >= 0.4
+
+
+def test_empty_corpus_raises_descriptive(spark):
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField("embedding", T.ArrayType(T.DoubleType()))]
+    )
+    empty = spark.createDataFrame([], schema)
+    with pytest.raises(ValueError, match="no finite training vectors"):
+        train_pq_codebooks(empty, "embedding", m=2)
+    # all-NaN corpus hits the same contract (finite filter removes all)
+    bad = spark.createDataFrame(
+        [([float("nan")] * 4,), ([float("inf")] * 4,)], schema
+    )
+    with pytest.raises(ValueError, match="no finite training vectors"):
+        train_pq_codebooks(bad, "embedding", m=2)
+
+
+def test_empty_codebooks_rejected(spark, emb):
+    with pytest.raises(ValueError, match="codebooks is empty"):
+        pq_encode(emb, "embedding", [])

@@ -167,3 +167,44 @@ def test_training_is_deterministic(spark, documents):
     )
     assert t1.merges == t2.merges
     assert t1.vocab == t2.vocab
+
+
+def test_py_whitespace_matches_isspace_exactly():
+    from ondine_spark.operators.tokenizer import PY_WHITESPACE
+
+    scan = "".join(chr(i) for i in range(0x110000) if chr(i).isspace())
+    assert PY_WHITESPACE == scan
+
+
+def test_word_counts_unicode_whitespace(spark):
+    # NBSP / NEL / FS are str.split() separators but NOT Java \s — the
+    # JVM counting path must agree with Python pretokenize on them
+    texts = [
+        "foo\xa0bar foo",          # NBSP
+        "baz\x85qux",              # NEL
+        "a\x1cb c",           # FS control char
+        "plain ascii words",
+        "ideographic　space",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    got = {
+        r["word"]: r["count"]
+        for r in word_counts(df, "text", pretokenizer="whitespace").collect()
+    }
+    want = Counter()
+    for t in texts:
+        want.update(pretokenize(t, "whitespace"))
+    assert got == dict(want)
+
+
+def test_roundtrip_when_merge_produces_alphabet_symbol():
+    # '</w>' is an alphabet symbol in whitespace mode AND producible from
+    # merges over '<','/','w','>' — set-difference serialization dropped
+    # it and shifted every vocab id after a save/load round-trip
+    merges = [("<", "/"), ("</", "w"), ("</w", ">")]
+    alphabet = ["<", "/", "w", ">", END_OF_WORD]
+    tok = BpeTokenizer(merges, pretokenizer="whitespace", alphabet=alphabet)
+    assert "</w>" in tok.vocab  # the collision actually occurs
+    clone = BpeTokenizer.from_dict(tok.to_dict())
+    assert clone.vocab == tok.vocab
+    assert clone.encode_ids("</w") == tok.encode_ids("</w")

@@ -42,6 +42,68 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+# --------------------------------------------------------------------------
+# fixed trained artifacts for the PQ / BPE gates. Oracle SQL must be a
+# constant string per gate (the driver replays it over mutated table
+# copies), so the codebooks / merge table cannot be trained from the sf
+# data — they are trained ONCE, deterministically, from sf-independent
+# inputs by the REAL trainers (kmeans_numpy / train_bpe), and both
+# queries() and oracle_sql() read the same constants. Training exactness
+# itself is pytest-gated (test_product_quantization / test_tokenizer
+# parity vs from-scratch reference implementations).
+
+_FIXED_CACHE: dict = {}
+
+
+def _fixed_pq_codebooks(m: int = 4, k: int = 16, dim: int = 64, seed: int = 7):
+    """m sub-quantizer codebooks over unit-normalized gaussian samples —
+    ~1K doubles, literal-sized for the oracle's VALUES table."""
+    if "pq" not in _FIXED_CACHE:
+        import numpy as np
+
+        from ondine_spark.operators.similarity_search import kmeans_numpy
+
+        rng = np.random.RandomState(seed)
+        x = rng.standard_normal((512, dim))
+        x /= np.linalg.norm(x, axis=1, keepdims=True)
+        dsub = dim // m
+        _FIXED_CACHE["pq"] = [
+            [
+                [float(v) for v in row]
+                for row in kmeans_numpy(
+                    x[:, j * dsub:(j + 1) * dsub], k, max_iter=10,
+                    seed=seed + 101 * j,
+                )
+            ]
+            for j in range(m)
+        ]
+    return _FIXED_CACHE["pq"]
+
+
+# the documents corpus vocabulary (with realistic counts) so the learned
+# merges actually fire on the gate's input
+_BPE_WORDS = [
+    ("join", 964), ("hash", 947), ("row", 943), ("batch", 937),
+    ("scan", 936), ("customer", 934), ("column", 934), ("filter", 933),
+    ("small", 928), ("merge", 918), ("slow", 918), ("order", 912),
+    ("vector", 912), ("line", 910), ("data", 908), ("table", 908),
+    ("agg", 901), ("value", 897), ("key", 896), ("stream", 888),
+    ("window", 886), ("spark", 880), ("a", 880), ("group", 878),
+    ("part", 878), ("query", 870), ("sort", 860), ("big", 850),
+    ("fast", 840), ("the", 830), ("e", 10),
+]
+
+
+def _fixed_bpe(num_merges: int = 40):
+    if "bpe" not in _FIXED_CACHE:
+        from ondine_spark.operators.tokenizer import train_bpe
+
+        _FIXED_CACHE["bpe"] = train_bpe(
+            _BPE_WORDS, num_merges=num_merges, pretokenizer="whitespace"
+        )
+    return _FIXED_CACHE["bpe"]
+
+
 def _mock_factory():
     from ondine_spark import DeterministicMockClient
 
@@ -299,28 +361,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def q_winnow_pairs(spark, sf_dir):
+        """Both winnowing implementations in ONE gate (consolidated from
+        two r3 gates to free cap slots): the md5 expression path and the
+        Arrow/numpy polynomial kernel, full-outer-joined per pair. Each
+        side is oracle-replayed EXACTLY — the kernel's two 31-bit
+        polynomial rolling hashes over utf-8 bytes are recomputed in
+        DuckDB byte-for-byte — so this is not a pair-set-overlap proxy.
+        (The two hash families select slightly different window minima,
+        so their pair sets only approximately agree as the corpus grows;
+        the join keeps both truths visible per row.)"""
         from ondine_spark.operators.dedup import winnow_overlap_pairs
 
-        return winnow_overlap_pairs(
-            _docs(spark, sf_dir), "doc_id", "text",
-            k=12, w=8, min_shared=10, max_df=20, impl="expr",
+        kw = dict(k=12, w=8, min_shared=10, max_df=20)
+        expr = winnow_overlap_pairs(
+            _docs(spark, sf_dir), "doc_id", "text", impl="expr", **kw
+        ).select("a", "b", F.col("shared").alias("shared_expr"))
+        fast = winnow_overlap_pairs(
+            _docs(spark, sf_dir), "doc_id", "text", impl="arrow", **kw
+        ).select("a", "b", F.col("shared").alias("shared_fast"))
+        return expr.join(fast, on=["a", "b"], how="full").select(
+            "a", "b",
+            F.coalesce("shared_expr", F.lit(0)).alias("shared_expr"),
+            F.coalesce("shared_fast", F.lit(0)).alias("shared_fast"),
         )
 
-    def q_winnow_pairs_fast(spark, sf_dir):
-        """Arrow/numpy winnowing kernel, oracle-checked EXACTLY: the
-        kernel's two 31-bit polynomial rolling hashes over utf-8 bytes are
-        replayed in the DuckDB oracle (the synthetic corpus is ASCII, so
-        ``ascii(substr(...))`` equals the byte value) — no pair-set
-        agreement proxy, the polynomial fingerprints themselves are
-        compared at any SF. Cross-impl sanity vs the md5 expr path stays
-        in tests/test_winnowing.py (the two hash families select slightly
-        different window minima, so their pair sets only approximately
-        agree as the corpus grows — ~97% overlap at sf0.1)."""
-        from ondine_spark.operators.dedup import winnow_overlap_pairs
+    def q_bpe_word_tokens(spark, sf_dir):
+        """Distributed BPE over the corpus word-TYPE table, fully
+        oracle-checked: ``word_counts`` (the one shuffle BPE training
+        needs — JVM whitespace split with exact str.split() parity) feeds
+        the Arrow-batched encoder (``tokenize_with_bpe``) applied to each
+        word type, with a FIXED deterministically-trained merge table
+        (see _fixed_bpe). The oracle replays greedy BPE as 40 chained
+        leftmost-nonoverlapping pair replacements over a \\x1f-bounded
+        symbol string (rank-order replace-all == greedy lowest-rank,
+        since a merge product can only participate in higher-rank
+        merges) and maps pieces to vocab ids via a literal MAP."""
+        from ondine_spark.operators.tokenizer import (
+            tokenize_with_bpe,
+            word_counts,
+        )
 
-        return winnow_overlap_pairs(
-            _docs(spark, sf_dir), "doc_id", "text",
-            k=12, w=8, min_shared=10, max_df=20, impl="arrow",
+        tok = _fixed_bpe()
+        wc = word_counts(_docs(spark, sf_dir), "text", pretokenizer="whitespace")
+        out = tokenize_with_bpe(wc, "word", tok, out_col="ids", count_col="n_pieces")
+        return out.select(
+            "word",
+            F.col("count").alias("n_occurrences"),
+            "n_pieces",
+            F.aggregate(
+                "ids", F.lit(0).cast("bigint"), lambda a, x: a + x
+            ).alias("ids_sum"),
         )
 
     # ---- dedup ------------------------------------------------------------
@@ -448,6 +538,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return brute.join(ivf, on=["query_id", "rank"])
 
+    def q_pq_codes_adc(spark, sf_dir):
+        """Product quantization, fully oracle-checked with LITERAL
+        codebooks (_fixed_pq_codebooks): ``pq_encode``'s per-subspace
+        nearest-centroid codes for EVERY finite vector (c0..c3), plus
+        ``pq_topk``'s ADC lookup-table scoring for every (query, vector)
+        pair (k = corpus size, so the prereduce path runs but nothing is
+        cut). The oracle recomputes codes as SQL argmin over the VALUES
+        codebook table and ADC as the sum of per-subspace centroid·query
+        dot products. ivfpq_topk(nprobe=nlist) == pq_topk is asserted in
+        tests/test_product_quantization.py, so this gate covers the IVFPQ
+        scoring path too."""
+        from ondine_spark.functions.similarity import finite_vector
+        from ondine_spark.operators.product_quantization import (
+            pq_encode,
+            pq_topk,
+        )
+
+        books = _fixed_pq_codebooks()
+        emb = _emb(spark, sf_dir).filter(finite_vector(F.col("embedding")))
+        coded = pq_encode(emb, "embedding", books)
+        queries_df = emb.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        schema = (
+            "query_id bigint, vec_id bigint, c0 int, c1 int, c2 int, "
+            "c3 int, adc_r double"
+        )
+        if queries_df.limit(1).count() == 0:  # empty-corpus sweep
+            return spark.createDataFrame([], schema)
+        scored = pq_topk(coded, queries_df, k=1 << 30, codebooks=books)
+        codes = coded.select(
+            "vec_id",
+            *[F.col("pq_code")[j].cast("int").alias(f"c{j}") for j in range(4)],
+        )
+        return scored.join(codes, on="vec_id").select(
+            "query_id", "vec_id", "c0", "c1", "c2", "c3",
+            F.round("approx_cos", 6).alias("adc_r"),
+        )
+
     def q_embedding_neardup(spark, sf_dir):
         from ondine_spark.operators.dedup import embedding_neardup_pairs
 
@@ -531,16 +661,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             (F.col("event_type") == "purchase") & (F.col("value") > 50)
         ).select("event_id", "user_id", "value")
 
-    def q_topk_orders(spark, sf_dir):
-        from pyspark.sql import Window
-
-        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-        w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
-        return (
-            orders.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= 20)
-            .select("o_orderkey", "o_totalprice", "rank")
-        )
+    # (the former topk_orders gate — plain window top-20 over orders —
+    # folded into topk_brute_vs_ivf, whose final ranking is the same
+    # row_number window; slot reused for the r3 operator gates)
 
     def q_rrf_fusion(spark, sf_dir):
         from pyspark.sql import Window
@@ -973,7 +1096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ("lang_fingerprints", q_lang_fingerprints),
             ("winnow_fps", q_winnow_fps),
             ("winnow_pairs", q_winnow_pairs),
-            ("winnow_pairs_fast", q_winnow_pairs_fast),
+            ("bpe_word_tokens", q_bpe_word_tokens),
             ("profile_docs", q_profile_docs),
             ("lm_perplexity", q_lm_perplexity),
         ],
@@ -988,6 +1111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ],
         [  # embedding similarity / ANN
             ("topk_brute_vs_ivf", q_topk_brute_vs_ivf),
+            ("pq_codes_adc", q_pq_codes_adc),
             ("embedding_neardup", q_embedding_neardup),
             ("embedding_sim_pairs", q_embedding_sim_pairs),
             ("semantic_clusters", q_semantic_clusters),
@@ -995,7 +1119,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ],
         [  # relational / window / curation
             ("filter_select_events", q_filter_select_events),
-            ("topk_orders", q_topk_orders),
             ("rrf_fusion", q_rrf_fusion),
             ("window_chunking", q_window_chunking),
             ("events_hourly", q_events_hourly),
@@ -1483,41 +1606,49 @@ def oracle_sql() -> dict[str, str]:
                      x -> x % 1000000007)), 0)::BIGINT AS fp_sum
             FROM documents d LEFT JOIN fps f USING (doc_id)
         """,
+        # both winnowing impls in one gate: the md5 expression path and
+        # the Arrow polynomial kernel, each replayed exactly, full-joined
         "winnow_pairs": f"""
-            WITH g AS (
-              SELECT doc_id, lower(text) AS s,
-                     greatest(length(text) - 11, 0) AS p
-              FROM documents
-            ), h AS (
-              SELECT doc_id, p,
-                     list_transform(generate_series(1, p),
-                       i -> {_MD5L.format(x="substr(s, i::INT, 12)")}) AS hs
-              FROM g WHERE p >= 1
-            ), fps AS (
-              SELECT doc_id,
-                CASE WHEN p >= 8
-                  THEN list_distinct(list_transform(
-                         generate_series(1, p - 7),
-                         j -> list_min(hs[j:j+7])))
-                  ELSE [list_min(hs)] END AS fps
-              FROM h
-            ), e AS (
-              SELECT doc_id, unnest(fps) AS fp FROM fps
-            ), fdf AS (
-              SELECT fp, count(*) AS dfc FROM e GROUP BY fp
-            ), kept AS (
-              SELECT e.doc_id, e.fp FROM e JOIN fdf USING (fp)
-              WHERE fdf.dfc <= 20
+            WITH ex AS (
+              WITH g AS (
+                SELECT doc_id, lower(text) AS s,
+                       greatest(length(text) - 11, 0) AS p
+                FROM documents
+              ), h AS (
+                SELECT doc_id, p,
+                       list_transform(generate_series(1, p),
+                         i -> {_MD5L.format(x="substr(s, i::INT, 12)")}) AS hs
+                FROM g WHERE p >= 1
+              ), fps AS (
+                SELECT doc_id,
+                  CASE WHEN p >= 8
+                    THEN list_distinct(list_transform(
+                           generate_series(1, p - 7),
+                           j -> list_min(hs[j:j+7])))
+                    ELSE [list_min(hs)] END AS fps
+                FROM h
+              ), e AS (
+                SELECT doc_id, unnest(fps) AS fp FROM fps
+              ), fdf AS (
+                SELECT fp, count(*) AS dfc FROM e GROUP BY fp
+              ), kept AS (
+                SELECT e.doc_id, e.fp FROM e JOIN fdf USING (fp)
+                WHERE fdf.dfc <= 20
+              )
+              SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS shared
+              FROM kept a JOIN kept b
+                ON a.fp = b.fp AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+              HAVING count(*) >= 10
+            ), fa AS (
+              {_winnow_poly_sql(k=12, w=8, min_shared=10, max_df=20)}
             )
-            SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS shared
-            FROM kept a JOIN kept b
-              ON a.fp = b.fp AND a.doc_id < b.doc_id
-            GROUP BY 1, 2
-            HAVING count(*) >= 10
+            SELECT coalesce(ex.a, fa.a) AS a, coalesce(ex.b, fa.b) AS b,
+                   coalesce(ex.shared, 0)::BIGINT AS shared_expr,
+                   coalesce(fa.shared, 0)::BIGINT AS shared_fast
+            FROM ex FULL JOIN fa ON ex.a = fa.a AND ex.b = fa.b
         """,
-        "winnow_pairs_fast": _winnow_poly_sql(
-            k=12, w=8, min_shared=10, max_df=20
-        ),
+        "bpe_word_tokens": _bpe_word_tokens_sql(),
         "profile_docs": """
             SELECT * FROM (
               SELECT 'doc_id' AS "column", count(*) AS n_rows,
@@ -1578,6 +1709,7 @@ def oracle_sql() -> dict[str, str]:
                    vec_id AS vec_id_ivf, round(cos_sim, 6) AS cos_sim_ivf_r
             FROM ranked WHERE rank <= 5
         """,
+        "pq_codes_adc": _pq_adc_sql(),
         "embedding_sim_pairs": """
             WITH emb AS (
               SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
@@ -1662,11 +1794,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, user_id, value FROM events "
             "WHERE event_type = 'purchase' AND value > 50"
         ),
-        "topk_orders": """
-            SELECT o_orderkey, o_totalprice,
-                   row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey ASC)::INT AS rank
-            FROM orders QUALIFY rank <= 20
-        """,
+
         "rrf_fusion": """
             WITH r1 AS (
               SELECT c_custkey, row_number() OVER (ORDER BY c_acctbal DESC, c_custkey ASC) AS r
@@ -2054,6 +2182,118 @@ def _winnow_poly_sql(k: int, w: int, min_shared: int, max_df: int) -> str:
           ON a.fp = b.fp AND a.doc_id < b.doc_id
         GROUP BY 1, 2
         HAVING count(*) >= {min_shared}
+    """
+
+
+def _pq_adc_sql(m: int = 4, k: int = 16, dim: int = 64) -> str:
+    """Exact oracle for pq_encode + pq_topk ADC scoring with the fixed
+    literal codebooks: per-subspace code = argmin over the VALUES
+    codebook of -2·<sub,c> + |c|² on the L2-normalized vector (ties by
+    centroid id, matching numpy argmin-first), ADC = Σ_j <q_sub_j,
+    centroid_code_j>. Queries are vec_id < 3 of the finite-filtered set,
+    scored against every finite corpus vector (k = corpus size)."""
+    books = _fixed_pq_codebooks(m=m, k=k, dim=dim)
+    dsub = dim // m
+    vals = ",\n".join(
+        f"({j}, {c}, {books[j][c]}::DOUBLE[])"
+        for j in range(m)
+        for c in range(k)
+    )
+    return f"""
+        WITH emb AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+          WHERE embedding IS NOT NULL
+            AND len(list_filter(embedding::DOUBLE[],
+                    x -> x IS NULL OR NOT isfinite(x))) = 0
+        ), nrm AS (
+          -- pq_encode normalizes first (cosine contract); zero vectors
+          -- pass through unscaled (_normalize's where(n==0, 1.0))
+          SELECT vec_id,
+                 CASE WHEN s = 0 THEN v
+                      ELSE list_transform(v, x -> x / s) END AS v
+          FROM (SELECT vec_id, v,
+                       sqrt(list_sum(list_transform(v, x -> x * x))) AS s
+                FROM emb)
+        ), cents(j, cid, c) AS (VALUES {vals}),
+        dists AS (
+          SELECT n.vec_id, ct.j, ct.cid,
+                 -2 * list_sum(list_transform(generate_series(1, {dsub}),
+                       i -> n.v[ct.j * {dsub} + i] * ct.c[i]))
+                 + list_sum(list_transform(ct.c, x -> x * x)) AS dist
+          FROM nrm n CROSS JOIN cents ct
+        ), code AS (
+          SELECT vec_id, j, cid FROM (
+            SELECT vec_id, j, cid,
+                   row_number() OVER (PARTITION BY vec_id, j
+                                      ORDER BY dist ASC, cid ASC) AS rn
+            FROM dists
+          ) WHERE rn = 1
+        ), q AS (
+          SELECT vec_id AS query_id, v AS qv FROM nrm WHERE vec_id < 3
+        ), adc AS (
+          SELECT q.query_id, code.vec_id,
+                 sum(list_sum(list_transform(generate_series(1, {dsub}),
+                       i -> q.qv[code.j * {dsub} + i] * ct.c[i]))) AS approx_cos
+          FROM q CROSS JOIN code
+          JOIN cents ct ON ct.j = code.j AND ct.cid = code.cid
+          GROUP BY 1, 2
+        ), codes_wide AS (
+          SELECT vec_id,
+                 max(CASE WHEN j = 0 THEN cid END)::INT AS c0,
+                 max(CASE WHEN j = 1 THEN cid END)::INT AS c1,
+                 max(CASE WHEN j = 2 THEN cid END)::INT AS c2,
+                 max(CASE WHEN j = 3 THEN cid END)::INT AS c3
+          FROM code GROUP BY vec_id
+        )
+        SELECT adc.query_id, adc.vec_id, w.c0, w.c1, w.c2, w.c3,
+               round(adc.approx_cos, 6) AS adc_r
+        FROM adc JOIN codes_wide w ON adc.vec_id = w.vec_id
+    """
+
+
+def _bpe_word_tokens_sql() -> str:
+    """Exact oracle for word_counts + tokenize_with_bpe with the fixed
+    merge table: words via the str.split() whitespace class, greedy BPE
+    replayed as chained leftmost-nonoverlapping replace() passes over a
+    \x1f-bounded symbol string (equivalent to greedy lowest-rank-first
+    because a merge product only participates in HIGHER-rank merges),
+    piece ids via a literal vocab MAP (unknown pieces -> -1, matching
+    BpeTokenizer.encode_ids)."""
+    from ondine_spark.operators.tokenizer import PY_WHITESPACE
+
+    tok = _fixed_bpe()
+    SEP = "\x1f"  # symbols never contain \x1f: it IS whitespace, so no
+    # word (and no merge product) can carry it — bounding is unambiguous
+    s = (
+        "chr(31) || array_to_string(list_transform("
+        "generate_series(1, length(word)), i -> word[i]), chr(31) || chr(31))"
+        " || chr(31) || chr(31) || '</w>' || chr(31)"
+    )
+    for a, b in tok.merges:
+        pat = SEP + a + SEP + SEP + b + SEP
+        rep = SEP + a + b + SEP
+        s = f"replace({s}, '{pat}', '{rep}')"
+    vocab_keys = ", ".join(f"'{p}'" for p in tok.vocab)
+    vocab_ids = ", ".join(str(i) for i in tok.vocab.values())
+    ws = "".join(PY_WHITESPACE)
+    return f"""
+        WITH words AS (
+          SELECT word, count(*)::BIGINT AS n_occurrences
+          FROM (SELECT unnest(regexp_split_to_array(text, '[{ws}]+')) AS word
+                FROM documents WHERE text IS NOT NULL)
+          WHERE word <> '' GROUP BY 1
+        ), enc AS (
+          SELECT word, n_occurrences,
+                 string_split(trim({s}, chr(31)),
+                              chr(31) || chr(31)) AS pieces
+          FROM words
+        )
+        SELECT word, n_occurrences, len(pieces)::INT AS n_pieces,
+               list_sum(list_transform(pieces,
+                 p -> coalesce(
+                   map_extract(MAP([{vocab_keys}], [{vocab_ids}]), p)[1],
+                   -1)))::BIGINT AS ids_sum
+        FROM enc
     """
 
 

@@ -16,7 +16,7 @@ Deterministic (hash-of-id features, fixed numpy seeds per partition), and
 generated DISTRIBUTED — mapInPandas over a range frame, so the same script
 generates a 10^10-row corpus on a real cluster.
 
-Usage: python tools/gen_scale_data.py [sf] [out_dir] [cluster_frac]
+Usage: python tools/gen_scale_data.py [sf] [out_dir] [cluster_frac] [vocab]
   sf: scale multiplier relative to sf0.1 (default 10 -> "sf1": 50K docs,
       20K embeddings, 1M events)
   cluster_frac: fraction of docs in the near-dup cluster (default 0.1).
@@ -24,6 +24,13 @@ Usage: python tools/gen_scale_data.py [sf] [out_dir] [cluster_frac]
       has a ~1.25B-pair truth set — that is exact-dedup's job upstream,
       not a pair enumerator's; keeping the cluster at the same ABSOLUTE
       size isolates volume scaling from truth-set blowup.
+  vocab: 'fixed' (default — the 40-word vocabulary) or 'heaps'.
+      'heaps' grows the vocabulary with corpus size per Heaps' law
+      (V = 100·sqrt(n_docs); ~22K types at 50K docs, ~71K at 500K) with
+      a Zipf-shaped (log-uniform rank) frequency distribution — the
+      realistic regime for the LSH-linearity proof: the 40-word vocab
+      saturates the shingle space, so MinHash band-bucket occupancy
+      grows with N there (a generator artifact, not an operator one).
 """
 
 from __future__ import annotations
@@ -44,6 +51,25 @@ LANGS = ["en", "de", "fr", "es", "zh"]
 TEMPLATE = VOCAB[:40]  # the near-dup cluster's base text (40 words)
 HOT_PARAGRAPH = " ".join(VOCAB[5:25])  # shared verbatim by 1-in-50 docs
 
+# syllables for synthesizing a Heaps-law vocabulary: word(rank) is the
+# base-24 syllable spelling of the rank — deterministic, distinct, and
+# shingle-diverse (3-gram shingles over these words do not saturate)
+_SYLS = (
+    "ka to ri mu sen da lo vi pe na chu gor mel ti ba ze fu ya qui "
+    "xo bre sta plo drin"
+).split()
+
+
+def _heaps_word(rank: int) -> str:
+    out = []
+    r = rank
+    while True:
+        out.append(_SYLS[r % len(_SYLS)])
+        r //= len(_SYLS)
+        if r == 0:
+            break
+    return "".join(out)
+
 
 def main() -> None:
     mult = float(sys.argv[1]) if len(sys.argv) > 1 else 10.0
@@ -56,6 +82,17 @@ def main() -> None:
     n_events = int(100_000 * mult)
     cluster_frac = float(sys.argv[3]) if len(sys.argv) > 3 else 0.1
     n_cluster = int(n_docs * cluster_frac)
+    vocab_mode = sys.argv[4] if len(sys.argv) > 4 else "fixed"
+    if vocab_mode == "heaps":
+        # Heaps' law V = K·n^beta with K=100, beta=0.5; precompute the
+        # word list once (driver) and ship it in the closure
+        vocab = [_heaps_word(r) for r in range(int(100 * n_docs ** 0.5))]
+    else:
+        vocab = list(VOCAB)
+    template = vocab[:40] if vocab_mode == "heaps" else list(TEMPLATE)
+    hot_paragraph = (
+        " ".join(vocab[5:25]) if vocab_mode == "heaps" else HOT_PARAGRAPH
+    )
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
     from pyspark.sql import SparkSession
@@ -85,17 +122,25 @@ def main() -> None:
                 d = int(d)
                 if d < n_cluster:
                     # near-dup cluster: template with 1-2 perturbed words
-                    words = list(TEMPLATE)
-                    words[d % len(words)] = VOCAB[(d * 7) % len(VOCAB)]
+                    words = list(template)
+                    words[d % len(words)] = vocab[(d * 7) % len(vocab)]
                     if d % 3 == 0:
-                        words[(d * 5) % len(words)] = VOCAB[(d * 11) % len(VOCAB)]
+                        words[(d * 5) % len(words)] = vocab[(d * 11) % len(vocab)]
                     texts.append(" ".join(words))
                 else:
                     n = 20 + (d * 2654435761 % 41)  # 20-60 words
-                    idx = rng.randint(0, len(VOCAB), size=n)
-                    body = " ".join(VOCAB[i] for i in idx)
+                    if vocab_mode == "heaps":
+                        # Zipf-shaped ranks: log-uniform over [0, V) puts
+                        # most mass on the head, a long tail of rare types
+                        u = rng.rand(n)
+                        idx = np.minimum(
+                            (len(vocab) ** u).astype("int64"), len(vocab) - 1
+                        )
+                    else:
+                        idx = rng.randint(0, len(vocab), size=n)
+                    body = " ".join(vocab[i] for i in idx)
                     if d % 50 == 0:  # hot shared paragraph
-                        body = f"{body}\n\n{HOT_PARAGRAPH}\n\n{body[: len(body) // 2]}"
+                        body = f"{body}\n\n{hot_paragraph}\n\n{body[: len(body) // 2]}"
                     texts.append(body)
                 langs.append(LANGS[d % len(LANGS)])
                 sources.append(f"src{d % 20}")

@@ -1924,12 +1924,16 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, string_split(page, chr(10) || chr(10)) AS l
               FROM t
             ), ps AS (
-              SELECT doc_id, l,
-                     unnest(generate_series(1, len(l))) AS pos
+              -- struct-list + unnest, NOT unnest(generate_series) with the
+              -- list in the row set: the latter replicates the full
+              -- per-doc list onto every expanded row and OOMs at 500K docs
+              SELECT doc_id,
+                     unnest(list_transform(generate_series(1, len(l)),
+                       p -> struct_pack(pos := p, para := l[p]))) AS u
               FROM s
             ), paras AS (
-              SELECT doc_id, pos, l[pos] AS para,
-                     trim(lower(l[pos])) AS norm
+              SELECT doc_id, u.pos AS pos, u.para AS para,
+                     trim(lower(u.para)) AS norm
               FROM ps
             ), ranked AS (
               SELECT doc_id, pos, para, length(norm) AS ln,
@@ -1959,11 +1963,13 @@ def oracle_sql() -> dict[str, str]:
                      regexp_extract_all(lower(trim(spage)), '\\S+') AS wl
               FROM st
             ), wins AS (
-              SELECT doc_id, i - 1 AS strt,
-                     {_MD5L.format(x="array_to_string(list_slice(wl, i, i + 7), ' ')")} AS h
-              FROM (SELECT doc_id, wl,
-                           unnest(generate_series(1, greatest(len(wl) - 7, 0)))
-                             AS i
+              SELECT doc_id, u.strt AS strt, u.h AS h
+              FROM (SELECT doc_id,
+                           unnest(list_transform(
+                             generate_series(1, greatest(len(wl) - 7, 0)),
+                             i -> struct_pack(strt := i - 1,
+                               h := {_MD5L.format(x="array_to_string(list_slice(wl, i, i + 7), ' ')")})))
+                             AS u
                     FROM stok)
             ), marked AS (
               SELECT doc_id, strt,
@@ -1991,9 +1997,10 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, min(s) AS s, max(e) AS e
               FROM isl2 GROUP BY doc_id, grp
             ), toks2 AS (
-              SELECT doc_id, pos - 1 AS pos, w[pos] AS tok
-              FROM (SELECT doc_id, w,
-                           unnest(generate_series(1, len(w))) AS pos
+              SELECT doc_id, u.pos AS pos, u.tok AS tok
+              FROM (SELECT doc_id,
+                           unnest(list_transform(generate_series(1, len(w)),
+                             p -> struct_pack(pos := p - 1, tok := w[p]))) AS u
                     FROM stok)
             ), skept AS (
               SELECT tk.doc_id, tk.pos, tk.tok FROM toks2 tk

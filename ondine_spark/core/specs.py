@@ -156,6 +156,11 @@ class ProcessingSpec:
     # with_disk_cache/with_redis_cache: identical requests = $0 cost);
     # parquet dir, see ondine_spark/llm/memo.py
     memo_path: str | None = None
+    # O14: executor-side sampled per-call events — every Nth provider
+    # call per partition (plus the first) ships a sanitized event dict to
+    # the driver over a list accumulator, emitted as kind 'llm_call'
+    # after each action. None = off. See observability.py.
+    call_event_sample: int | None = None
 
 
 @dataclass

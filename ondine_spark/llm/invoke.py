@@ -202,6 +202,7 @@ def invoke_llm(
     prompt_col: str = "prompt",
     system_message: str | None = None,
     call_counter=None,
+    call_events=None,
 ) -> DataFrame:
     """Append response columns to ``df`` by invoking the LLM per row.
 
@@ -211,6 +212,13 @@ def invoke_llm(
     ``call_counter`` — optional Spark accumulator incremented once per API
     call actually issued (BASELINE.md's "API calls = ceil(N/batch_size)"
     check reads this).
+
+    ``call_events`` — optional list-valued accumulator
+    (observability.make_call_event_accumulator): when
+    ``proc.call_event_sample`` is set, every Nth call per partition (plus
+    the first, hard-capped per partition) appends a SANITIZED event dict
+    — prompt replaced by its sha digest worker-side, so raw text never
+    leaves the executor. The driver drains it into the dispatcher.
     """
     from ondine_spark.llm.providers import client_factory_for
 
@@ -239,6 +247,7 @@ def invoke_llm(
     out_schema = T.StructType(list(df.schema.fields) + RESPONSE_FIELDS)
 
     adaptive = proc.adaptive_concurrency
+    event_every = proc.call_event_sample if call_events is not None else None
 
     redis_url = proc.redis_rate_limit_url
     model_scope = llm.model or "default"
@@ -284,9 +293,47 @@ def invoke_llm(
                 if limiter is not None:
                     limiter.release(time.monotonic() - t0, throttled)
 
+        n_seen = 0  # per-partition call index for event sampling
+        n_emitted = 0
+
+        def sample_events(prompts, results):
+            # from the single generator thread (same reason as the
+            # counter below); scrub worker-side before accumulating
+            nonlocal n_seen, n_emitted
+            from ondine_spark.observability import (
+                CALL_EVENT_PARTITION_CAP,
+                sanitize_prompt,
+            )
+
+            batch = []
+            for p, r in zip(prompts, results):
+                idx = n_seen
+                n_seen += 1
+                if idx % event_every:
+                    continue
+                if n_emitted >= CALL_EVENT_PARTITION_CAP:
+                    break
+                n_emitted += 1
+                batch.append(
+                    {
+                        "prompt": sanitize_prompt(p),
+                        "model": r[3],
+                        "tokens_in": r[1],
+                        "tokens_out": r[2],
+                        "latency_ms": r[5],
+                        "error": r[6],
+                        "call_index": idx,
+                    }
+                )
+            if batch:
+                call_events.add(batch)
+
         try:
             for pdf in batches:
-                results = list(pool.map(one, pdf[prompt_col].tolist()))
+                prompts = pdf[prompt_col].tolist()
+                results = list(pool.map(one, prompts))
+                if event_every:
+                    sample_events(prompts, results)
                 if call_counter is not None:
                     # count from the single generator thread: Python
                     # accumulator .add is a plain read-modify-write, so

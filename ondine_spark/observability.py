@@ -388,3 +388,47 @@ class EventDispatcher:
                 obs.on_event(ev)
             except Exception:  # observer failures never kill the run
                 log.exception("observer %r failed", obs)
+
+
+# ------------------------------------------------------------------------
+# executor-side sampled per-call events (reference events.py per-call
+# taxonomy). Observers live on the DRIVER; the LLM calls happen inside
+# Arrow workers — the bridge is a list-valued Spark accumulator: workers
+# append small sanitized event dicts (sampled, per-partition capped), the
+# driver drains the accumulator after each action and feeds the
+# dispatcher. Prompts are scrubbed WORKER-side (sanitize_prompt digest),
+# so raw text never crosses the accumulator channel.
+
+# hard per-partition cap — the accumulator rides the task-status channel,
+# so the payload must stay small no matter what sample rate is configured
+CALL_EVENT_PARTITION_CAP = 50
+
+
+try:
+    from pyspark.accumulators import AccumulatorParam as _AccumBase
+except Exception:  # pragma: no cover - spark-free import
+    _AccumBase = object
+
+
+class _ListAccumulatorParam(_AccumBase):
+    def zero(self, value):
+        return []
+
+    def addInPlace(self, a, b):
+        a.extend(b)
+        return a
+
+
+def make_call_event_accumulator(sc):
+    """A list-valued accumulator for sampled call events."""
+    return sc.accumulator([], _ListAccumulatorParam())
+
+
+def drain_call_events(acc, dispatcher, run_id=None) -> int:
+    """Emit every accumulated sampled call event (kind 'llm_call') and
+    reset the accumulator; returns the number emitted. Driver-side."""
+    events = list(acc.value)
+    acc.value = []
+    for ev in events:
+        dispatcher.emit("llm_call", run_id=run_id, **ev)
+    return len(events)

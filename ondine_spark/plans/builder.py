@@ -154,6 +154,18 @@ class PipelineBuilder:
         self._spec.processing.observers.append(observer)
         return self
 
+    def with_call_event_sampling(self, every_n: int = 100):
+        """O14 depth: sampled PER-CALL events from inside the executors —
+        every Nth provider call per partition (plus the first) emits a
+        sanitized event (latency, tokens, error class, prompt digest; raw
+        prompt text is scrubbed worker-side) to the observers as kind
+        'llm_call'. The sample ships over a capped list accumulator, so
+        the channel stays small at any corpus size."""
+        if every_n < 1:
+            raise ValueError("every_n must be >= 1")
+        self._spec.processing.call_event_sample = int(every_n)
+        return self
+
     # ----------------------------------------------------------------- llm
     def with_llm(self, model: str, *, input_cost_per_1k=None,
                  output_cost_per_1k=None, max_tokens=None, temperature=None):

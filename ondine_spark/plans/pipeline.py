@@ -68,6 +68,7 @@ class Pipeline:
         self.spec = spec
         self.spark = spark or SparkSession.getActiveSession() or _default_session()
         self._call_counter = None
+        self._call_events = None  # sampled per-call event accumulator
         self._persisted: list[DataFrame] = []
         # (invoked frame still carrying _memo_key, memo path) pairs awaiting
         # write-back — flushed by execute()/the chunked runner AFTER the
@@ -141,6 +142,12 @@ class Pipeline:
         # is cumulative for the pipeline object
         if self._call_counter is None:
             self._call_counter = self.spark.sparkContext.accumulator(0)
+        if self._call_events is None and spec.processing.call_event_sample:
+            from ondine_spark.observability import make_call_event_accumulator
+
+            self._call_events = make_call_event_accumulator(
+                self.spark.sparkContext
+            )
         if spec.prompt.batch_size > 1:
             # The prompt frame is consumed three times in this branch: the
             # global-index count pass, the batch-assembly pass, and the
@@ -181,6 +188,7 @@ class Pipeline:
         kw = dict(
             system_message=spec.prompt.system_message,
             call_counter=self._call_counter,
+            call_events=self._call_events,
         )
         memo_path = spec.processing.memo_path
         if not memo_path:
@@ -345,6 +353,12 @@ class Pipeline:
                 error=f"{type(e).__name__}: {e}"[:500],
             )
             raise
+        if self._call_events is not None:
+            from ondine_spark.observability import drain_call_events
+
+            drain_call_events(
+                self._call_events, dispatcher, spec.processing.session_id
+            )
         dispatcher.emit(
             "pipeline_end", run_id=spec.processing.session_id,
             rows=result.stats.rows,

@@ -178,6 +178,13 @@ def iter_chunks(
                 rows_processed=summary.resumed_rows + summary.total_rows,
                 cumulative_cost=str(spent),
             ))
+            # executor-side sampled per-call events: drain per committed
+            # chunk so observers see them as the run progresses, not only
+            # at the end (observability.drain_call_events)
+            if getattr(pipeline, "_call_events", None) is not None:
+                from ondine_spark.observability import drain_call_events
+
+                drain_call_events(pipeline._call_events, dispatcher, sid)
             dispatcher.emit(
                 "chunk_committed", run_id=sid, chunk_id=cid,
                 rows=agg["n"], cumulative_cost=str(spent),

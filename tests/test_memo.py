@@ -150,3 +150,32 @@ def test_memo_across_chunks(spark, tmp_path):
     # 4 distinct prompts total; intra-chunk dedup + cross-chunk memo means
     # exactly 4 provider calls for the whole run
     assert _calls(cf) == 4
+
+
+def test_memo_at_mega_batch_granularity(spark, tmp_path):
+    """Memo x mega-batch economics: the memo keys whatever hits the
+    provider, so with batch_size=5 a second run whose BATCHES half-overlap
+    the first must only invoke the fresh batches, at exactly the fresh
+    batches' cost."""
+    memo = str(tmp_path / "memo")
+    cf = str(tmp_path / "calls.txt")
+    res1 = _build(spark, _rows(0, 20), memo, cf, batch_size=5).execute()
+    assert res1.api_calls == 4  # ceil(20/5)
+    assert _calls(cf) == 4
+    cost1 = res1.stats.total_cost
+    assert cost1 > Decimal(0)
+
+    # second run: rows 10-29 -> batches [10-14],[15-19] are byte-identical
+    # aggregated prompts (memo hits), [20-24],[25-29] are fresh
+    res2 = _build(spark, _rows(10, 30), memo, cf, batch_size=5).execute()
+    assert res2.api_calls == 2, "overlapping batches must come from the memo"
+    assert _calls(cf) == 6
+    rows = {r["review_id"]: r["sentiment"] for r in res2.data.collect()}
+    assert len(rows) == 20 and all(v == "positive" for v in rows.values())
+
+    # third run, full overlap: zero calls, zero cost
+    res3 = _build(spark, _rows(10, 30), memo, cf, batch_size=5).execute()
+    assert res3.api_calls == 0
+    assert _calls(cf) == 6
+    assert res3.stats.total_cost == Decimal(0)
+    assert res3.quality.valid_rows == 20

@@ -253,3 +253,71 @@ def test_metrics_observer_error_counter():
     m.on_event(PipelineEvent(kind="error", run_id="r",
                              payload={"error": "ValueError: nope"}))
     assert m.snapshot()['ondine_errors_total{type="ValueError"}'] == 1.0
+
+
+def test_sampled_call_events_from_chunked_run(spark, tmp_path):
+    """Executor-side per-call events: a real chunked run with
+    with_call_event_sampling must deliver sanitized 'llm_call' events
+    (sampled inside the Arrow workers, shipped over the accumulator,
+    drained per committed chunk) — with the raw prompt scrubbed."""
+    from ondine_spark.observability import CollectingObserver
+    from ondine_spark.streaming.runner import iter_chunks
+
+    sink = CollectingObserver()
+    rows = [{"id": f"{i}", "review": f"review {i} is great"} for i in range(60)]
+    p = (
+        PipelineBuilder(spark)
+        .from_dataframe(spark.createDataFrame(rows), ["review"], id_column="id")
+        .with_prompt("Classify: {review}", ["sentiment"])
+        .with_custom_llm_client(mock_client_factory())
+        .with_checkpoint_dir(str(tmp_path / "ckpt"), "obs-chunked")
+        .with_observer(sink)
+        .with_call_event_sampling(every_n=5)
+        .build()
+    )
+    committed = list(iter_chunks(p, chunk_size=20))
+    assert len(committed) == 3
+
+    kinds = [e.kind for e in sink.events]
+    calls = [e for e in sink.events if e.kind == "llm_call"]
+    assert calls, f"no llm_call events in {kinds}"
+    # every ~5th call sampled: 60 calls -> ~12 events (per-partition
+    # phase makes the exact count layout-dependent; at least 1 per chunk)
+    assert len(calls) >= 3
+    for e in calls:
+        assert e.payload["prompt"].startswith("<sanitized-"), e.payload
+        assert "review" not in e.payload["prompt"]
+        assert e.payload["error"] is None
+        assert e.payload["tokens_in"] > 0
+        assert e.run_id == "obs-chunked"
+    # drained per chunk: llm_call events appear before the LAST
+    # chunk_committed, not only at stream end
+    last_commit = max(i for i, k in enumerate(kinds) if k == "chunk_committed")
+    assert any(k == "llm_call" for k in kinds[:last_commit])
+
+
+def test_sampled_call_events_execute_and_cap(spark):
+    """execute() drains the accumulator too, and the per-partition cap
+    bounds the channel even at every_n=1."""
+    from ondine_spark.observability import (
+        CALL_EVENT_PARTITION_CAP,
+        CollectingObserver,
+    )
+
+    sink = CollectingObserver()
+    rows = [{"id": f"{i}", "review": f"note {i}"} for i in range(40)]
+    p = (
+        PipelineBuilder(spark)
+        .from_dataframe(spark.createDataFrame(rows), ["review"], id_column="id")
+        .with_prompt("Label: {review}", ["label"])
+        .with_custom_llm_client(mock_client_factory())
+        .with_observer(sink)
+        .with_call_event_sampling(every_n=1)
+        .build()
+    )
+    res = p.execute()
+    assert res.quality.valid_rows == 40
+    calls = [e for e in sink.events if e.kind == "llm_call"]
+    n_parts = spark.sparkContext.defaultParallelism
+    assert 1 <= len(calls) <= CALL_EVENT_PARTITION_CAP * max(n_parts, 8)
+    assert all(e.payload["prompt"].startswith("<sanitized-") for e in calls)

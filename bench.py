@@ -33,9 +33,15 @@ BENCH_QUERIES = [
     "minhash_sigs",
     "simhash_pairs",
     "dup_clusters",
+    # round 4: the two winnow gates merged into one oracle gate; the bench
+    # keeps timing each implementation separately (bench-local fns below)
+    # so the history keys stay comparable across rounds
     "winnow_pairs",
     "winnow_pairs_fast",
     "topk_brute_vs_ivf",
+    # round 4: the newly oracle-gated operators
+    "pq_codes_adc",
+    "bpe_word_tokens",
     # round 3: per-bucket BLAS verify (was 22x slower via per-pair exprs
     # on skewed data) — benched so regressions in the kernel path surface
     "embedding_neardup",
@@ -53,6 +59,19 @@ BENCH_QUERIES = [
     "revenue_by_nation",
     "rrf_fusion",
 ]
+
+
+def _q_winnow(impl):
+    def q(spark, sf_dir):
+        from ondine_spark.operators.dedup import winnow_overlap_pairs
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return winnow_overlap_pairs(
+            docs, "doc_id", "text", k=12, w=8, min_shared=10, max_df=20,
+            impl=impl,
+        )
+
+    return q
 
 
 def _q_ivfpq_topk(spark, sf_dir):
@@ -118,6 +137,8 @@ def main() -> None:
 
     qs = dict(entry.queries())
     qs["ivfpq_topk"] = _q_ivfpq_topk
+    qs["winnow_pairs"] = _q_winnow("expr")
+    qs["winnow_pairs_fast"] = _q_winnow("arrow")
     # JVM + python-worker warmup so the first timed query isn't charged for
     # it: the mapInPandas no-op spins up the full Arrow worker pool (one
     # Python interpreter per core, pandas/pyarrow imported) before timing

@@ -227,6 +227,36 @@ def main() -> int:
           and "LessThan(ts" in pushed.group(1),
           (pushed.group(1)[:100] if pushed else "no PushedFilters"))
 
+    # 7. PQ path (r4 gate pq_codes_adc): the encode is a zero-exchange
+    # Arrow pass, and the ADC scoring plan never cross-joins the corpus
+    # (queries ship in the UDF closure; the ranking shuffle carries the
+    # prereduced rows only)
+    from ondine_spark.operators.product_quantization import pq_encode, pq_topk
+
+    books4 = [[[0.1 * (c + j + d) for d in range(16)] for c in range(4)]
+              for j in range(4)]
+    coded = pq_encode(emb, "embedding", books4)
+    plan = plan_of(coded)
+    n_exchange = len(re.findall(r"\(\d+\) Exchange\b", plan))
+    check("pq.encode.zero_shuffle", n_exchange == 0, f"{n_exchange} exchanges")
+    plan = plan_of(pq_topk(coded, queries, k=3, codebooks=books4))
+    check("pq.adc.no_cartesian",
+          "CartesianProduct" not in plan
+          and "BroadcastNestedLoopJoin" not in plan)
+
+    # 8. BPE word-type counting (r4 gate bpe_word_tokens): the shuffle
+    # carries word TYPES with a map-side partial aggregate, and the scan
+    # reads only the text column
+    from ondine_spark.operators.tokenizer import word_counts
+
+    docs_raw = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = plan_of(word_counts(docs_raw, "text", pretokenizer="whitespace"))
+    read = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    cols = {c.split(":")[0] for c in read.group(1).split(",")} if read else set()
+    check("bpe.word_counts.partial_agg", "partial_count" in plan
+          or "HashAggregate" in plan)
+    check("bpe.word_counts.text_only_scan", cols == {"text"}, str(cols))
+
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     return 1 if failures else 0
 

@@ -22,7 +22,7 @@ import __spark_entry__ as entrymod
 from tools.gen_unicode_data import mutate
 
 # the gates the unicode probe originally broke
-GATES = ["preprocess_truncate", "mm_meta_hist", "mm_frames", "winnow_pairs_fast"]
+GATES = ["preprocess_truncate", "mm_meta_hist", "mm_frames", "winnow_pairs"]
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",

@@ -1705,8 +1705,13 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC)::INT AS rank
               FROM scored
             )
-            SELECT query_id, rank, vec_id, round(cos_sim, 6) AS cos_sim_r,
-                   vec_id AS vec_id_ivf, round(cos_sim, 6) AS cos_sim_ivf_r
+            -- "+ 0" after every signed-value round(): duckdb's round keeps
+            -- the IEEE sign, so round(-1e-9, 6) = -0.0 and formats as '-0',
+            -- while Spark's F.round goes through BigDecimal (no signed zero)
+            -- and always yields +0.0. Adding 0 normalizes (-0.0 + 0 = +0.0).
+            -- Caught at sf10h: 5 of 600K ADC scores were tiny negatives.
+            SELECT query_id, rank, vec_id, round(cos_sim, 6) + 0 AS cos_sim_r,
+                   vec_id AS vec_id_ivf, round(cos_sim, 6) + 0 AS cos_sim_ivf_r
             FROM ranked WHERE rank <= 5
         """,
         "pq_codes_adc": _pq_adc_sql(),
@@ -1718,7 +1723,7 @@ def oracle_sql() -> dict[str, str]:
                    round(
                      list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i]))
                      / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
-                        * sqrt(list_sum(list_transform(b.v, x -> x * x)))), 6) AS cos_sim_r
+                        * sqrt(list_sum(list_transform(b.v, x -> x * x)))), 6) + 0 AS cos_sim_r
             FROM emb a JOIN emb b ON a.vec_id < b.vec_id
             WHERE list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i]))
                   / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
@@ -1787,7 +1792,7 @@ def oracle_sql() -> dict[str, str]:
               FROM assigned a JOIN assigned b
                 ON a.cell = b.cell AND a.vec_id < b.vec_id
             )
-            SELECT a, b, cell, round(cs, 6) AS cos_sim_r
+            SELECT a, b, cell, round(cs, 6) + 0 AS cos_sim_r
             FROM pairs WHERE cs >= 0.35
         """,
         "filter_select_events": (
@@ -2071,7 +2076,7 @@ def oracle_sql() -> dict[str, str]:
             {_ngram_cosine_core_sql("spark window query join", 2048)}
             SELECT coalesce(b.doc_id, n.doc_id) AS doc_id,
                    round(b.score, 6) AS bm25_r,
-                   round(n.score, 6) AS cos_r
+                   round(n.score, 6) + 0 AS cos_r
             FROM bm25 b FULL JOIN ncos n ON b.doc_id = n.doc_id
         """,
         "kb_hybrid_rrf": _hybrid_rrf_sql("spark window query join", 2048),
@@ -2253,7 +2258,7 @@ def _pq_adc_sql(m: int = 4, k: int = 16, dim: int = 64) -> str:
           FROM code GROUP BY vec_id
         )
         SELECT adc.query_id, adc.vec_id, w.c0, w.c1, w.c2, w.c3,
-               round(adc.approx_cos, 6) AS adc_r
+               round(adc.approx_cos, 6) + 0 AS adc_r
         FROM adc JOIN codes_wide w ON adc.vec_id = w.vec_id
     """
 
@@ -2524,7 +2529,7 @@ def _embedding_neardup_sql(
                    j -> ea.v[j] * eb.v[j]))
                  / (sqrt(list_sum(list_transform(ea.v, x -> x * x)))
                     * sqrt(list_sum(list_transform(eb.v, x -> x * x)))),
-                 6) AS cos_sim_r
+                 6) + 0 AS cos_sim_r
         FROM cand
         JOIN emb ea ON ea.vec_id = a
         JOIN emb eb ON eb.vec_id = b

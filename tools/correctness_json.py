@@ -49,6 +49,14 @@ def main() -> None:
     con.execute(
         f"PRAGMA temp_directory='{tempfile.mkdtemp(prefix='duck_spill_')}'"
     )
+    # DuckDB's default memory_limit is 80% of PHYSICAL RAM, blind to the
+    # 48g Spark JVM sharing the box — the big-gate oracles (10M-row asof/
+    # range digests, the paragraph explode) then die with a bad-alloc
+    # instead of spilling. An explicit cap makes DuckDB spill to the temp
+    # dir the moment it nears the budget that is actually free.
+    con.execute(
+        f"SET memory_limit='{os.environ.get('DUCKDB_MEM', '40GB')}'"
+    )
     for t in TABLES:
         path = f"{sf_dir}/{t}.parquet"
         if os.path.isdir(os.path.realpath(path)):

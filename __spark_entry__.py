@@ -104,6 +104,17 @@ def _fixed_bpe(num_merges: int = 40):
     return _FIXED_CACHE["bpe"]
 
 
+# quality_margin gate weights: the REAL classifier
+# (operators/quality_classifier.py — RegexTokenizer -> HashingTF uni+bi
+# at 256 features -> LogisticRegression) trained once on the public
+# sf0.001 documents with Gopher-rule labels (tools/gen_quality_coefs.py)
+# and quantized to 1e-6 integers. Frozen literals so the DuckDB oracle
+# replays the EXACT same weights; integer margins are flip-proof under
+# any summation order (unlike the float dot + sigmoid).
+_QUALITY_INTERCEPT_Q = -34808486
+_QUALITY_COEFS_Q = [518733, 523758, 0, 0, 0, 0, 158000, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 592995, 0, 0, 0, 462598, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 245542, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 828359, 0, 0, 37780, 0, 0, 0, 0, 0, 0, 0, 0, 0, 456973, 0, 0, 0, 0, 0, 0, 0, 0, 509819, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1227758, 0, 0, 0, 0, 0, 0, 765108, 0, 0, 0, 1493725, 127178, 0, 0, 0, 0, 0, 0, 711478, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, -103218, 0, 57916, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1750256, 0, 745635, 0, 0, 0, 0, 408747, 295570, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1020781, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 666808, 0, 0, 0, 717220, 0, 0, 0, 0, -133452, 0, 0, 0, 197554, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 743201, 621278, 0, 0, 0, 585001, 0, 0, 0, 406339, 0, -177719, -484001, -342083, 0, 863436, -216017, 713979, 0, -463554, 329867, 386893, 444668, -73585, 72420, 503396, -107064, -543336, 202302, 179892, -378704, -790504, -302579, 547890, -47764, 493890, 53987, -677509, 471649, 150570, -254325, -105019, 397451, 92034, -16003, -130821, -90647, 265684, 393778, -415403, 486481, 490304, 473777, 0, 101670, 275552, 244373, 271463, -15306, -36374, 481566, 628920, 0, -88029, 303039, -208211, 694172, 37266, 0, -559901, 324909, 88252, 347620, 99540, 422673, -378479, -421007, 191114, -529566, 0, 207292, 703771, -158282, -13394, 601129, 170079, 343291, 434291, -305747, 37779, -273201, -398944, 502898, -203649, 149642, -289333, -683001, -73786, 236232, 38717, 465025, -533203, -178673, -171955, 782709, -34304, 104709, 65488, -200024, 395402, 37227, -168149, -22208, -104941, 521531, 158496, -82088, 106188, 174867, 538766, -616904, 329691, -212696, -111242, 413580, 475200, -160304, 87196, 134668, 66735, -20003, 88447, 0, -136326, 0, -413760, 329089, 224131, 399825, -204435, 290741, -169463, -19473, 141097, 196970, 3295, -350651, -267876, 17617, 150597, 522696, 184073, 392366, 36204, -68783, 94955, 223467, -134630, 718597, -127399, -165706, -279897, 167705, 109230, 121380, 258634, 162193, -95950, -229648, 334649, 162625, 122614, 127791, -164497, 144557, -115444, -235098, 606538, 133598, 0, 28070, 240686, 149764, -167714, 413895, 70497, 679902, -125225, 485503, 595109, -342156, 64139, -767542, -153432, -141382, -541594, 98828, -258444, 67807, -21570, 646422, -12100, 246512, 286890, 234617, -179881, -68514, 460869, 743374, 441721, 193747, -120083, -156452, -181884, 185212, 207918, -205292, -35895, -52633, 39945, -331646, 681101, 391334, 63537, -17525, 259889, 334121, 278108, -533416, 497953, 82236, 432114, 264289, 31824, -85771, 756610, 280291, -252526, 11550, 107433, -308745, -33424, -234660, 109052, -304920, -118541, -26445, -524906, -278310, 379155, 763548, 469789, 178898, 510944, 212994, -167925, -114550, 402873, 125096, 395721, 485127, 64862, 147975, 616757, 41241, 303958, -312083]
+
+
 def _mock_factory():
     from ondine_spark import DeterministicMockClient
 
@@ -621,17 +632,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("cos_sim", 6).alias("cos_sim_r"),
         )
 
-    def q_embedding_sim_pairs(spark, sf_dir):
-        emb = _emb(spark, sf_dir)
-        a = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("_va"))
-        b = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("_vb"))
-        pairs = (
-            a.crossJoin(b)
-            .filter(F.col("a") < F.col("b"))
-            .select("a", "b", cosine(F.col("_va"), F.col("_vb")).alias("cos_sim"))
-            .filter(F.col("cos_sim") >= 0.5)
-        )
-        return pairs.select("a", "b", F.round("cos_sim", 6).alias("cos_sim_r"))
+    def q_quality_margin(spark, sf_dir):
+        """Learned quality classifier, oracle-gated on its scoring path:
+        the REAL featurization stages (null guard -> RegexTokenizer ->
+        HashingTF uni+bigram at 256 features -> VectorAssembler) with the
+        frozen 1e-6-quantized weights of a model trained by
+        tools/gen_quality_coefs.py, scored via exact BIGINT arithmetic
+        (linear_margin). The oracle replays murmur3 bucketing bit-for-bit
+        in SQL (_mm3_sgn_ctes) — the first full HashingTF replay, the
+        integer-math sibling of the HUGEINT minhash gate. L-BFGS TRAINING
+        is the one non-SQL-expressible part (pytest-covered)."""
+        from ondine_spark.operators.quality_classifier import linear_margin
+
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        return linear_margin(
+            docs, "text", _QUALITY_COEFS_Q, _QUALITY_INTERCEPT_Q,
+            num_features=256, use_bigrams=True,
+        ).select("doc_id", "n_tok", "margin_q")
 
     # ---- relational / window / streaming-parity ops ------------------------
 
@@ -1099,6 +1116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ("bpe_word_tokens", q_bpe_word_tokens),
             ("profile_docs", q_profile_docs),
             ("lm_perplexity", q_lm_perplexity),
+            ("quality_margin", q_quality_margin),
         ],
         [  # dedup
             ("dedup_exact", q_dedup_exact),
@@ -1113,7 +1131,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ("topk_brute_vs_ivf", q_topk_brute_vs_ivf),
             ("pq_codes_adc", q_pq_codes_adc),
             ("embedding_neardup", q_embedding_neardup),
-            ("embedding_sim_pairs", q_embedding_sim_pairs),
             ("semantic_clusters", q_semantic_clusters),
             ("semantic_dup_pairs", q_semantic_dup_pairs),
         ],
@@ -1715,20 +1732,7 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE rank <= 5
         """,
         "pq_codes_adc": _pq_adc_sql(),
-        "embedding_sim_pairs": """
-            WITH emb AS (
-              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-            )
-            SELECT a.vec_id AS a, b.vec_id AS b,
-                   round(
-                     list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i]))
-                     / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
-                        * sqrt(list_sum(list_transform(b.v, x -> x * x)))), 6) + 0 AS cos_sim_r
-            FROM emb a JOIN emb b ON a.vec_id < b.vec_id
-            WHERE list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i]))
-                  / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
-                     * sqrt(list_sum(list_transform(b.v, x -> x * x)))) >= 0.5
-        """,
+        "quality_margin": _quality_margin_sql(),
         "semantic_clusters": f"""
             WITH emb AS (
               -- null/non-finite embeddings can't seed or belong to a cell
@@ -2194,6 +2198,121 @@ def _winnow_poly_sql(k: int, w: int, min_shared: int, max_df: int) -> str:
           ON a.fp = b.fp AND a.doc_id < b.doc_id
         GROUP BY 1, 2
         HAVING count(*) >= {min_shared}
+    """
+
+
+def _mm3_sgn_ctes() -> str:
+    """murmur3_x86_32(seed 42) over each token's UTF-8 bytes, bit-exact
+    with Spark ML's HashingTF (``Murmur3_x86_32.hashUnsafeBytes2``:
+    4-byte little-endian blocks fully mixed, then the remaining bytes
+    accumulated LE and mixed ONCE — no per-byte mixing — then fmix with
+    the total length). Verified token-for-token against
+    ``HashingTF.indexOf`` including multi-byte UTF-8.
+
+    CTE chain from ``dw(w)`` to ``sgn(w, h32)`` where h32 is the SIGNED
+    32-bit hash. HUGEINT for the 32x32-bit multiplies (BIGINT
+    overflows); explicit parens around shifts (duckdb gives <<, >> and |
+    one precedence class, so ``x << r | x >> s`` would parse as
+    ``((x << r) | x) >> s``)."""
+    M = 4294967295
+
+    def mul(x, c):
+        return f"((({x})::HUGEINT * {c}) % 4294967296)::BIGINT"
+
+    def rotl(x, r):
+        return f"(((({x}) << {r}) | (({x}) >> {32 - r})) & {M})"
+
+    def mixk1(k):
+        return mul(rotl(mul(k, 3432918353), 15), 461845907)
+
+    blocks = (
+        "list_transform(generate_series(1, len(b) // 4), i -> "
+        "b[4*i-3] + b[4*i-2] * 256 + b[4*i-1] * 65536 + b[4*i] * 16777216)"
+    )
+    hx = f"xor(h, {mixk1('kk')})"
+    body_lambda = f"(h, kk) -> (({rotl(hx, 13)} * 5 + 3864292196) & {M})"
+    tailk = (
+        "coalesce(list_sum(list_transform(generate_series(1, len(b) % 4), "
+        "j -> b[4*(len(b)//4) + j] << (8*(j-1)))), 0)"
+    )
+    return f"""
+        byt AS (
+          SELECT w, list_transform(generate_series(1, octet_length(encode(w))),
+                   i -> ('0x' || substring(hex(encode(w)), 2*i-1, 2))::BIGINT) AS b
+          FROM dw
+        ), hb AS (
+          SELECT w, b,
+                 list_reduce(list_prepend(42::BIGINT, {blocks}),
+                             {body_lambda}) AS h_body,
+                 {tailk} AS tail_k
+          FROM byt
+        ), ht AS (
+          SELECT w, b, xor(h_body, {mixk1('tail_k')}) AS h_tail FROM hb
+        ), f0 AS (SELECT w, b, xor(h_tail, len(b)) AS f_a FROM ht
+        ), f1 AS (SELECT w, b, {mul('xor(f_a, f_a >> 16)', 2246822507)} AS f_b FROM f0
+        ), f2 AS (SELECT w, b, {mul('xor(f_b, f_b >> 13)', 3266489909)} AS f_c FROM f1
+        ), fin AS (SELECT w, xor(f_c, f_c >> 16) AS h32u FROM f2
+        ), sgn AS (
+          SELECT w, CASE WHEN h32u >= 2147483648
+                         THEN h32u - 4294967296 ELSE h32u END AS h32
+          FROM fin
+        )"""
+
+
+def _quality_margin_sql(num_features: int = 256) -> str:
+    """Exact oracle for ``linear_margin`` with the frozen quantized
+    classifier weights: tokens via lower + ``\\W+`` split (RegexTokenizer
+    semantics, ASCII word class in both Java and RE2, empties dropped by
+    minTokenLength=1), HashingTF buckets via the murmur3 replay
+    (``_mm3_sgn_ctes``), bigrams joined with a single space (NGram),
+    margin = intercept + Σ tf·coef over a VALUES table of the NONZERO
+    quantized coefficients — all integer arithmetic, so the value-hash
+    cannot flip on summation order. Buckets: unigram b, bigram 256+b
+    (VectorAssembler concatenation order)."""
+    coefs = _QUALITY_COEFS_Q
+    icp = _QUALITY_INTERCEPT_Q
+    nz = ",\n".join(
+        f"({b}, {c})" for b, c in enumerate(coefs) if c
+    )
+    return f"""
+        WITH d AS (
+          SELECT doc_id, coalesce(text, '') AS t FROM documents
+        ), tok AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(t), '\\W+'),
+                             x -> length(x) >= 1) AS ws
+          FROM d
+        ), uni AS (
+          SELECT doc_id, unnest(ws) AS w FROM tok
+        ), big AS (
+          SELECT doc_id,
+                 unnest(list_transform(
+                   generate_series(1, greatest(len(ws) - 1, 0)),
+                   i -> ws[i] || ' ' || ws[i+1])) AS w
+          FROM tok
+        ), inst AS (
+          SELECT doc_id, 0 AS sp, w FROM uni
+          UNION ALL SELECT doc_id, 1 AS sp, w FROM big
+        ), wc AS (
+          SELECT doc_id, sp, w, count(*) AS tf FROM inst GROUP BY ALL
+        ), dw AS (
+          SELECT DISTINCT w FROM wc
+        ), {_mm3_sgn_ctes()},
+        bk AS (
+          SELECT w, ((h32 % {num_features}) + {num_features})
+                    % {num_features} AS bkt
+          FROM sgn
+        ), cf(cbkt, cq) AS (VALUES {nz}),
+        contrib AS (
+          SELECT wc.doc_id, sum(wc.tf * cf.cq) AS s
+          FROM wc
+          JOIN bk ON wc.w = bk.w
+          JOIN cf ON cf.cbkt = wc.sp * {num_features} + bk.bkt
+          GROUP BY wc.doc_id
+        )
+        SELECT t.doc_id, len(t.ws)::INT AS n_tok,
+               ({icp} + coalesce(c.s, 0))::BIGINT AS margin_q
+        FROM tok t LEFT JOIN contrib c ON c.doc_id = t.doc_id
     """
 
 

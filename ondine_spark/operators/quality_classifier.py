@@ -22,10 +22,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _pipeline(text_col: str, num_features: int, reg_param: float,
-              max_iter: int, use_bigrams: bool):
-    from pyspark.ml import Pipeline
-    from pyspark.ml.classification import LogisticRegression
+def _feature_stages(text_col: str, num_features: int, use_bigrams: bool):
+    """The stateless featurization stages (null-guard -> tokenize ->
+    hash [-> bigram hash -> assemble]) shared by training, scoring and
+    the oracle-gateable ``linear_margin``. Returns (stages, feature_col)."""
     from pyspark.ml.feature import (
         HashingTF,
         NGram,
@@ -70,6 +70,16 @@ def _pipeline(text_col: str, num_features: int, reg_param: float,
         feat = "_qc_features"
     else:
         feat = feature_cols[0]
+    return stages, feat
+
+
+def _pipeline(text_col: str, num_features: int, reg_param: float,
+              max_iter: int, use_bigrams: bool):
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import LogisticRegression
+
+    stages, feat = _feature_stages(text_col, num_features, use_bigrams)
+    stages = list(stages)
     stages.append(
         LogisticRegression(
             featuresCol=feat, labelCol="_qc_label",
@@ -79,6 +89,59 @@ def _pipeline(text_col: str, num_features: int, reg_param: float,
         )
     )
     return Pipeline(stages=stages)
+
+
+def linear_margin(
+    df: DataFrame,
+    text_col: str,
+    coefficients_q,
+    intercept_q: int,
+    num_features: int,
+    use_bigrams: bool = True,
+    out_col: str = "margin_q",
+    tokens_col: str | None = "n_tok",
+) -> DataFrame:
+    """Integer-exact linear score through the SAME featurization stages
+    the trained classifier uses (null guard -> RegexTokenizer ->
+    HashingTF [-> NGram -> HashingTF -> assemble]), with 1e-6-quantized
+    BIGINT weights:
+
+        margin_q = intercept_q + Σ_b tf_b · coefficients_q[b]
+
+    summed in exact integer arithmetic, so the value is reproducible
+    bit-for-bit by any engine that replays the murmur3 bucketing — this
+    is the oracle-gateable twin of ``score_quality`` (whose float dot +
+    sigmoid is NOT stable under summation-order changes). Quantize a
+    fitted model with ``int(round(c * 1e6))`` per coefficient; sign and
+    ranking agreement with the float margin is pytest-asserted.
+
+    Scale shape: pure JVM projection over the hashed counts — no
+    shuffle, no Python; identical scan cost to ``score_quality``."""
+    coefs = [int(c) for c in coefficients_q]
+    expect = num_features * (2 if use_bigrams else 1)
+    if len(coefs) != expect:
+        raise ValueError(
+            f"coefficients_q has {len(coefs)} entries, expected {expect} "
+            f"(num_features={num_features}, use_bigrams={use_bigrams})"
+        )
+    from pyspark.ml.functions import vector_to_array
+
+    stages, feat = _feature_stages(text_col, num_features, use_bigrams)
+    out = df
+    for st in stages:
+        out = st.transform(out)
+    arr = vector_to_array(F.col(feat))
+    coef_arr = F.array(*[F.lit(c).cast("long") for c in coefs])
+    margin = F.aggregate(
+        F.zip_with(arr, coef_arr, lambda v, c: v.cast("long") * c),
+        F.lit(int(intercept_q)).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    keep = list(df.columns)
+    cols = keep + [margin.alias(out_col)]
+    if tokens_col:
+        cols.append(F.size("_qc_words").alias(tokens_col))
+    return out.select(*cols)
 
 
 def train_quality_classifier(

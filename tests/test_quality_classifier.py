@@ -122,3 +122,73 @@ def test_classifier_null_text_safe(spark):
     assert len(out) == 6
     # null and empty text score identically (both featurize to nothing)
     assert out[0] == pytest.approx(out[3])
+
+
+def test_linear_margin_matches_model_raw_margin(spark, labeled):
+    """linear_margin with 1e-6-quantized weights from a fitted model
+    reproduces the model's raw decision value to within the quantization
+    bound — the integer path is the oracle-gateable twin of the float
+    scoring, not a different function."""
+    from pyspark.ml.functions import vector_to_array
+
+    from ondine_spark.operators.quality_classifier import linear_margin
+
+    nf = 256
+    model = train_quality_classifier(
+        labeled, "text", "label", num_features=nf, max_iter=15,
+    )
+    lr = model.stages[-1]
+    coefs_q = [int(round(c * 1_000_000)) for c in lr.coefficients.toArray()]
+    icp_q = int(round(lr.intercept * 1_000_000))
+
+    sample = labeled.limit(40)
+    got = {
+        r["id"]: (r["margin_q"], r["n_tok"])
+        for r in linear_margin(
+            sample, "text", coefs_q, icp_q, num_features=nf,
+        ).collect()
+    }
+    raw = {
+        r["id"]: (r["raw"][1], r["ntok"])
+        for r in model.transform(sample)
+        .select(
+            "id", vector_to_array("_qc_raw").alias("raw"),
+            F.size("_qc_words").alias("ntok"),
+        )
+        .collect()
+    }
+    assert set(got) == set(raw)
+    for i in got:
+        margin_q, n_tok = got[i]
+        # quantization error: 0.5e-6 per nonzero term + intercept; with
+        # uni+bigram terms bounded by 2*n_tok occurrences
+        bound = (2 * n_tok + 1) * 0.6e-6 + 1e-9
+        assert margin_q / 1e6 == pytest.approx(raw[i][0], abs=bound)
+        assert n_tok == raw[i][1]
+
+
+def test_linear_margin_null_and_empty_text(spark):
+    """Null and empty text featurize to nothing: margin == intercept,
+    n_tok == 0 (the null guard lives in the shared feature stages)."""
+    from ondine_spark.operators.quality_classifier import linear_margin
+
+    df = spark.createDataFrame(
+        [(0, None), (1, ""), (2, "the the")], "id int, text string"
+    )
+    coefs = [7] * 512
+    out = {
+        r["id"]: (r["margin_q"], r["n_tok"])
+        for r in linear_margin(df, "text", coefs, 1000, 256).collect()
+    }
+    assert out[0] == (1000, 0)
+    assert out[1] == (1000, 0)
+    # "the the": one distinct unigram twice + one bigram = 3 hits of 7
+    assert out[2] == (1000 + 21, 2)
+
+
+def test_linear_margin_rejects_bad_coef_length(spark):
+    from ondine_spark.operators.quality_classifier import linear_margin
+
+    df = spark.createDataFrame([(0, "x")], "id int, text string")
+    with pytest.raises(ValueError, match="expected 512"):
+        linear_margin(df, "text", [1, 2, 3], 0, 256)

@@ -257,6 +257,23 @@ def main() -> int:
           or "HashAggregate" in plan)
     check("bpe.word_counts.text_only_scan", cols == {"text"}, str(cols))
 
+    # 9. quality classifier scoring (r4 gate quality_margin): the whole
+    # tokenize -> murmur3-hash -> integer-margin path must stay a pure
+    # JVM projection — zero exchanges, no Python workers in the plan
+    from ondine_spark.operators.quality_classifier import linear_margin
+
+    plan = plan_of(
+        linear_margin(
+            docs_raw.select("doc_id", "text"), "text",
+            [1] * 512, 0, num_features=256,
+        )
+    )
+    n_exchange = len(re.findall(r"\(\d+\) Exchange\b", plan))
+    check("quality.margin.zero_shuffle", n_exchange == 0, f"{n_exchange} exchanges")
+    check("quality.margin.jvm_only",
+          "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+          and "MapInPandas" not in plan)
+
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     return 1 if failures else 0
 

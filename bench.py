@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     # round 4: the newly oracle-gated operators
     "pq_codes_adc",
     "bpe_word_tokens",
+    "quality_margin",
     # round 3: per-bucket BLAS verify (was 22x slower via per-pair exprs
     # on skewed data) — benched so regressions in the kernel path surface
     "embedding_neardup",

@@ -134,8 +134,6 @@ class Pipeline:
                     (F.col(c).isNotNull()) & (F.col(c) != ""),
                     F.concat(F.lit("Context:\n"), F.col(c), F.lit("\n\n"), p),
                 ).otherwise(p)
-        df = df.withColumn("prompt", p)
-        df = self._apply_stages(df, "after_prompt")
         # created once per Pipeline, not per plan build: the auto-retry
         # pass builds a second plan through here, and replacing the
         # accumulator would zero the count of the main pass — api_calls
@@ -148,16 +146,44 @@ class Pipeline:
             self._call_events = make_call_event_accumulator(
                 self.spark.sparkContext
             )
-        if spec.prompt.batch_size > 1:
-            # The prompt frame is consumed three times in this branch: the
+        has_after_prompt = any(
+            pos == "after_prompt" for pos, _ in spec.processing.stages
+        )
+        if spec.prompt.batch_size > 1 and not has_after_prompt:
+            # The frame is consumed three times in this branch: the
             # global-index count pass, the batch-assembly pass, and the
-            # keep-columns join below. Persist it ONCE here (the count pass
+            # row join below. Persist it ONCE here (the count pass
             # materializes the cache) so the source is scanned a single
             # time per run — at 100 TB the re-scan was the biggest
             # avoidable cost in the batched spine. Released in execute();
             # lazy consumers fall back to Spark's LRU eviction.
+            #
+            # The persist happens BEFORE the prompt projection: the
+            # rendered prompt is consumed exactly once (batch assembly),
+            # so rendering it on top of the cache costs one projection
+            # that the count pass prunes away entirely, while keeping
+            # the prompt strings OUT of the cached blocks — measured
+            # ~0.25 s (~40%) of the cache-materialize cost at 100K rows.
+            # The cache pins partition layout and intra-partition order,
+            # so the global index computed above it is stable across the
+            # count and assembly passes. (With user after_prompt stages
+            # the prompt column must exist eagerly — fallback below.)
             from pyspark import StorageLevel
 
+            base = df.persist(StorageLevel.MEMORY_AND_DISK)
+            self._persisted.append(base)
+            batches = aggregate_batches(
+                base.withColumn("prompt", p),
+                spec.prompt.batch_size, persist=False,
+            )
+            invoked = self._invoke(batches)
+            responses = disaggregate_batches(invoked)
+            out = base.join(responses, on=ROW_ID, how="left")
+        elif spec.prompt.batch_size > 1:
+            from pyspark import StorageLevel
+
+            df = df.withColumn("prompt", p)
+            df = self._apply_stages(df, "after_prompt")
             df = df.persist(StorageLevel.MEMORY_AND_DISK)
             self._persisted.append(df)
             batches = aggregate_batches(
@@ -168,6 +194,8 @@ class Pipeline:
             keep = [c for c in df.columns if c != "prompt"]
             out = df.select(*keep).join(responses, on=ROW_ID, how="left")
         else:
+            df = df.withColumn("prompt", p)
+            df = self._apply_stages(df, "after_prompt")
             out = self._invoke(df).drop("prompt")
         if self._cached_responses is not None:
             out = out.unionByName(self._cached_responses, allowMissingColumns=True)

@@ -351,3 +351,67 @@ def test_repeated_build_is_idempotent(spark):
         assert not isinstance(client.base, StructuredOutputClient)
     rows = p2.result_frame().select("id", "label").collect()
     assert len(rows) == 3
+
+
+def test_after_prompt_stage_with_batching(spark):
+    """A user after_prompt stage forces the eager-prompt persist path
+    (the lazy pre-prompt persist can't see prompt mutations); the stage's
+    rewrite must reach the provider inside the mega-batch."""
+    from ondine_spark import PipelineBuilder
+
+    def echo_factory():
+        from decimal import Decimal
+
+        from ondine_spark.llm.client import LLMResult
+
+        class C:
+            model = "mock"
+
+            def complete(self, prompt, system=None):
+                import json
+
+                # each staged per-row prompt is an "input" item inside the
+                # mega-prompt; answer "ok" only if the stage's suffix is
+                # there — the assertion travels with the response
+                start = prompt.index("INPUT:\n") + 7
+                end = prompt.index("\n\nCRITICAL")
+                items = json.loads(prompt[start:end])
+                text = json.dumps(
+                    [
+                        {
+                            "id": it["id"],
+                            "result": "ok"
+                            if it["input"].endswith(" STAGED") else "missing",
+                        }
+                        for it in items
+                    ]
+                )
+                return LLMResult(
+                    text=text, tokens_in=1, tokens_out=1,
+                    model="mock", cost=Decimal("0"),
+                )
+
+        return C()
+
+    df = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(10)], ["id", "txt"]
+    )
+    p = (
+        PipelineBuilder(spark)
+        .from_dataframe(df, ["txt"], id_column="id")
+        .with_prompt("{txt}", ["out"])
+        .with_custom_llm_client(echo_factory)
+        .with_batch_size(5)
+        .with_stage(
+            lambda d: d.withColumn(
+                "prompt", F.concat(F.col("prompt"), F.lit(" STAGED"))
+            ),
+            position="after_prompt",
+        )
+        .build()
+    )
+    rows = p.result_frame().collect()
+    assert len(rows) == 10
+    # "ok" only flows back when the stage's suffix reached the provider
+    # inside every mega-prompt item
+    assert all(r["out"] == "ok" for r in rows)

@@ -107,45 +107,37 @@ def with_global_index(
     return out
 
 
-def _mega_prompt_expr(items_json, n):
-    """JVM concat reproducing the reference's batch prompt format
+def _mega_prompt_sql(items_json_sql: str, n_sql: str) -> str:
+    """SQL-string concat reproducing the reference's batch prompt format
     (json_batch_strategy.py:80-99) — braces and wording kept identical so a
-    deterministic mock client (and the oracle) can recognize it."""
-    n_str = n.cast("string")
-    return F.concat(
-        F.lit("Process these "), n_str,
-        F.lit(" items and return a JSON array.\n\nINPUT:\n"),
-        items_json,
-        F.lit(
-            "\n\nCRITICAL OUTPUT REQUIREMENTS:\n"
-            "1. Return a JSON array with "
-        ),
-        n_str,
-        F.lit(
-            " objects\n"
-            '2. Each object must have "id" (number) and "result" (string, '
-            "object, or number) fields\n"
-            "3. IDs must match the input IDs (1 to "
-        ),
-        n_str,
-        F.lit(
-            ")\n"
-            "4. Return ONLY the JSON array, no explanations or markdown\n\n"
-            "OUTPUT FORMAT:\n"
-            "[\n"
-            '  {"id": 1, "result": "your result here"},\n'
-            '  {"id": 2, "result": {"nested": "json object"}},\n'
-            "  ...\n"
-            '  {"id": '
-        ),
-        n_str,
-        F.lit(', "result": "your result here"}\n]\n\nJSON Array:'),
+    deterministic mock client (and the oracle) can recognize it. Built as
+    ONE parseable SQL expression instead of a 12-call ``F.concat`` chain:
+    plan construction is pure py4j latency, paid per run AND per chunk in
+    chunked mode, so the whole expression ships as a single string
+    (byte-parity with the previous Column form is pinned by
+    test_batching_sql_exprs)."""
+    n = f"CAST({n_sql} AS STRING)"
+    return (
+        f"concat('Process these ', {n}, "
+        f"' items and return a JSON array.\\n\\nINPUT:\\n', {items_json_sql}, "
+        f"'\\n\\nCRITICAL OUTPUT REQUIREMENTS:\\n"
+        f"1. Return a JSON array with ', {n}, ' objects\\n"
+        f'2. Each object must have "id" (number) and "result" (string, '
+        f"object, or number) fields\\n"
+        f"3. IDs must match the input IDs (1 to ', {n}, ')\\n"
+        f"4. Return ONLY the JSON array, no explanations or markdown\\n\\n"
+        f"OUTPUT FORMAT:\\n[\\n"
+        f'  {{"id": 1, "result": "your result here"}},\\n'
+        f'  {{"id": 2, "result": {{"nested": "json object"}}}},\\n'
+        f"  ...\\n"
+        f'  {{"id": \', {n}, \', "result": "your result here"}}\\n'
+        f"]\\n\\nJSON Array:')"
     )
 
 
 def aggregate_batches(
     df: DataFrame, batch_size: int, prompt_col: str = "prompt",
-    persist: bool = True,
+    persist: bool = True, seq_col: str | None = None,
 ) -> DataFrame:
     """A1: rows → one row per batch with ``prompt`` = mega-prompt and
     ``_row_ids`` = array of member row ids (position-aligned with batch ids
@@ -160,36 +152,49 @@ def aggregate_batches(
     the saved count job is nearly free against the cached input.)
 
     Pass ``persist=False`` when the caller already cached ``df`` (the
-    pipeline does — the prompt frame also feeds the keep-columns join)."""
+    pipeline does — the prompt frame also feeds the keep-columns join).
+
+    Pass ``seq_col`` when the caller ALREADY has a contiguous 0-based
+    index on the frame (the chunked runner does: every chunk inherits a
+    rebased slice of the run-level global index) — this skips
+    ``with_global_index``'s per-partition count job entirely, which at
+    1000 chunks is 1000 fewer driver-blocking jobs. The column must be
+    contiguous from 0 for exact ceil(N/batch_size) call counts."""
     if batch_size <= 1:
         raise ValueError("batch_size must be > 1 for aggregation")
-    seq = with_global_index(df, persist=persist)
-    cached = getattr(seq, "_ondine_cached", [])
-    seq = seq.withColumn(BATCH_ID, (F.col("_seq") / batch_size).cast("long"))
+    if seq_col is None:
+        seq = with_global_index(df, persist=persist)
+        cached = getattr(seq, "_ondine_cached", [])
+        seq_col = "_seq"
+    else:
+        seq = df
+        cached = []
+    # One parsed expression per projection: plan construction here is
+    # pure py4j latency paid per run and per chunk (the previous
+    # Column-chain form was ~430 round trips ≈ 0.2 s per plan build;
+    # byte-parity pinned by test_batching_sql_exprs).
     items = (
-        seq.groupBy(BATCH_ID)
+        seq.selectExpr(
+            f"CAST(`{seq_col}` / {batch_size} AS LONG) AS {BATCH_ID}",
+            f"`{seq_col}` AS _seq",
+            ROW_ID,
+            f"`{prompt_col}` AS _p",
+        )
+        .groupBy(BATCH_ID)
         .agg(
-            F.array_sort(
-                F.collect_list(
-                    F.struct(F.col("_seq"), F.col(ROW_ID),
-                             F.col(prompt_col).alias("p"))
-                )
+            F.expr(
+                f"array_sort(collect_list(struct(_seq, {ROW_ID}, _p)))"
             ).alias("_items")
         )
     )
-    ids_json = F.to_json(
-        F.transform(
-            "_items",
-            lambda x, i: F.struct(
-                (i + 1).cast("int").alias("id"), x["p"].alias("input")
-            ),
-        )
+    ids_json_sql = (
+        "to_json(transform(_items, (x, i) -> "
+        "struct(CAST(i + 1 AS INT) AS id, x._p AS input)))"
     )
-    n = F.size("_items")
-    out = items.select(
-        F.col(BATCH_ID),
-        F.expr(f"transform(_items, x -> x.{ROW_ID})").alias("_row_ids"),
-        _mega_prompt_expr(ids_json, n).alias(prompt_col),
+    out = items.selectExpr(
+        BATCH_ID,
+        f"transform(_items, x -> x.{ROW_ID}) AS _row_ids",
+        _mega_prompt_sql(ids_json_sql, "size(_items)") + f" AS `{prompt_col}`",
     )
     out._ondine_cached = cached
     return out
@@ -284,27 +289,24 @@ def disaggregate_batches(batch_df: DataFrame) -> DataFrame:
             [parse_batch_response(r, int(k)) for r, k in zip(resp, n)]
         )
 
-    n = F.size("_row_ids")
+    # selectExpr keeps plan construction to a handful of py4j calls (the
+    # Column-chain form was ~515 round trips per plan build — paid per
+    # chunk in chunked mode); the pandas UDF column itself can't live in
+    # a SQL string, so it's attached with one withColumn first.
+    n = F.expr("size(_row_ids)")
     parsed = batch_df.withColumn("_results", parse(F.col("response_text"), n))
-    exploded = parsed.select(
-        F.col(BATCH_ID),
-        F.col("error"),
-        F.col("tokens_in"),
-        F.col("tokens_out"),
-        F.col("cost"),
-        F.col("latency_ms"),
-        F.col("resp_model"),
-        F.posexplode(F.arrays_zip("_row_ids", "_results")).alias("_pos", "_z"),
+    exploded = parsed.selectExpr(
+        BATCH_ID, "error", "tokens_in", "tokens_out", "cost", "latency_ms",
+        "resp_model",
+        "posexplode(arrays_zip(_row_ids, _results)) AS (_pos, _z)",
     )
     zcols = exploded.select("_z.*").columns  # arrays_zip field names
-    return exploded.select(
-        F.col(BATCH_ID),
-        F.col(f"_z.{zcols[0]}").alias(ROW_ID),
-        F.col(f"_z.{zcols[1]}").alias("response_text"),
-        F.when(F.col("_pos") == 0, F.col("tokens_in")).otherwise(F.lit(0)).alias("tokens_in"),
-        F.when(F.col("_pos") == 0, F.col("tokens_out")).otherwise(F.lit(0)).alias("tokens_out"),
-        F.when(F.col("_pos") == 0, F.col("cost")).otherwise(F.lit(None).cast("decimal(38,18)")).alias("cost"),
-        F.col("latency_ms"),
-        F.col("resp_model"),
-        F.col("error"),
+    return exploded.selectExpr(
+        BATCH_ID,
+        f"_z.`{zcols[0]}` AS {ROW_ID}",
+        f"_z.`{zcols[1]}` AS response_text",
+        "IF(_pos = 0, tokens_in, 0) AS tokens_in",
+        "IF(_pos = 0, tokens_out, 0) AS tokens_out",
+        "IF(_pos = 0, cost, CAST(NULL AS decimal(38,18))) AS cost",
+        "latency_ms", "resp_model", "error",
     )

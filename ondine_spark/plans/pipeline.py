@@ -85,9 +85,21 @@ class Pipeline:
                 df = df.withColumn(c, clean(F.col(c).cast("string")))
         return self._apply_stages(df, "after_load")
 
-    def response_frame(self, df: DataFrame | None = None, resume: bool = True) -> DataFrame:
-        """Input rows → rows + response columns (pre-parse)."""
+    def response_frame(
+        self, df: DataFrame | None = None, resume: bool = True,
+        seq_col: str | None = None,
+    ) -> DataFrame:
+        """Input rows → rows + response columns (pre-parse).
+
+        ``seq_col`` names a contiguous 0-based index column the caller
+        already computed (the chunked runner rebases the run-level global
+        index per chunk) — the batched path then skips its per-chunk
+        count job. Only valid with ``resume=False``: the resume anti-join
+        would puncture the contiguity the batch grouping relies on for
+        exact ceil(N/batch_size) call counts."""
         spec = self.spec
+        if seq_col is not None and resume:
+            raise ValueError("seq_col requires resume=False")
         if df is None:
             df = self.input_frame()
         if resume and spec.processing.session_id and spec.processing.checkpoint_dir:
@@ -174,7 +186,7 @@ class Pipeline:
             self._persisted.append(base)
             batches = aggregate_batches(
                 base.withColumn("prompt", p),
-                spec.prompt.batch_size, persist=False,
+                spec.prompt.batch_size, persist=False, seq_col=seq_col,
             )
             invoked = self._invoke(batches)
             responses = disaggregate_batches(invoked)
@@ -187,16 +199,20 @@ class Pipeline:
             df = df.persist(StorageLevel.MEMORY_AND_DISK)
             self._persisted.append(df)
             batches = aggregate_batches(
-                df, spec.prompt.batch_size, persist=False
+                df, spec.prompt.batch_size, persist=False, seq_col=seq_col,
             )
             invoked = self._invoke(batches)
             responses = disaggregate_batches(invoked)
-            keep = [c for c in df.columns if c != "prompt"]
+            keep = [
+                c for c in df.columns if c != "prompt" and c != seq_col
+            ]
             out = df.select(*keep).join(responses, on=ROW_ID, how="left")
         else:
             df = df.withColumn("prompt", p)
             df = self._apply_stages(df, "after_prompt")
             out = self._invoke(df).drop("prompt")
+        if seq_col is not None:
+            out = out.drop(seq_col)
         if self._cached_responses is not None:
             out = out.unionByName(self._cached_responses, allowMissingColumns=True)
         return out

@@ -150,11 +150,22 @@ def iter_chunks(
                 chunks_total=int(n_chunks),
                 rows_total=min(chunk_size, n_rows - cid * chunk_size),
             )
-            chunk = chunked.filter(F.col("_chunk") == cid).drop("_seq", "_chunk")
+            # rebase the run-level global index to 0 within the chunk and
+            # hand it to the pipeline: the batched spine then skips its
+            # per-chunk count job (one fewer driver-blocking job per chunk
+            # — at 1000 chunks that's 1000 saved jobs), and batch grouping
+            # stays exactly ceil(chunk_rows / batch_size)
+            chunk = (
+                chunked.filter(F.col("_chunk") == cid)
+                .drop("_chunk")
+                .withColumn("_seq", F.col("_seq") - (cid * chunk_size))
+            )
             # persist: the chunk is consumed by two actions (durable write +
             # stats aggregate) — without it the second action would re-invoke
             # the LLM for every row
-            responses = pipeline.response_frame(chunk, resume=False).persist()
+            responses = pipeline.response_frame(
+                chunk, resume=False, seq_col="_seq"
+            ).persist()
             # commit this chunk's responses durably BEFORE touching the next
             write_responses(responses, ckpt, sid)
             agg = responses.agg(

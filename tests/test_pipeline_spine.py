@@ -435,3 +435,124 @@ def test_auto_retry_with_resume_checkpoint(spark, tmp_path):
     assert got2 == got
     assert res2.quality.skipped_cells == 0
     assert sum(1 for _ in open(calls)) == n_calls_run1
+
+
+def test_batching_sql_exprs(spark):
+    """The r4 selectExpr rewrite of the batching projections must be
+    byte-identical to the Column-chain form it replaced (the mock client,
+    the DuckDB oracle, and the reference's parser all pattern-match the
+    mega-prompt text). The old form is rebuilt inline here as the pin."""
+    from pyspark.sql import functions as F
+
+    from ondine_spark.operators.batching import aggregate_batches
+
+    rows = [
+        ("a", 'quote " and \\ backslash'),
+        ("b", "newline\nand\ttab"),
+        ("c", "unicode é中文  sep"),
+        ("d", "braces {x} [y] 'single'"),
+        ("e", "plain"),
+    ]
+    # one partition in row order so both constructions group identically —
+    # the comparison is about prompt TEXT, not batch membership
+    df = spark.createDataFrame(rows, ["_row_id", "prompt"]).coalesce(1)
+    got = aggregate_batches(df, 2).select("prompt").collect()
+
+    # ---- the pre-r4 Column-chain construction, verbatim
+    seq_df = df.selectExpr(
+        "_row_id", "prompt",
+        "row_number() over (order by _row_id) - 1 as _seq",
+    )
+    items = (
+        seq_df.withColumn("_batch_id", (F.col("_seq") / 2).cast("long"))
+        .groupBy("_batch_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("_seq"), F.col("_row_id"),
+                             F.col("prompt").alias("p"))
+                )
+            ).alias("_items")
+        )
+    )
+    ids_json = F.to_json(
+        F.transform(
+            "_items",
+            lambda x, i: F.struct(
+                (i + 1).cast("int").alias("id"), x["p"].alias("input")
+            ),
+        )
+    )
+    n = F.size("_items")
+    n_str = n.cast("string")
+    old_expr = F.concat(
+        F.lit("Process these "), n_str,
+        F.lit(" items and return a JSON array.\n\nINPUT:\n"),
+        ids_json,
+        F.lit("\n\nCRITICAL OUTPUT REQUIREMENTS:\n1. Return a JSON array with "),
+        n_str,
+        F.lit(
+            ' objects\n2. Each object must have "id" (number) and "result" '
+            "(string, object, or number) fields\n3. IDs must match the input IDs (1 to "
+        ),
+        n_str,
+        F.lit(
+            ")\n4. Return ONLY the JSON array, no explanations or markdown\n\n"
+            "OUTPUT FORMAT:\n[\n"
+            '  {"id": 1, "result": "your result here"},\n'
+            '  {"id": 2, "result": {"nested": "json object"}},\n'
+            '  ...\n  {"id": '
+        ),
+        n_str,
+        F.lit(', "result": "your result here"}\n]\n\nJSON Array:'),
+    )
+    want = items.select(old_expr.alias("prompt")).collect()
+    assert sorted(r["prompt"] for r in got) == sorted(r["prompt"] for r in want)
+
+
+def test_aggregate_batches_seq_col_skips_index(spark, monkeypatch):
+    """With a caller-supplied contiguous index, aggregate_batches must not
+    re-derive one (the chunked runner relies on this to avoid a count job
+    per chunk) and must keep exact ceil(N/b) grouping."""
+    import math
+
+    from ondine_spark.operators import batching
+
+    def boom(*a, **k):
+        raise AssertionError("with_global_index must not run when seq_col given")
+
+    monkeypatch.setattr(batching, "with_global_index", boom)
+    df = spark.range(57).selectExpr(
+        "cast(id as string) as _row_id", "id as _myseq",
+        "concat('p', id) as prompt",
+    ).repartition(5)
+    batches = batching.aggregate_batches(df, 10, seq_col="_myseq")
+    sizes = sorted(
+        (r["n"] for r in batches.selectExpr("size(_row_ids) as n").collect()),
+        reverse=True,
+    )
+    assert len(sizes) == math.ceil(57 / 10)
+    assert sizes[:-1] == [10] * (len(sizes) - 1) and sum(sizes) == 57
+
+
+def test_chunked_batched_calls_exact(spark, tmp_path):
+    """Chunked + batched: total api calls must be exactly
+    sum over chunks of ceil(chunk_rows / batch_size) — the seq-passthrough
+    rebase must keep per-chunk grouping contiguous from 0."""
+    from ondine_spark.streaming.runner import execute_chunked
+
+    rows = [{"id": f"k{i:03d}", "review": f"row {i}"} for i in range(95)]
+    calls = str(tmp_path / "calls.txt")
+    p = (
+        PipelineBuilder(spark)
+        .from_dataframe(spark.createDataFrame(rows), ["review"], id_column="id")
+        .with_prompt("Classify: {review}", ["sentiment"])
+        .with_custom_llm_client(mock_client_factory(count_file=calls))
+        .with_batch_size(7)
+        .with_checkpoint_dir(str(tmp_path / "ckpt"), "sq")
+        .build()
+    )
+    summary = execute_chunked(p, chunk_size=30)
+    assert summary.total_rows == 95
+    # chunks: 30,30,30,5 -> ceil/7 = 5+5+5+1 = 16 calls
+    assert sum(1 for _ in open(calls)) == 16

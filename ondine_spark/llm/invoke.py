@@ -300,11 +300,15 @@ def invoke_llm(
             # from the single generator thread (same reason as the
             # counter below); scrub worker-side before accumulating
             nonlocal n_seen, n_emitted
+            from pyspark import TaskContext
+
             from ondine_spark.observability import (
                 CALL_EVENT_PARTITION_CAP,
                 sanitize_prompt,
             )
 
+            tc = TaskContext.get()
+            pid = tc.partitionId() if tc is not None else -1
             batch = []
             for p, r in zip(prompts, results):
                 idx = n_seen
@@ -323,6 +327,18 @@ def invoke_llm(
                         "latency_ms": r[5],
                         "error": r[6],
                         "call_index": idx,
+                        # (epoch, partition, call_index) is the event's
+                        # identity: Spark only dedups accumulator updates
+                        # inside actions, so a retried/speculative task
+                        # re-emits its events — both attempts run the SAME
+                        # closure (same epoch) and the same deterministic
+                        # call_index sequence, so the driver drain can drop
+                        # the duplicate. A new invoke-stage build (next
+                        # chunk, next execute, auto-retry pass) gets a
+                        # fresh epoch, so its events are never mistaken
+                        # for duplicates of the previous job's.
+                        "partition": pid,
+                        "epoch": factory_key,
                     }
                 )
             if batch:

@@ -426,9 +426,35 @@ def make_call_event_accumulator(sc):
 
 def drain_call_events(acc, dispatcher, run_id=None) -> int:
     """Emit every accumulated sampled call event (kind 'llm_call') and
-    reset the accumulator; returns the number emitted. Driver-side."""
+    reset the accumulator; returns the number emitted. Driver-side.
+
+    Exactly-once delivery over an at-least-once channel: Spark
+    deduplicates accumulator updates only for tasks inside ACTIONS —
+    these events are added from a transformation (the invoke
+    mapInPandas), so a retried or speculative task re-emits its
+    partition's events. Workers therefore stamp each event with its
+    (epoch, partition, call_index) identity — epoch is unique per
+    invoke-stage construction and call_index is a deterministic
+    per-partition counter, so both attempts of a partition produce the
+    SAME keys while distinct jobs (chunks, re-executes, auto-retry
+    passes) never collide — and this drain drops keys it has already
+    delivered. The seen-set lives on the accumulator object so it
+    survives per-chunk drains within a run (a retry can straddle a
+    drain boundary); it is bounded by CALL_EVENT_PARTITION_CAP ×
+    partitions × jobs and dies with the pipeline object.
+    """
     events = list(acc.value)
     acc.value = []
+    seen = getattr(acc, "_ondine_delivered", None)
+    if seen is None:
+        seen = set()
+        acc._ondine_delivered = seen
+    emitted = 0
     for ev in events:
+        key = (ev.get("epoch"), ev.get("partition"), ev.get("call_index"))
+        if key in seen:
+            continue
+        seen.add(key)
         dispatcher.emit("llm_call", run_id=run_id, **ev)
-    return len(events)
+        emitted += 1
+    return emitted

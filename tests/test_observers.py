@@ -321,3 +321,50 @@ def test_sampled_call_events_execute_and_cap(spark):
     n_parts = spark.sparkContext.defaultParallelism
     assert 1 <= len(calls) <= CALL_EVENT_PARTITION_CAP * max(n_parts, 8)
     assert all(e.payload["prompt"].startswith("<sanitized-") for e in calls)
+
+
+def test_call_event_drain_dedups_task_retries(spark):
+    """The accumulator channel is at-least-once (Spark only dedups
+    accumulator updates inside actions; these come from a
+    transformation) — a retried/speculative task re-adds the SAME
+    (epoch, partition, call_index) events. drain_call_events must
+    deliver each identity once, across drain boundaries, while never
+    dropping a different job's events (fresh epoch)."""
+    from ondine_spark.observability import (
+        CollectingObserver,
+        EventDispatcher,
+        drain_call_events,
+        make_call_event_accumulator,
+    )
+
+    sink = CollectingObserver()
+    disp = EventDispatcher([sink])
+    acc = make_call_event_accumulator(spark.sparkContext)
+
+    def ev(epoch, part, idx):
+        return {
+            "prompt": "<sanitized-x>", "model": "m", "tokens_in": 1,
+            "tokens_out": 1, "latency_ms": 0.0, "error": None,
+            "call_index": idx, "partition": part, "epoch": epoch,
+        }
+
+    # attempt 1 of partition 0 emits 2 events, then the speculative /
+    # retried attempt re-emits the identical pair
+    attempt = [ev("job1", 0, 0), ev("job1", 0, 5)]
+    acc.add(list(attempt))
+    acc.add(list(attempt))
+    assert drain_call_events(acc, disp, "run") == 2
+
+    # a retry straddling the drain boundary: the duplicate arrives AFTER
+    # the first drain and must still be dropped
+    acc.add([ev("job1", 0, 0)])
+    assert drain_call_events(acc, disp, "run") == 0
+
+    # a NEW job (next chunk / re-execute) reuses (partition, call_index)
+    # but carries a fresh epoch - it must be delivered, not deduped
+    acc.add([ev("job2", 0, 0)])
+    assert drain_call_events(acc, disp, "run") == 1
+
+    calls = [e for e in sink.events if e.kind == "llm_call"]
+    assert len(calls) == 3
+    assert sorted({e.payload["epoch"] for e in calls}) == ["job1", "job2"]

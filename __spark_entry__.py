@@ -80,6 +80,27 @@ def _fixed_pq_codebooks(m: int = 4, k: int = 16, dim: int = 64, seed: int = 7):
     return _FIXED_CACHE["pq"]
 
 
+def _fixed_ivf_centroids(nlist: int = 8, dim: int = 64, seed: int = 7):
+    """Deterministic IVF coarse centroids over the same seeded unit
+    sample as the fixed PQ codebooks — drives the gate's composed
+    ivfpq_topk column (at nprobe = nlist every cell is probed, so the
+    composition must reproduce pq_topk's ADC scores exactly and the
+    oracle's ADC expression replays it with no centroid knowledge)."""
+    if "ivf" not in _FIXED_CACHE:
+        import numpy as np
+
+        from ondine_spark.operators.similarity_search import kmeans_numpy
+
+        rng = np.random.RandomState(seed + 13)
+        x = rng.standard_normal((512, dim))
+        x /= np.linalg.norm(x, axis=1, keepdims=True)
+        _FIXED_CACHE["ivf"] = [
+            [float(v) for v in row]
+            for row in kmeans_numpy(x, nlist, max_iter=10, seed=seed + 29)
+        ]
+    return _FIXED_CACHE["ivf"]
+
+
 # the documents corpus vocabulary (with realistic counts) so the learned
 # merges actually fire on the gate's input
 _BPE_WORDS = [
@@ -557,13 +578,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pair (k = corpus size, so the prereduce path runs but nothing is
         cut). The oracle recomputes codes as SQL argmin over the VALUES
         codebook table and ADC as the sum of per-subspace centroid·query
-        dot products. ivfpq_topk(nprobe=nlist) == pq_topk is asserted in
-        tests/test_product_quantization.py, so this gate covers the IVFPQ
-        scoring path too."""
+        dot products. The composed IVFPQ path (fixed coarse centroids →
+        cell assignment → per-query probe sets → masked LUT gather,
+        product_quantization.ivfpq_topk) is gated END-TO-END as the
+        ivfpq_r column: at nprobe = nlist every cell is probed, so the
+        composition must reproduce the same ADC score for every pair and
+        the oracle replays it without knowing the centroids."""
         from ondine_spark.functions.similarity import finite_vector
         from ondine_spark.operators.product_quantization import (
+            ivfpq_topk,
             pq_encode,
             pq_topk,
+        )
+        from ondine_spark.operators.similarity_search import (
+            _nearest_centroids_expr,
         )
 
         books = _fixed_pq_codebooks()
@@ -575,7 +603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         schema = (
             "query_id bigint, vec_id bigint, c0 int, c1 int, c2 int, "
-            "c3 int, adc_r double"
+            "c3 int, adc_r double, ivfpq_r double"
         )
         if queries_df.limit(1).count() == 0:  # empty-corpus sweep
             return spark.createDataFrame([], schema)
@@ -584,9 +612,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "vec_id",
             *[F.col("pq_code")[j].cast("int").alias(f"c{j}") for j in range(4)],
         )
-        return scored.join(codes, on="vec_id").select(
-            "query_id", "vec_id", "c0", "c1", "c2", "c3",
-            F.round("approx_cos", 6).alias("adc_r"),
+        cents = _fixed_ivf_centroids()
+        ivf = ivfpq_topk(
+            coded.withColumn(
+                "ivf_cell", _nearest_centroids_expr("embedding", cents, 1)[0]
+            ),
+            queries_df,
+            k=1 << 30,
+            codebooks=books,
+            centroids=cents,
+            nprobe=len(cents),
+        ).select(
+            "query_id", "vec_id",
+            F.round("approx_cos", 6).alias("ivfpq_r"),
+        )
+        return (
+            scored.join(codes, on="vec_id")
+            .join(ivf, on=["query_id", "vec_id"])
+            .select(
+                "query_id", "vec_id", "c0", "c1", "c2", "c3",
+                F.round("approx_cos", 6).alias("adc_r"),
+                "ivfpq_r",
+            )
         )
 
     def q_embedding_neardup(spark, sf_dir):
@@ -2377,7 +2424,10 @@ def _pq_adc_sql(m: int = 4, k: int = 16, dim: int = 64) -> str:
           FROM code GROUP BY vec_id
         )
         SELECT adc.query_id, adc.vec_id, w.c0, w.c1, w.c2, w.c3,
-               round(adc.approx_cos, 6) + 0 AS adc_r
+               round(adc.approx_cos, 6) + 0 AS adc_r,
+               -- the composed IVFPQ column runs at nprobe = nlist, so its
+               -- scores must equal the plain ADC scores pair-for-pair
+               round(adc.approx_cos, 6) + 0 AS ivfpq_r
         FROM adc JOIN codes_wide w ON adc.vec_id = w.vec_id
     """
 

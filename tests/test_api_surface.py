@@ -341,3 +341,29 @@ def test_orc_sink_roundtrip(spark, tmp_path):
     back = spark.read.orc(out)
     assert back.count() == 6
     assert {r["sentiment"] for r in back.collect()} == {"positive"}
+
+
+def test_api_surface_table_in_sync():
+    """Drift guard (round-5): COVERAGE.md's builder-method parity table
+    must equal a fresh regeneration from introspection. Dropping or
+    renaming a PipelineBuilder method (or letting the reference list
+    drift) fails here instead of silently shrinking the documented
+    surface. Regenerate with `python tools/gen_api_table.py --write`."""
+    import os
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import gen_api_table
+
+    block = gen_api_table.generate()  # raises on mapping/reference drift
+    cov = os.path.join(os.path.dirname(__file__), "..", "COVERAGE.md")
+    with open(cov) as fh:
+        text = fh.read()
+    assert gen_api_table.BEGIN in text, "COVERAGE.md lost the api-surface block"
+    current = text[
+        text.index(gen_api_table.BEGIN): text.index(gen_api_table.END)
+        + len(gen_api_table.END)
+    ]
+    assert current == block, (
+        "COVERAGE.md api-surface table is stale — "
+        "run `python tools/gen_api_table.py --write`"
+    )

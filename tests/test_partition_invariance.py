@@ -165,3 +165,37 @@ def test_connected_components_distributed_invariant(spark):
         for r in connected_components(e, driver_threshold=10**6).collect()
     )
     assert drv == df
+
+
+def test_train_bpe_partition_invariant_sf1(spark):
+    """Round-5 verdict item 7: BPE TRAINING determinism at sf1 scale.
+    word_counts shuffles word TYPES; train_bpe collects the type table
+    via toLocalIterator (arrival order = partition order) and must
+    learn the IDENTICAL merge list at any partitioning — ties break on
+    (count desc, pair lexicographic), never input order. Run the real
+    trainer over the 50K-doc Heaps-vocabulary corpus at 1/3/17 input
+    partitions and pin merges + a frozen-sample tokenization."""
+    import os
+
+    sf1h = os.path.join(os.path.dirname(__file__), "..", "localdata", "sf1h")
+    if not os.path.isdir(os.path.join(sf1h, "documents.parquet")):
+        pytest.skip("localdata/sf1h not generated (tools/gen_scale_data.py)")
+    from ondine_spark.operators.tokenizer import train_bpe, word_counts
+
+    docs = spark.read.parquet(f"{sf1h}/documents.parquet")
+    sample = [r["text"] for r in docs.orderBy("doc_id").limit(50).collect()]
+
+    merge_tables, checksums = [], []
+    for n in PARTS:
+        tok = train_bpe(
+            word_counts(docs.repartition(n), "text"),
+            num_merges=200,
+            min_count=1,
+        )
+        merge_tables.append(tok.merges)
+        enc = [tuple(tok.encode(t)) for t in sample]
+        checksums.append(hash(tuple(enc)))
+
+    assert merge_tables[0] == merge_tables[1] == merge_tables[2]
+    assert len(merge_tables[0]) == 200
+    assert checksums[0] == checksums[1] == checksums[2]

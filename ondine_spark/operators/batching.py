@@ -104,6 +104,9 @@ def with_global_index(
             .drop("_pid", "_off", "_mid")
         )
     out._ondine_cached = [mid_df] if persist else []
+    # the offset pass already counted every partition — expose the total
+    # so callers (the chunked runner) never pay a separate count job
+    out._ondine_total_rows = acc
     return out
 
 

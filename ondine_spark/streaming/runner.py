@@ -113,31 +113,50 @@ def iter_chunks(
         todo = df
 
     seq = with_global_index(todo, "_seq")
+    # total rows fall out of the index's offset pass — no count job
+    n_rows = int(getattr(seq, "_ondine_total_rows", 0))
+    n_chunks = -(-n_rows // chunk_size) if n_rows else 0
+    sc = spark.sparkContext
+    # Chunk SPILL, not localCheckpoint (round-5): the chunk assignment is
+    # written ONCE as parquet partitioned BY _chunk, so each chunk's job
+    # reads only its own partition directory via file-level partition
+    # pruning — O(chunk_size) per job. The previous localCheckpoint held
+    # the whole todo set as pinned RDD blocks AND made every chunk job
+    # re-scan all N cached rows just to filter one chunk out: O(N) per
+    # chunk, O(N × n_chunks) per run — 1000 chunks over 1M rows paid a
+    # billion row-filter evaluations of pure overhead (measured in
+    # tools/chunk_overhead.py). The spill also freezes the assignment
+    # against write_responses' refreshByPath (separate directory, static
+    # files) exactly like the checkpoint did, without pinning executor
+    # memory for the run's lifetime.
+    spill = f"{ckpt}/chunk_spill/session_id={sid}"
     chunked = seq.withColumn(
         "_chunk", (F.col("_seq") / chunk_size).cast("long")
     )
-    # localCheckpoint (eager), NOT persist: chunked's lineage reads the cache
-    # parquet dir via the resume anti-join, and every write_responses below
-    # appends to that dir → Spark's post-write refreshByPath would invalidate
-    # a merely-persisted plan and silently recompute it against the grown
-    # cache with stale offsets (rows vanish mid-loop). Checkpointing truncates
-    # the lineage so the chunk assignment is frozen for the whole run.
-    from ondine_spark.core.checkpoints import checkpoint_df, unpersist_rdd_ids
-
-    sc = spark.sparkContext
-    # id resolved from the frame's own LogicalRDD (no registry-diff race
-    # with concurrent pipelines on a shared session)
-    chunked, _ckpt_ids = checkpoint_df(chunked)
-    # the checkpoint materialized from the index's internal cache (one
-    # source scan total for count + checkpoint); release those blocks now
+    if n_chunks >= sc.defaultParallelism:
+        # many small chunks: co-locate each chunk's rows in one writer
+        # task so the spill is ~1 file per chunk, not tasks × chunks
+        chunked = chunked.repartition(sc.defaultParallelism, "_chunk")
+    # parquet rejects some user column names (spaces, '=', ...); spill
+    # under positional aliases and restore on read
+    in_cols = [c for c in chunked.columns if c not in ("_seq", "_chunk")]
+    safe = chunked.select(
+        *[F.col(c).alias(f"_c{i}") for i, c in enumerate(in_cols)],
+        "_seq", "_chunk",
+    )
+    if n_rows:
+        safe.write.mode("overwrite").partitionBy("_chunk").parquet(spill)
+    # the spill materialized from the index's internal cache (one source
+    # scan total for offsets + spill); release those blocks now
     for _c in getattr(seq, "_ondine_cached", []):
         _c.unpersist()
+    chunked = None
+    if n_rows:
+        chunked = spark.read.parquet(spill).select(
+            *[F.col(f"_c{i}").alias(c) for i, c in enumerate(in_cols)],
+            "_seq", "_chunk",
+        )
     try:
-        agg0 = chunked.agg(
-            F.max("_chunk").alias("m"), F.count(F.lit(1)).alias("n")
-        ).collect()[0]
-        n_chunks = (agg0["m"] if agg0["m"] is not None else -1) + 1
-        n_rows = agg0["n"]
         budget = spec.processing.max_budget
         for cid in range(int(n_chunks)):
             if budget is not None and spent >= budget:
@@ -160,22 +179,28 @@ def iter_chunks(
                 .drop("_chunk")
                 .withColumn("_seq", F.col("_seq") - (cid * chunk_size))
             )
-            # persist: the chunk is consumed by two actions (durable write +
-            # stats aggregate) — without it the second action would re-invoke
-            # the LLM for every row
+            # ONE job per chunk: the row-count/cost stats ride the durable
+            # write via the Observation API instead of a second aggregate
+            # action over a persisted frame. At 1000 chunks the old shape
+            # paid 1000 extra driver-blocking jobs (each re-running Catalyst
+            # over the full spine plan) plus persist/unpersist churn —
+            # measured ~0.2 s/chunk of pure fixed cost (tools/
+            # chunk_overhead.py).
+            from pyspark.sql import Observation
+
+            obs = Observation(f"ondine_chunk_{sid}_{cid}")
             responses = pipeline.response_frame(
                 chunk, resume=False, seq_col="_seq"
-            ).persist()
+            ).observe(
+                obs, F.count(F.lit(1)).alias("n"), F.sum("cost").alias("c")
+            )
             # commit this chunk's responses durably BEFORE touching the next
             write_responses(responses, ckpt, sid)
-            agg = responses.agg(
-                F.count(F.lit(1)).alias("n"), F.sum("cost").alias("c")
-            ).collect()[0]
+            agg = obs.get  # filled by the write action
             # memo write-back per committed chunk: later chunks of THIS run
             # then hit the memo for any prompt already answered (the memo is
             # re-read per chunk), and a crash loses at most one chunk's memo
             pipeline.flush_memo()
-            responses.unpersist()
             cost = Decimal(agg["c"] or 0)
             spent += cost
             result = ChunkResult(cid, agg["n"], cost, spent)
@@ -203,11 +228,17 @@ def iter_chunks(
             )
             yield result
     finally:
-        # DataFrame.unpersist() does NOT free localCheckpoint blocks (they
-        # are raw RDD caches, not CacheManager entries) — release through
-        # the persistent-RDD registry or every run leaks its full todo set
-        # for the session lifetime (core/checkpoints.py)
-        unpersist_rdd_ids(sc, _ckpt_ids)
+        # the spill is a run-scoped scratch dir: delete it whether the run
+        # completed or crashed (a resume re-derives the remaining rows from
+        # the source ⋈ cache anti-join and re-spills). Best-effort — a
+        # failed delete costs disk, never correctness.
+        try:
+            jvm = spark._jvm
+            jpath = jvm.org.apache.hadoop.fs.Path(spill)
+            fs = jpath.getFileSystem(sc._jsc.hadoopConfiguration())
+            fs.delete(jpath, True)
+        except Exception:  # pragma: no cover - cleanup only
+            pass
     summary.total_cost = spent
     state.cleanup()  # success: the response cache alone is the record
 

@@ -105,6 +105,34 @@ def main() -> None:
                 }
             )
         )
+    if len(results) >= 3:
+        # least-squares fit of SCALE.md's model T = a*rows + b*pairs over
+        # ALL decades (round-5: two parameters against three points makes
+        # the linear model falsifiable — a superlinear term shows up as a
+        # large relative residual, which a two-point fit can always hide)
+        import numpy as np
+
+        X = np.array([[r["rows"], r["pairs"]] for r in results], dtype="float64")
+        y = np.array([r["seconds"] for r in results])
+        coef, _, _, _ = np.linalg.lstsq(X, y, rcond=None)
+        pred = X @ coef
+        rel_resid = float(np.max(np.abs(pred - y) / np.maximum(y, 1e-9)))
+        print(
+            json.dumps(
+                {
+                    "fit": "T = a*rows + b*pairs (lstsq over all decades)",
+                    "a_us_per_row": round(float(coef[0]) * 1e6, 3),
+                    "b_us_per_pair": round(float(coef[1]) * 1e6, 3),
+                    "max_rel_residual": round(rel_resid, 4),
+                    "points": [
+                        {"rows": r["rows"], "pairs": r["pairs"],
+                         "sec": r["seconds"],
+                         "pred_sec": round(float(p), 2)}
+                        for r, p in zip(results, pred)
+                    ],
+                }
+            )
+        )
 
 
 if __name__ == "__main__":

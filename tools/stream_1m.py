@@ -1,0 +1,268 @@
+"""Streaming dedup at scale with kill/restart (round-5 verdict item 3).
+
+Runs run_dedup_stream (streaming/incremental_dedup.py) over a 1M-doc
+corpus arriving as 20 parquet files (micro-batch = 1 file), twice:
+
+  golden : uninterrupted run
+  crashed: the stream process is SIGKILLed mid-run (after the signature
+           store shows ~8 committed batches), then RESTARTED from the
+           same checkpointLocation + signature store
+
+and asserts EXACTLY-ONCE state: the crashed+resumed run's output corpus
+and signature store are row-identical to the golden run's (same doc
+ids, no duplicate rows, same per-doc band rows). This is the claim the
+reference cannot make — its streaming mode has no resume at all
+(SURVEY §2.11 T5) — proven at 1M rows with a real process kill, the
+same methodology as benchmarks/CRASH_1M.json.
+
+The corpus embeds a known near-dup structure: 3% of docs duplicate an
+earlier doc (often in an EARLIER file, so the cross-restart signature
+store is what catches them), plus within-file dups.
+
+Usage: python tools/stream_1m.py [n_docs] [work_dir]   (spawns children)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import signal
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N_DOCS = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+N_FILES = 20
+KILL_AFTER_BATCHES = 8
+
+
+def session():
+    from pyspark.sql import SparkSession
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    s = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+        )
+        .getOrCreate()
+    )
+    s.sparkContext.setLogLevel("ERROR")
+    return s
+
+
+def gen_corpus(spark, in_dir: str) -> None:
+    """1M docs over N_FILES files, ids increasing with arrival order;
+    3% near-duplicate an earlier doc (id - k for deterministic k), with
+    word-level perturbation small enough for 16-hash agreement."""
+    from pyspark.sql import functions as F
+
+    per_file = N_DOCS // N_FILES
+    for f in range(N_FILES):
+        lo = f * per_file
+        df = spark.range(lo, lo + per_file).select(
+            F.col("id").alias("doc_id"),
+            F.when(
+                (F.col("id") % 33 == 0) & (F.col("id") >= 1000),
+                # duplicate of an earlier doc's text (id - 999): same
+                # generator expression evaluated at the earlier id
+                F.concat(
+                    F.lit("doc text body "),
+                    ((F.col("id") - 999) % 7919).cast("string"),
+                    F.lit(" with stable words "),
+                    ((F.col("id") - 999) % 101).cast("string"),
+                    F.lit(" end of document marker"),
+                ),
+            )
+            .otherwise(
+                F.concat(
+                    F.lit("doc text body "),
+                    (F.col("id") % 7919).cast("string"),
+                    F.lit(" with stable words "),
+                    (F.col("id") % 101).cast("string"),
+                    F.lit(" end of document marker"),
+                )
+            )
+            .alias("text"),
+        )
+        df.coalesce(4).write.mode("append").parquet(in_dir)
+
+
+CHILD = """
+import sys, os
+sys.path.insert(0, {repo!r})
+sys.path.insert(0, os.path.join({repo!r}, "tools"))
+from pyspark.sql import types as T
+from stream_1m import session
+from ondine_spark.streaming.incremental_dedup import run_dedup_stream
+spark = session()
+SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("text", T.StringType()),
+])
+run_dedup_stream(
+    spark,
+    input_path={in_dir!r},
+    schema=SCHEMA,
+    id_col="doc_id",
+    text_col="text",
+    output_path={out!r},
+    state_dir={state!r},
+    checkpoint_location={ckpt!r},
+    threshold=0.5,
+    timeout_s=3600,
+)
+print("STREAM DONE")
+"""
+
+
+def run_child(dirs: dict, repo: str, kill_after: int | None) -> int:
+    """Start the stream in a child process; optionally SIGKILL it once
+    the signature store shows >= kill_after committed batch dirs.
+    Returns the number of kills performed (0 or 1)."""
+    code = CHILD.format(
+        repo=repo,
+        in_dir=dirs["in"],
+        out=dirs["out"],
+        state=dirs["state"],
+        ckpt=dirs["ckpt"],
+    )
+    proc = subprocess.Popen(
+        [sys.executable, "-c", code],
+        stdout=subprocess.DEVNULL,
+        stderr=subprocess.DEVNULL,
+        cwd=repo,
+    )
+    kills = 0
+    if kill_after is not None:
+        while proc.poll() is None:
+            n = 0
+            if os.path.isdir(dirs["state"]):
+                n = sum(
+                    1 for d in os.listdir(dirs["state"]) if d.startswith("bid=")
+                )
+            if n >= kill_after:
+                os.kill(proc.pid, signal.SIGKILL)
+                proc.wait()
+                kills = 1
+                break
+            time.sleep(0.5)
+        else:
+            raise AssertionError(
+                "stream finished before the kill threshold — lower "
+                "KILL_AFTER_BATCHES"
+            )
+    else:
+        proc.wait()
+        if proc.returncode != 0:
+            raise AssertionError(f"stream child failed rc={proc.returncode}")
+    return kills
+
+
+def snapshot(spark, dirs: dict):
+    """Sorted content digests of output corpus + signature store."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(dirs["out"])
+    store = spark.read.parquet(dirs["state"])
+    n_docs = docs.count()
+    n_distinct = docs.select("doc_id").distinct().count()
+    docs_digest = docs.select(
+        F.md5(F.concat_ws("\x1f", "doc_id", "text")).alias("h")
+    ).agg(
+        F.count("h").alias("n"),
+        F.sum(F.conv(F.substring("h", 1, 15), 16, 10).cast("decimal(38,0)")).alias("s"),
+    ).collect()[0]
+    store_digest = store.select(
+        F.md5(
+            F.concat_ws(
+                "\x1f", "_id", "band", "key", F.to_json(F.col("sig"))
+            )
+        ).alias("h")
+    ).agg(
+        F.count("h").alias("n"),
+        F.sum(F.conv(F.substring("h", 1, 15), 16, 10).cast("decimal(38,0)")).alias("s"),
+    ).collect()[0]
+    return {
+        "docs": n_docs,
+        "docs_distinct": n_distinct,
+        "docs_digest": [int(docs_digest["n"]), str(docs_digest["s"])],
+        "store_rows": int(store_digest["n"]),
+        "store_digest": str(store_digest["s"]),
+    }
+
+
+def main() -> None:
+    import shutil
+    import tempfile
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    work = sys.argv[2] if len(sys.argv) > 2 else tempfile.mkdtemp(
+        prefix="stream1m_"
+    )
+    spark = session()
+    in_dir = os.path.join(work, "in")
+    if not os.path.isdir(in_dir):
+        gen_corpus(spark, in_dir)
+
+    results = {}
+    for arm, kill in (("golden", None), ("crashed", KILL_AFTER_BATCHES)):
+        dirs = {
+            "in": in_dir,
+            "out": os.path.join(work, arm, "out"),
+            "state": os.path.join(work, arm, "state"),
+            "ckpt": os.path.join(work, arm, "ckpt"),
+        }
+        shutil.rmtree(os.path.join(work, arm), ignore_errors=True)
+        t0 = time.monotonic()
+        kills = run_child(dirs, repo, kill)
+        restarts = 0
+        if kill is not None:
+            restarts = 1
+            run_child(dirs, repo, None)  # resume from checkpoint + store
+        wall = time.monotonic() - t0
+        results[arm] = {
+            **snapshot(spark, dirs),
+            "wall_sec": round(wall, 1),
+            "kills": kills,
+            "restarts": restarts,
+        }
+        print(f"# {arm}: {results[arm]}", file=sys.stderr)
+
+    g, c = results["golden"], results["crashed"]
+    identical = (
+        g["docs"] == c["docs"]
+        and g["docs_distinct"] == c["docs_distinct"]
+        and g["docs_digest"] == c["docs_digest"]
+        and g["store_rows"] == c["store_rows"]
+        and g["store_digest"] == c["store_digest"]
+    )
+    no_dup_rows = (
+        g["docs"] == g["docs_distinct"] and c["docs"] == c["docs_distinct"]
+    )
+    line = {
+        "metric": "stream_dedup_1m_crash_parity",
+        "n_docs": N_DOCS,
+        "n_files": N_FILES,
+        "kill_after_batches": KILL_AFTER_BATCHES,
+        "golden": g,
+        "crashed": c,
+        "identical": identical,
+        "no_duplicate_rows": no_dup_rows,
+        "ts": time.time(),
+    }
+    print(json.dumps(line))
+    out = os.path.join(repo, "benchmarks", "STREAM_1M.json")
+    with open(out, "w") as fh:
+        json.dump(line, fh, indent=1)
+    assert identical and no_dup_rows, "crash parity FAILED"
+
+
+if __name__ == "__main__":
+    main()

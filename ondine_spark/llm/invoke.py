@@ -203,6 +203,7 @@ def invoke_llm(
     system_message: str | None = None,
     call_counter=None,
     call_events=None,
+    cost_acc=None,
 ) -> DataFrame:
     """Append response columns to ``df`` by invoking the LLM per row.
 
@@ -344,10 +345,17 @@ def invoke_llm(
             if batch:
                 call_events.add(batch)
 
+        part_cost = Decimal(0)
         try:
             for pdf in batches:
                 prompts = pdf[prompt_col].tolist()
                 results = list(pool.map(one, prompts))
+                if cost_acc is not None:
+                    # exact Decimal partition cost, summed in the single
+                    # generator thread; delivered ONCE per partition below
+                    part_cost += sum(
+                        (Decimal(r[4]) for r in results), Decimal(0)
+                    )
                 if event_every:
                     sample_events(prompts, results)
                 if call_counter is not None:
@@ -369,6 +377,21 @@ def invoke_llm(
                     index=pdf.index,
                 )
                 yield pd.concat([pdf, res], axis=1)
+            if cost_acc is not None:
+                # keyed like the call events: (epoch, partition) — a
+                # retried/speculative attempt recomputes the IDENTICAL sum
+                # under the same key, so the driver drain keeps one; a new
+                # invoke-stage build gets a fresh epoch. Added only after
+                # full exhaustion (a failed task's updates are discarded
+                # by Spark anyway).
+                from pyspark import TaskContext
+
+                tc = TaskContext.get()
+                cost_acc.add([
+                    (factory_key,
+                     tc.partitionId() if tc is not None else -1,
+                     str(part_cost))
+                ])
         finally:
             pool.shutdown(wait=False)
 

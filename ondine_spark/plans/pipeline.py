@@ -69,6 +69,15 @@ class Pipeline:
         self.spark = spark or SparkSession.getActiveSession() or _default_session()
         self._call_counter = None
         self._call_events = None  # sampled per-call event accumulator
+        # per-(epoch, partition) Decimal cost sums from the invoke stage —
+        # lets the chunked runner account cost in the SAME action as the
+        # durable write (one job per chunk). NOTE: pyspark's Observation
+        # would be the natural tool, but instantiating it poisons the
+        # session: the lazy ObservationManager it creates is captured by
+        # later Spark ML ScalaUDF closures and is not serializable
+        # (measured on 4.1.2 — any Observation use breaks every subsequent
+        # ML transform on the session).
+        self._cost_acc = None
         self._persisted: list[DataFrame] = []
         # (invoked frame still carrying _memo_key, memo path) pairs awaiting
         # write-back — flushed by execute()/the chunked runner AFTER the
@@ -152,6 +161,12 @@ class Pipeline:
         # is cumulative for the pipeline object
         if self._call_counter is None:
             self._call_counter = self.spark.sparkContext.accumulator(0)
+        if self._cost_acc is None:
+            from ondine_spark.observability import make_call_event_accumulator
+
+            self._cost_acc = make_call_event_accumulator(
+                self.spark.sparkContext
+            )
         if self._call_events is None and spec.processing.call_event_sample:
             from ondine_spark.observability import make_call_event_accumulator
 
@@ -233,6 +248,7 @@ class Pipeline:
             system_message=spec.prompt.system_message,
             call_counter=self._call_counter,
             call_events=self._call_events,
+            cost_acc=self._cost_acc,
         )
         memo_path = spec.processing.memo_path
         if not memo_path:

@@ -144,9 +144,9 @@ def run_dedup_stream(
             return
         store = None
         if os.path.isdir(state_dir) and any(
-            f.endswith(".parquet") for f in os.listdir(state_dir)
+            d.startswith("bid=") for d in os.listdir(state_dir)
         ):
-            store = spark.read.parquet(state_dir)
+            store = spark.read.parquet(state_dir).drop("bid")
         kept_docs, kept_rows, cached = dedup_batch_against_store(
             batch_df, store, id_col, text_col,
             num_hashes, bands, ngram, threshold,
@@ -165,8 +165,19 @@ def run_dedup_stream(
         for c in cached:
             c.unpersist()
         try:
-            kept_docs.write.mode("append").parquet(output_path)
-            kept_rows.write.mode("append").parquet(state_dir)
+            # IDEMPOTENT sink: foreachBatch is at-least-once — a kill
+            # between two plain appends would duplicate (or, with the
+            # store write first, LOSE) rows when the batch replays after
+            # restart. Each batch overwrites its OWN subdirectory instead,
+            # so a replay converges to exactly the same files no matter
+            # where the previous attempt died. Readers see the batch dirs
+            # as a 'bid' partition column (dropped on read above).
+            kept_docs.write.mode("overwrite").parquet(
+                f"{output_path}/bid={batch_id}"
+            )
+            kept_rows.write.mode("overwrite").parquet(
+                f"{state_dir}/bid={batch_id}"
+            )
         finally:
             # checkpoint blocks are raw RDD caches — without this every
             # micro-batch leaks its survivors into the block manager for

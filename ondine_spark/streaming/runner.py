@@ -52,6 +52,29 @@ class StreamSummary:
     resumed_rows: int = 0
 
 
+def _drain_cost(acc) -> Decimal:
+    """Sum the invoke stage's per-(epoch, partition) Decimal cost entries
+    delivered since the last drain, keeping ONE entry per key: a retried
+    or speculative task recomputes the identical sum under the same key
+    (deterministic input, Decimal arithmetic), so duplicates are dropped
+    even across drain boundaries. Driver-side."""
+    if acc is None:
+        return Decimal(0)
+    entries = list(acc.value)
+    acc.value = []
+    seen = getattr(acc, "_ondine_cost_seen", None)
+    if seen is None:
+        seen = set()
+        acc._ondine_cost_seen = seen
+    total = Decimal(0)
+    for epoch, pid, cost_str in entries:
+        if (epoch, pid) in seen:
+            continue
+        seen.add((epoch, pid))
+        total += Decimal(cost_str)
+    return total
+
+
 def execute_chunked(
     pipeline: Pipeline,
     chunk_size: int = 10_000,
@@ -179,33 +202,40 @@ def iter_chunks(
                 .drop("_chunk")
                 .withColumn("_seq", F.col("_seq") - (cid * chunk_size))
             )
-            # ONE job per chunk: the row-count/cost stats ride the durable
-            # write via the Observation API instead of a second aggregate
-            # action over a persisted frame. At 1000 chunks the old shape
-            # paid 1000 extra driver-blocking jobs (each re-running Catalyst
-            # over the full spine plan) plus persist/unpersist churn —
-            # measured ~0.2 s/chunk of pure fixed cost (tools/
-            # chunk_overhead.py).
-            from pyspark.sql import Observation
-
-            obs = Observation(f"ondine_chunk_{sid}_{cid}")
+            # ONE job per chunk: the durable write is the only action. The
+            # row count needs no job at all — chunk assignment is a
+            # contiguous slice of the global index, so it is
+            # min(chunk_size, n_rows - cid*chunk_size) by construction
+            # (the response frame is row-preserving: error-policy rows are
+            # written as [SKIPPED], the disaggregator is 1:1 per input
+            # row). The Decimal cost rides an (epoch, partition)-keyed
+            # accumulator filled by the invoke stage — retry/speculation
+            # safe because both attempts of a partition deliver the
+            # IDENTICAL sum under the same key and the drain keeps one
+            # (same scheme as the sampled call events). The old shape paid
+            # a second driver-blocking job per chunk (an aggregate over a
+            # persisted responses frame) — ~0.2 s/chunk of fixed cost at
+            # 1000 chunks (tools/chunk_overhead.py). pyspark's Observation
+            # API is the obvious alternative and is BANNED here: creating
+            # one instantiates the session's lazy ObservationManager,
+            # which later Spark ML ScalaUDF closures capture and fail to
+            # serialize (measured on 4.1.2 — one Observation broke every
+            # subsequent ML transform on the shared session).
+            n_chunk_rows = int(min(chunk_size, n_rows - cid * chunk_size))
             responses = pipeline.response_frame(
                 chunk, resume=False, seq_col="_seq"
-            ).observe(
-                obs, F.count(F.lit(1)).alias("n"), F.sum("cost").alias("c")
             )
             # commit this chunk's responses durably BEFORE touching the next
             write_responses(responses, ckpt, sid)
-            agg = obs.get  # filled by the write action
+            cost = _drain_cost(pipeline._cost_acc)
             # memo write-back per committed chunk: later chunks of THIS run
             # then hit the memo for any prompt already answered (the memo is
             # re-read per chunk), and a crash loses at most one chunk's memo
             pipeline.flush_memo()
-            cost = Decimal(agg["c"] or 0)
             spent += cost
-            result = ChunkResult(cid, agg["n"], cost, spent)
+            result = ChunkResult(cid, n_chunk_rows, cost, spent)
             summary.chunks.append(result)
-            summary.total_rows += agg["n"]
+            summary.total_rows += n_chunk_rows
             summary.total_cost = spent
             # O8: driver-side counter memento per committed chunk
             state.save(RunMemento(
@@ -223,7 +253,7 @@ def iter_chunks(
                 drain_call_events(pipeline._call_events, dispatcher, sid)
             dispatcher.emit(
                 "chunk_committed", run_id=sid, chunk_id=cid,
-                rows=agg["n"], cumulative_cost=str(spent),
+                rows=n_chunk_rows, cumulative_cost=str(spent),
                 chunks_done=len(summary.chunks), chunks_total=int(n_chunks),
             )
             yield result

@@ -15,9 +15,11 @@ reference cannot make — its streaming mode has no resume at all
 (SURVEY §2.11 T5) — proven at 1M rows with a real process kill, the
 same methodology as benchmarks/CRASH_1M.json.
 
-The corpus embeds a known near-dup structure: 3% of docs duplicate an
-earlier doc (often in an EARLIER file, so the cross-restart signature
-store is what catches them), plus within-file dups.
+The corpus embeds a known near-dup structure: ~3% of docs duplicate a
+doc 1-2 FILES earlier (only the persisted signature store catches
+these — the cross-restart state under test), plus ~1% within-file dups
+(caught by the within-batch LSH self-join); all other docs carry
+near-disjoint shingle sets so they genuinely survive.
 
 Usage: python tools/stream_1m.py [n_docs] [work_dir]   (spawns children)
 """
@@ -57,41 +59,63 @@ def session():
     return s
 
 
+def _body(j):
+    """Deterministic doc body for raw id ``j`` (a Column): four per-id
+    hash tokens give every NON-duplicate doc a near-disjoint 3-gram
+    shingle set (only the fixed frame words are shared, Jaccard ~0.1,
+    far under the 0.5 threshold). The first version of this generator
+    used a low-entropy template ('doc text body {id%7919} ...') and the
+    dedup collapsed 1M docs to 2,172 survivors — every doc was a
+    near-dup of every other, which contradicts the 3%-dup design and
+    made the cross-batch store check trivial."""
+    from pyspark.sql import functions as F
+
+    def tok(mul, add, mod):
+        return F.conv(((j * mul + add) % mod).cast("string"), 10, 36)
+
+    # unique tokens at every OTHER position: any 3 consecutive words
+    # contain at least one per-doc token, so no 3-gram shingle is shared
+    # between distinct docs and non-dup pairwise Jaccard is ~0
+    return F.concat_ws(
+        " ",
+        tok(2654435761, 5, 982451653), F.lit("doc"),
+        tok(179424673, 7, 968665207), F.lit("text"),
+        tok(15485863, 11, 899809343), F.lit("body"),
+        tok(32452843, 3, 715225739), F.lit("mid"),
+        tok(22801763489, 17, 654188429), F.lit("stable"),
+        tok(200560490131, 23, 512927377), F.lit("tail"),
+        (j % 7919).cast("string"),
+    )
+
+
 def gen_corpus(spark, in_dir: str) -> None:
-    """1M docs over N_FILES files, ids increasing with arrival order;
-    3% near-duplicate an earlier doc (id - k for deterministic k), with
-    word-level perturbation small enough for 16-hash agreement."""
+    """1M docs over N_FILES files, ids increasing with arrival order.
+    Two duplicate classes, both exact copies of an earlier doc's text
+    (the same pure body expression evaluated at the earlier id):
+    ~3% cross-FILE dups (source 75,011 ids back = 1-2 files earlier at
+    50K docs/file — these are only caught by the persisted signature
+    store, exercising the cross-restart state) and ~1% within-file dups
+    (source 13 ids back — caught by the within-batch LSH self-join)."""
     from pyspark.sql import functions as F
 
     per_file = N_DOCS // N_FILES
     for f in range(N_FILES):
         lo = f * per_file
+        jid = F.col("id")
         df = spark.range(lo, lo + per_file).select(
-            F.col("id").alias("doc_id"),
+            jid.alias("doc_id"),
             F.when(
-                (F.col("id") % 33 == 0) & (F.col("id") >= 1000),
-                # duplicate of an earlier doc's text (id - 999): same
-                # generator expression evaluated at the earlier id
-                F.concat(
-                    F.lit("doc text body "),
-                    ((F.col("id") - 999) % 7919).cast("string"),
-                    F.lit(" with stable words "),
-                    ((F.col("id") - 999) % 101).cast("string"),
-                    F.lit(" end of document marker"),
-                ),
+                (jid % 33 == 0) & (jid >= 75_011), _body(jid - 75_011)
             )
-            .otherwise(
-                F.concat(
-                    F.lit("doc text body "),
-                    (F.col("id") % 7919).cast("string"),
-                    F.lit(" with stable words "),
-                    (F.col("id") % 101).cast("string"),
-                    F.lit(" end of document marker"),
-                )
-            )
+            .when((jid % 97 == 1) & (jid >= 13), _body(jid - 13))
+            .otherwise(_body(jid))
             .alias("text"),
         )
-        df.coalesce(4).write.mode("append").parquet(in_dir)
+        # exactly ONE file per chunk: each arriving file is one
+        # micro-batch (maxFilesPerTrigger=1), so the stream runs
+        # N_FILES batches of N_DOCS/N_FILES docs — per-batch fixed
+        # cost (store re-read, plan build) stays a rounding error
+        df.coalesce(1).write.mode("append").parquet(in_dir)
 
 
 CHILD = """

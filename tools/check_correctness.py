@@ -59,6 +59,42 @@ def stream_digest(cols, row_iter):
     return sorted(cols), (xor, total, n)
 
 
+def spark_stream_digest(sdf, cols):
+    """stream_digest for the SPARK side, distributed: each partition
+    folds its own (xor, sum, n) with the SAME normalize+md5 as the
+    driver-side digest (the fold is associative/commutative, so the
+    partition combine is order-free), then the driver combines. At
+    100M rows the single-threaded toLocalIterator loop was the harness
+    bottleneck (~20 min for the sf100h sessions gate); this is the
+    identical computation 32-way parallel. Workers import THIS module
+    by reference — run the tools from the repo root."""
+
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+
+    def fold(rows):
+        import hashlib
+
+        from tools.check_correctness import normalize as norm
+
+        xor = tot = n = 0
+        for r in rows:
+            h = hashlib.md5(
+                "\x1f".join(norm(r[i]) for i in order).encode()
+            ).digest()
+            v = int.from_bytes(h[:16], "big")
+            xor ^= v
+            tot = (tot + v) % (1 << 128)
+            n += 1
+        yield (xor, tot, n)
+
+    xor = tot = n = 0
+    for x, t, c in sdf.rdd.mapPartitions(fold).collect():
+        xor ^= x
+        tot = (tot + t) % (1 << 128)
+        n += c
+    return sorted(cols), (xor, tot, n)
+
+
 def duckdb_iter(res, batch=100_000):
     while True:
         rows = res.fetchmany(batch)
@@ -142,7 +178,7 @@ def main():
             continue
         if stream:
             try:
-                sc, sdig = stream_digest(scols, sdf.toLocalIterator())
+                sc, sdig = spark_stream_digest(sdf, scols)
             except Exception as e:
                 failures.append(name)
                 print(f"FAIL {name}: spark error: {type(e).__name__}: {e}")

@@ -21,6 +21,7 @@ from tools.check_correctness import (  # noqa: E402
     TABLES,
     duckdb_iter,
     frame_to_rows,
+    spark_stream_digest,
     stream_digest,
 )
 
@@ -84,7 +85,7 @@ def main() -> None:
             ocols = [d[0] for d in res.description]
             if stream:
                 oc, odig = stream_digest(ocols, duckdb_iter(res))
-                sc, sdig = stream_digest(scols, sdf.toLocalIterator())
+                sc, sdig = spark_stream_digest(sdf, scols)
                 rec["oracle_rows"] = odig[2]
                 rec["rows_match"] = sdig[2] == odig[2]
                 rec["schema_match"] = sc == oc

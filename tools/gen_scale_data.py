@@ -6,7 +6,8 @@ tables don't have:
 - documents: a near-duplicate cluster holding 10% of the corpus (one
   template, small word-level perturbations) — stresses LSH hot bands and
   the SemDeDup hot-cell caveat; plus ONE paragraph shared verbatim by
-  1-in-50 docs (a 1000x-hot fingerprint at sf1) — stresses the winnowing
+  1-in-50 docs, population capped at 10K docs above 500K (a 1000x-hot
+  fingerprint at sf1, constant-size above sf10) — stresses the winnowing
   stop-gram df cap and paragraph dedup.
 - embeddings: 10% of vectors in one tight cluster around a single center
   (hot IVF cell / hot sign-bucket).
@@ -83,6 +84,14 @@ def main() -> None:
     cluster_frac = float(sys.argv[3]) if len(sys.argv) > 3 else 0.1
     n_cluster = int(n_docs * cluster_frac)
     vocab_mode = sys.argv[4] if len(sys.argv) > 4 else "fixed"
+    # The hot-paragraph skew probe must stay CONSTANT-SIZE, like the
+    # near-dup cluster (see cluster_frac above): a relative 1-in-50 rate
+    # at 5M docs puts the verbatim paragraph in 100K docs, whose LSH
+    # truth set is quadratic in that population — the sf100h gate
+    # emitted 408M pairs and the oracle exhausted the disk replaying
+    # them. Cap the population at 10K docs (the sf10 level); sf1/sf10
+    # corpora are bit-identical under this rule (step stays 50).
+    hot_step = max(50, n_docs // 10_000)
     if vocab_mode == "heaps":
         # Heaps' law V = K·n^beta with K=100, beta=0.5; precompute the
         # word list once (driver) and ship it in the closure
@@ -139,7 +148,7 @@ def main() -> None:
                     else:
                         idx = rng.randint(0, len(vocab), size=n)
                     body = " ".join(vocab[i] for i in idx)
-                    if d % 50 == 0:  # hot shared paragraph
+                    if d % hot_step == 0:  # hot shared paragraph
                         body = f"{body}\n\n{hot_paragraph}\n\n{body[: len(body) // 2]}"
                     texts.append(body)
                 langs.append(LANGS[d % len(LANGS)])

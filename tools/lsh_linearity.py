@@ -49,6 +49,16 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Warm the session ONCE before any timed point: the first LSH job of a
+    # session pays Arrow worker-pool spinup + codegen + first-job scheduling
+    # (~10-20 s here), which lands entirely on the SMALLEST decade and makes
+    # the intercept-free T = a*rows + b*pairs fit read superlinear (measured:
+    # the cold sf1h point ran 30.1 s vs 17.6 predicted; warm it is ~8 s).
+    warm = spark.read.parquet(f"{dirs[0]}/documents.parquet").limit(2000)
+    minhash_lsh_pairs(
+        warm, "doc_id", "text", num_hashes=8, bands=4, threshold=0.25
+    ).count()
+
     results = []
     for d in dirs:
         docs = spark.read.parquet(f"{d}/documents.parquet")
@@ -71,20 +81,32 @@ def main() -> None:
         ]
         max_occ = max(r["max_sz"] for r in hist)
 
-        # timed full pair enumeration (same params as the oracle gate)
-        spark._jvm.System.gc()
-        time.sleep(0.3)
-        t0 = time.monotonic()
-        n_pairs = minhash_lsh_pairs(
-            docs, "doc_id", "text", num_hashes=8, bands=4, threshold=0.25
-        ).count()
-        dt = time.monotonic() - t0
+        # timed full pair enumeration (same params as the oracle gate);
+        # min over LOAD-GATED reps via bench.timed_rep — this host carries
+        # intermittent external CPU (the same noise that inflated three
+        # rounds of BENCH artifacts; measured here too: a "warm" sf10h rep
+        # read 64 s while the 10x-bigger sf100h read 94 s in the same
+        # session). Each rep records external cores during the rep and
+        # retries if another process was burning CPU.
+        from bench import timed_rep
+
+        def run_once():
+            return minhash_lsh_pairs(
+                docs, "doc_id", "text", num_hashes=8, bands=4, threshold=0.25
+            ).count()
+
+        reps, n_pairs = [], None
+        for _ in range(2):
+            rep, n_pairs = timed_rep(spark, run_once)
+            reps.append(rep)
+        dt = min(r["sec"] for r in reps)
         results.append(
             {
                 "dir": d,
                 "rows": n_docs,
                 "pairs": n_pairs,
                 "seconds": round(dt, 2),
+                "reps": reps,
                 "max_bucket_occupancy": max_occ,
                 "occupancy_histogram": hist,
             }

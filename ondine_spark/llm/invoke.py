@@ -280,9 +280,14 @@ def invoke_llm(
                 r = _call_with_retry(
                     client, prompt, sys_msg, bucket, max_retries, base_delay, max_delay
                 )
+                # custom clients may not account cost/latency (None or the
+                # attribute missing entirely) — a zero cost row, not a
+                # "None" string that poisons the Decimal partition sum
+                cost = getattr(r, "cost", None)
                 return (
                     r.text, r.tokens_in, r.tokens_out, r.model,
-                    str(r.cost), r.latency_ms, None,
+                    str(cost) if cost is not None else "0",
+                    getattr(r, "latency_ms", None), None,
                 )
             except (TransientLLMError, FatalLLMError, Exception) as e:
                 throttled = isinstance(e, TransientLLMError)

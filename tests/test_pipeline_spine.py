@@ -53,6 +53,37 @@ def test_unbatched_end_to_end(spark):
     assert res.quality.success_rate == 1.0
 
 
+def test_custom_client_without_cost_accounting(spark):
+    """A user client that never computes cost (cost=None / no latency
+    attr) must run clean with zero total cost — round-5 regression: the
+    per-partition Decimal cost accumulator choked on str(None)."""
+
+    class BareResult:
+        def __init__(self, text):
+            self.text = text
+            self.tokens_in = 1
+            self.tokens_out = 1
+            self.model = "bare"
+            self.cost = None  # user clients often skip cost accounting
+
+    class BareClient:
+        def complete(self, prompt, system=None):
+            return BareResult("positive" if "great" in prompt else "neutral")
+
+    p = (
+        PipelineBuilder(spark)
+        .from_dataframe(
+            spark.createDataFrame(REVIEWS), ["review"], id_column="review_id"
+        )
+        .with_prompt("Classify: {review}", ["sentiment"])
+        .with_custom_llm_client(lambda: BareClient())
+        .build()
+    )
+    res = p.execute()
+    assert res.quality.valid_rows == 6
+    assert res.stats.total_cost == Decimal("0")
+
+
 def test_batched_matches_unbatched(spark):
     res = _pipeline(spark, batch_size=4).execute()
     rows = {r["review_id"]: r["sentiment"] for r in res.data.collect()}

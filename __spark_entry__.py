@@ -817,18 +817,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return uni.join(bi, on="doc_id")
 
     def q_sample_mix(spark, sf_dir):
-        """Stratified hash-sampling, per-source quota capping, and
-        token-budget mixing as per-doc membership flags — the three
-        deterministic samplers share one gate over the full corpus."""
+        """Stratified hash-sampling, per-source quota capping,
+        token-budget mixing, and the DSIR importance weight (Xie et al.
+        2023: hashed-ngram log-likelihood ratio of a target domain vs
+        the raw corpus, target = the corpus's lang='en' slice) as
+        per-doc columns — the four deterministic selection signals
+        share one gate over the full corpus. The DSIR oracle recomputes
+        the LLR table from scratch in SQL (murmur3 HashingTF replay +
+        add-alpha ln ratios), so the gate covers fit AND scoring."""
         from ondine_spark.operators.curation import (
             cap_per_key,
             sample_to_token_budget,
             stratified_hash_sample,
         )
+        from ondine_spark.operators.importance import (
+            dsir_llr_table,
+            dsir_weights,
+        )
 
         docs = _docs(spark, sf_dir).withColumn(
             "n_tokens", ta.token_count_ws(F.trim(F.col("text")))
         )
+        llr_q = dsir_llr_table(
+            docs, docs.where(F.col("lang") == "en"), "text",
+            num_features=256, use_bigrams=False,
+        )
+        dsir = dsir_weights(
+            docs.select("doc_id", "text"), llr_q, "text",
+            num_features=256, use_bigrams=False,
+        ).select("doc_id", "dsir_w_q")
         strat = stratified_hash_sample(
             docs, "doc_id", "lang",
             {"en": 0.3, "de": 0.6, "zh": 1.0}, default_fraction=0.2,
@@ -845,11 +862,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .join(strat, on="doc_id", how="left")
             .join(quota, on="doc_id", how="left")
             .join(budget, on="doc_id", how="left")
+            .join(dsir, on="doc_id", how="left")
             .select(
                 "doc_id", "lang", "source", "n_chars", "n_tokens",
                 F.coalesce(F.col("_s"), F.lit(False)).alias("in_stratified"),
                 F.coalesce(F.col("_q"), F.lit(False)).alias("in_quota"),
                 F.coalesce(F.col("_b"), F.lit(False)).alias("in_budget"),
+                "dsir_w_q",
             )
         )
 
@@ -1963,11 +1982,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT b.doc_id, b.lang, b.source, b.n_chars, b.n_tokens,
                    s.doc_id IS NOT NULL AS in_stratified,
                    q.doc_id IS NOT NULL AS in_quota,
-                   g.doc_id IS NOT NULL AS in_budget
+                   g.doc_id IS NOT NULL AS in_budget,
+                   i.dsir_w_q
             FROM base b
             LEFT JOIN ({strat_sql}) s ON s.doc_id = b.doc_id
             LEFT JOIN ({quota_sql}) q ON q.doc_id = b.doc_id
             LEFT JOIN ({budget_sql}) g ON g.doc_id = b.doc_id
+            LEFT JOIN ({_dsir_sql(256)}) i ON i.doc_id = b.doc_id
         """,
         "dedup_paragraphs": f"""
             WITH t AS (
@@ -2360,6 +2381,66 @@ def _quality_margin_sql(num_features: int = 256) -> str:
         SELECT t.doc_id, len(t.ws)::INT AS n_tok,
                ({icp} + coalesce(c.s, 0))::BIGINT AS margin_q
         FROM tok t LEFT JOIN contrib c ON c.doc_id = t.doc_id
+    """
+
+
+def _dsir_sql(num_features: int = 256, alpha: float = 0.5) -> str:
+    """Exact oracle for the DSIR importance weight (importance.py):
+    tokens via lower + ``\\W+`` split (RegexTokenizer semantics),
+    HashingTF buckets via the murmur3 replay (``_mm3_sgn_ctes``),
+    then the FULL DSIR fit replayed in SQL — per-bucket counts for the
+    raw corpus and the lang='en' target slice, add-alpha ln ratios
+    quantized to 1e-6 BIGINTs (duckdb ``round`` vs python ``round``
+    agree everywhere off the .5 tie, and a transcendental log landing
+    exactly on .5e-6 does not happen), and the per-doc weight as an
+    exact integer Σ tf·llr_q — the same integer-dot contract as
+    ``linear_margin``. Yields (doc_id, dsir_w_q) for every document."""
+    b = num_features
+    return f"""
+        WITH d AS (
+          SELECT doc_id, lang, coalesce(text, '') AS t FROM documents
+        ), tok AS (
+          SELECT doc_id, lang,
+                 list_filter(regexp_split_to_array(lower(t), '\\W+'),
+                             x -> length(x) >= 1) AS ws
+          FROM d
+        ), uni AS (
+          SELECT doc_id, lang, unnest(ws) AS w FROM tok
+        ), wc AS (
+          SELECT doc_id, lang, w, count(*) AS tf FROM uni GROUP BY ALL
+        ), dw AS (
+          SELECT DISTINCT w FROM wc
+        ), {_mm3_sgn_ctes()},
+        bk AS (
+          SELECT w, ((h32 % {b}) + {b}) % {b} AS bkt FROM sgn
+        ), docb AS (
+          SELECT wc.doc_id, wc.lang, bk.bkt, sum(wc.tf) AS tf
+          FROM wc JOIN bk ON wc.w = bk.w
+          GROUP BY 1, 2, 3
+        ), rawc AS (
+          SELECT bkt, sum(tf) AS c FROM docb GROUP BY 1
+        ), tgtc AS (
+          SELECT bkt, sum(tf) AS c FROM docb WHERE lang = 'en' GROUP BY 1
+        ), tot AS (
+          SELECT (SELECT coalesce(sum(c), 0) FROM rawc) AS nr,
+                 (SELECT coalesce(sum(c), 0) FROM tgtc) AS nt
+        ), llr AS (
+          SELECT g.bkt,
+                 CAST(round(1e6 * (
+                   (ln(coalesce(t.c, 0) + {alpha}) - ln(nt + {alpha * b}))
+                   - (ln(coalesce(r.c, 0) + {alpha}) - ln(nr + {alpha * b}))
+                 )) AS BIGINT) AS q
+          FROM (SELECT unnest(generate_series(0, {b - 1})) AS bkt) g
+          LEFT JOIN rawc r ON r.bkt = g.bkt
+          LEFT JOIN tgtc t ON t.bkt = g.bkt
+          CROSS JOIN tot
+        ), wsum AS (
+          SELECT docb.doc_id, sum(docb.tf * llr.q) AS wq
+          FROM docb JOIN llr ON llr.bkt = docb.bkt
+          GROUP BY 1
+        )
+        SELECT d.doc_id, coalesce(w.wq, 0)::BIGINT AS dsir_w_q
+        FROM d LEFT JOIN wsum w ON w.doc_id = d.doc_id
     """
 
 

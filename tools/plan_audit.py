@@ -274,6 +274,26 @@ def main() -> int:
           "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
           and "MapInPandas" not in plan)
 
+    # 10. DSIR importance scoring (r5, gated inside sample_mix): like the
+    # classifier margin, the weight projection must be zero-shuffle pure
+    # JVM; the resample top-n must be a TakeOrdered (per-partition limit
+    # pushed down), not a global Sort + collect
+    from ondine_spark.operators.importance import dsir_resample, dsir_weights
+
+    w = dsir_weights(
+        docs_raw.select("doc_id", "text"), [1] * 256, "text",
+        num_features=256, use_bigrams=False,
+    )
+    plan = plan_of(w)
+    n_exchange = len(re.findall(r"\(\d+\) Exchange\b", plan))
+    check("dsir.weights.zero_shuffle", n_exchange == 0, f"{n_exchange} exchanges")
+    check("dsir.weights.jvm_only",
+          "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+          and "MapInPandas" not in plan)
+    plan = plan_of(dsir_resample(w, "doc_id", "dsir_w_q", 10))
+    check("dsir.resample.take_ordered", "TakeOrderedAndProject" in plan,
+          "global sort instead of per-partition top-n")
+
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     return 1 if failures else 0
 

@@ -2384,17 +2384,76 @@ def _quality_margin_sql(num_features: int = 256) -> str:
     """
 
 
+def _mm3_sqlhash_sgn_ctes() -> str:
+    """Spark SQL ``hash()`` replay: murmur3_x86_32(seed 42) via
+    ``Murmur3_x86_32.hashUnsafeBytes`` — 4-byte little-endian blocks
+    fully mixed, then EACH remaining tail byte fully mixed through the
+    same body round, with the byte SIGN-EXTENDED first (java's
+    ``Platform.getByte`` returns a signed byte, so 0x80..0xFF become
+    0xFFFFFF80..0xFFFFFFFF before mixK1) — unlike ML HashingTF's
+    ``hashUnsafeBytes2`` (``_mm3_sgn_ctes``), which accumulates the
+    tail LE and mixes it once unsigned. Then fmix with the total byte
+    length. Verified token-for-token against ``F.hash`` including
+    multi-byte UTF-8 and 1/2/3-byte tails.
+
+    CTE chain from ``dw(w)`` to ``sgn(w, h32)``, h32 the SIGNED 32-bit
+    hash (same contract as ``_mm3_sgn_ctes``)."""
+    M = 4294967295
+
+    def mul(x, c):
+        return f"((({x})::HUGEINT * {c}) % 4294967296)::BIGINT"
+
+    def rotl(x, r):
+        return f"(((({x}) << {r}) | (({x}) >> {32 - r})) & {M})"
+
+    def mixk1(k):
+        return mul(rotl(mul(k, 3432918353), 15), 461845907)
+
+    blocks = (
+        "list_transform(generate_series(1, len(b) // 4), i -> "
+        "b[4*i-3] + b[4*i-2] * 256 + b[4*i-1] * 65536 + b[4*i] * 16777216)"
+    )
+    tail = (
+        "list_transform(generate_series(1, len(b) % 4), j -> "
+        "CASE WHEN b[4*(len(b)//4) + j] >= 128 "
+        "THEN b[4*(len(b)//4) + j] + 4294967040 "
+        "ELSE b[4*(len(b)//4) + j] END)"
+    )
+    hx = f"xor(h, {mixk1('kk')})"
+    body_lambda = f"(h, kk) -> (({rotl(hx, 13)} * 5 + 3864292196) & {M})"
+    return f"""
+        byt AS (
+          SELECT w, list_transform(generate_series(1, octet_length(encode(w))),
+                   i -> ('0x' || substring(hex(encode(w)), 2*i-1, 2))::BIGINT) AS b
+          FROM dw
+        ), hb AS (
+          SELECT w, b,
+                 list_reduce(list_prepend(42::BIGINT,
+                             list_concat({blocks}, {tail})),
+                             {body_lambda}) AS h_all
+          FROM byt
+        ), f0 AS (SELECT w, b, xor(h_all, len(b)) AS f_a FROM hb
+        ), f1 AS (SELECT w, b, {mul('xor(f_a, f_a >> 16)', 2246822507)} AS f_b FROM f0
+        ), f2 AS (SELECT w, b, {mul('xor(f_b, f_b >> 13)', 3266489909)} AS f_c FROM f1
+        ), fin AS (SELECT w, xor(f_c, f_c >> 16) AS h32u FROM f2
+        ), sgn AS (
+          SELECT w, CASE WHEN h32u >= 2147483648
+                         THEN h32u - 4294967296 ELSE h32u END AS h32
+          FROM fin
+        )"""
+
+
 def _dsir_sql(num_features: int = 256, alpha: float = 0.5) -> str:
     """Exact oracle for the DSIR importance weight (importance.py):
-    tokens via lower + ``\\W+`` split (RegexTokenizer semantics),
-    HashingTF buckets via the murmur3 replay (``_mm3_sgn_ctes``),
+    tokens via lower + ``\\W+`` split, buckets via the Spark SQL
+    ``hash()`` murmur3 replay (``_mm3_sqlhash_sgn_ctes`` — the
+    sparse-native scorer hashes with ``F.hash``, not ML HashingTF),
     then the FULL DSIR fit replayed in SQL — per-bucket counts for the
     raw corpus and the lang='en' target slice, add-alpha ln ratios
     quantized to 1e-6 BIGINTs (duckdb ``round`` vs python ``round``
     agree everywhere off the .5 tie, and a transcendental log landing
     exactly on .5e-6 does not happen), and the per-doc weight as an
-    exact integer Σ tf·llr_q — the same integer-dot contract as
-    ``linear_margin``. Yields (doc_id, dsir_w_q) for every document."""
+    exact integer Σ tf·llr_q. Yields (doc_id, dsir_w_q) per document."""
     b = num_features
     return f"""
         WITH d AS (
@@ -2410,7 +2469,7 @@ def _dsir_sql(num_features: int = 256, alpha: float = 0.5) -> str:
           SELECT doc_id, lang, w, count(*) AS tf FROM uni GROUP BY ALL
         ), dw AS (
           SELECT DISTINCT w FROM wc
-        ), {_mm3_sgn_ctes()},
+        ), {_mm3_sqlhash_sgn_ctes()},
         bk AS (
           SELECT w, ((h32 % {b}) + {b}) % {b} AS bkt FROM sgn
         ), docb AS (

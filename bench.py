@@ -59,7 +59,32 @@ BENCH_QUERIES = [
     "dup_chars_grams",
     "revenue_by_nation",
     "rrf_fusion",
+    # round 5: DSIR data selection end-to-end — fit both hashed-ngram
+    # models (2 Summarizer.sum passes), score the corpus (zero-shuffle
+    # integer dot), resample 10% without replacement (Gumbel top-k)
+    "dsir_select",
 ]
+
+
+def _q_dsir_select(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from ondine_spark.operators.importance import (
+        dsir_llr_table,
+        dsir_resample,
+        dsir_weights,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    # 2^13 buckets ≈ the DSIR paper's 10^4 hashed-ngram dimensionality
+    llr = dsir_llr_table(
+        docs, docs.where(F.col("lang") == "en"), "text",
+        num_features=1 << 13, use_bigrams=True,
+    )
+    w = dsir_weights(docs.select("doc_id", "text"), llr, "text",
+                     num_features=1 << 13, use_bigrams=True)
+    return dsir_resample(w, "doc_id", "dsir_w_q", max(n // 10, 1))
 
 
 def _q_winnow(impl):
@@ -247,6 +272,7 @@ def main() -> None:
 
     qs = dict(entry.queries())
     qs["ivfpq_topk"] = _q_ivfpq_topk
+    qs["dsir_select"] = _q_dsir_select
     qs["winnow_pairs"] = _q_winnow("expr")
     qs["winnow_pairs_fast"] = _q_winnow("arrow")
     # JVM + python-worker warmup so the first timed query isn't charged for

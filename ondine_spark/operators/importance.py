@@ -10,40 +10,63 @@ selects raw-corpus documents that look like a small target domain by
 3. resampling without replacement with the Gumbel top-k trick, which
    draws exactly n documents with probability proportional to exp(w).
 
-Spark-idiomatic shape: featurization reuses the quality classifier's
-stateless stages (null guard → RegexTokenizer → HashingTF murmur3
-[→ NGram → HashingTF → assemble], quality_classifier._feature_stages),
-so the hot path is pure JVM. The per-feature counts for BOTH
-distributions come from ONE distributed pass (``Summarizer.sum`` —
-a map-side-combinable vector sum whose result is 8·num_features bytes
-on the driver, independent of corpus size); the log-ratio table is
-quantized to 1e-6 BIGINTs and scored through
-``quality_classifier.linear_margin``'s exact integer dot product, so
-the weight is reproducible bit-for-bit by any engine that replays the
-murmur3 bucketing (the same property the gated classifier margin has).
-Resampling is a deterministic Gumbel top-k over seeded xxhash64
-uniforms — one shuffle-free projection plus one global top-n.
+Spark-idiomatic shape — sparse end to end, no dense vectors at ANY
+``num_features`` (the obvious HashingTF + vector dot implementation
+densifies B doubles per row and builds a B-literal Catalyst expression;
+at B = 2¹⁷ that is ~1 MB per row and a multi-minute plan build):
 
-At 100 TB: two full-corpus passes (count sum + scoring scan), zero
-shuffles except the final top-n (which moves only n rows per
-partition); driver state is two dense vectors of ``num_features``
-doubles. The reference engine has no corpus-statistics selection
-operator (its sampling surface is per-row predicates,
-ondine/core/specifications.py) — this operator is part of the
-training-data layer that extends it.
+- featurization is lower + ``\\W+`` split (RegexTokenizer semantics)
+  and ``F.hash`` bucketing (Spark SQL's murmur3, seed 42) — pure JVM
+  expressions inside whole-stage codegen;
+- the two models are fit in one explode → groupBy(bucket) pass each —
+  map-side partial aggregation means the shuffle carries at most
+  ``num_features`` rows per partition regardless of corpus size;
+- the LLR table is quantized to 1e-6 BIGINTs and embedded as ONE
+  constant-folded SQL array literal (a single parse, not B py4j
+  round-trips); the per-document weight is an exact-integer
+  ``F.aggregate`` over token instances — O(tokens) work, zero shuffle,
+  reproducible bit-for-bit by any engine that replays the bucketing
+  (the oracle does, in SQL);
+- resampling is a deterministic Gumbel top-k over seeded xxhash64
+  uniforms — ``TakeOrderedAndProject``, so the final shuffle moves at
+  most n rows per partition.
+
+At 100 TB: two token-scan + tiny-shuffle passes to fit, one scan to
+score, driver state is one list of ``B`` ints. The reference engine has
+no corpus-statistics selection operator (its sampling surface is
+per-row predicates, ondine/core/specifications.py) — this operator is
+part of the training-data layer that extends it.
 """
 
 from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ondine_spark.operators.quality_classifier import (
-    _feature_stages,
-    linear_margin,
-)
+
+def _tokens(text_col: str) -> Column:
+    """lower + ``\\W+`` split, empties dropped — identical token stream
+    to ML's RegexTokenizer(pattern=r"\\W+", toLowercase, minTokenLength=1)
+    (both are Java regex on the JVM), as plain SQL expressions."""
+    return F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\W+"),
+        lambda x: F.length(x) >= 1,
+    )
+
+
+def _bigrams(toks: Column) -> Column:
+    """Adjacent-pair bigrams joined by a single space (NGram semantics)."""
+    return F.transform(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda x, i: F.concat(x, F.lit(" "), F.element_at(toks, i + 2)),
+    )
+
+
+def _bucket(w: Column, num_features: int) -> Column:
+    """Spark SQL murmur3 (seed 42) bucket in [0, num_features)."""
+    return F.pmod(F.hash(w), F.lit(num_features))
 
 
 def dsir_llr_table(
@@ -56,47 +79,50 @@ def dsir_llr_table(
     quant: float = 1e6,
 ) -> list[int]:
     """Fit the two hashed-ngram models and return the quantized
-    log-likelihood-ratio table ``llr_q`` (length ``num_features`` or
-    ``2*num_features`` with bigrams):
+    log-likelihood-ratio table ``llr_q`` (length ``num_features`` for
+    unigrams, ``2*num_features`` with bigrams appended — unigram bucket
+    b at index b, bigram bucket b at ``num_features + b``):
 
         llr_q[b] = round(quant * (ln p_target(b) - ln p_raw(b))),
         p(b) = (count(b) + alpha) / (N + alpha * B)     (add-alpha)
 
-    Counts are exact integers (HashingTF term frequencies summed
-    distributed via ``Summarizer.sum``), so the table — and therefore
-    every downstream weight — is deterministic for a given corpus pair
-    regardless of partitioning. One Spark job per distribution; the
-    collected state is ``B`` doubles each.
+    Counts are exact integers (explode → groupBy(bucket) with map-side
+    combine), so the table — and every downstream weight — is
+    deterministic for a given corpus pair regardless of partitioning.
+    One Spark job per distribution; the collected state is at most
+    ``B`` (bucket, count) rows each.
     """
-    from pyspark.ml.stat import Summarizer
+    b_total = num_features * (2 if use_bigrams else 1)
 
-    stages, feat = _feature_stages(text_col, num_features, use_bigrams)
-
-    def counts(df: DataFrame) -> list[float]:
-        out = df
-        for st in stages:
-            out = st.transform(out)
-        row = out.agg(Summarizer.sum(F.col(feat)).alias("s")).head()
-        vec = row["s"]
-        return list(vec.toArray()) if vec is not None else []
+    def counts(df: DataFrame) -> list[int]:
+        inst = df.select(F.explode(_tokens(text_col)).alias("w")).select(
+            _bucket(F.col("w"), num_features).alias("bkt")
+        )
+        if use_bigrams:
+            big = df.select(
+                F.explode(_bigrams(_tokens(text_col))).alias("w")
+            ).select(
+                (_bucket(F.col("w"), num_features)
+                 + F.lit(num_features)).alias("bkt")
+            )
+            inst = inst.unionAll(big)
+        out = [0] * b_total
+        for r in inst.groupBy("bkt").agg(F.count(F.lit(1)).alias("c")).collect():
+            out[r["bkt"]] = r["c"]
+        return out
 
     c_raw = counts(raw)
     c_tgt = counts(target)
-    b = num_features * (2 if use_bigrams else 1)
-    if not c_raw:
-        c_raw = [0.0] * b
-    if not c_tgt:
-        c_tgt = [0.0] * b
     n_raw = sum(c_raw)
     n_tgt = sum(c_tgt)
-    denom_r = math.log(n_raw + alpha * b)
-    denom_t = math.log(n_tgt + alpha * b)
+    denom_r = math.log(n_raw + alpha * b_total)
+    denom_t = math.log(n_tgt + alpha * b_total)
     return [
         int(round(quant * (
             (math.log(c_tgt[i] + alpha) - denom_t)
             - (math.log(c_raw[i] + alpha) - denom_r)
         )))
-        for i in range(b)
+        for i in range(b_total)
     ]
 
 
@@ -110,17 +136,41 @@ def dsir_weights(
 ) -> DataFrame:
     """Append the quantized DSIR importance weight
 
-        out_col = Σ_b tf_b · llr_q[b]        (exact BIGINT arithmetic)
+        out_col = Σ_tokens llr_q[bucket(token)]
+                  (+ Σ_bigrams llr_q[num_features + bucket(bigram)])
 
-    to every row — ``linear_margin`` with the LLR table as coefficients
-    and intercept 0, i.e. a zero-shuffle JVM projection at scan speed.
-    Divide by the ``quant`` used in :func:`dsir_llr_table` to recover
-    the float log-likelihood ratio.
+    to every row, in exact BIGINT arithmetic. The LLR table rides the
+    plan as ONE constant-folded array literal (a single SQL parse —
+    NOT B ``F.lit`` py4j round-trips, which take minutes at B = 2¹⁷),
+    and each token instance costs one murmur3 + one array index inside
+    whole-stage codegen: zero shuffle, zero Python, no dense per-row
+    vectors. Divide by the ``quant`` used in :func:`dsir_llr_table` to
+    recover the float log-likelihood ratio.
     """
-    return linear_margin(
-        df, text_col, llr_q, 0, num_features=num_features,
-        use_bigrams=use_bigrams, out_col=out_col, tokens_col=None,
+    expect = num_features * (2 if use_bigrams else 1)
+    if len(llr_q) != expect:
+        raise ValueError(
+            f"llr_q has {len(llr_q)} entries, expected {expect} "
+            f"(num_features={num_features}, use_bigrams={use_bigrams})"
+        )
+    lut = F.expr(
+        "array(" + ",".join(f"{int(v)}L" for v in llr_q) + ")"
     )
+    toks = _tokens(text_col)
+
+    def fold(arr: Column, offset: int) -> Column:
+        return F.aggregate(
+            arr,
+            F.lit(0).cast("long"),
+            lambda acc, w: acc + F.element_at(
+                lut, _bucket(w, num_features) + F.lit(offset + 1)
+            ),
+        )
+
+    w = fold(toks, 0)
+    if use_bigrams:
+        w = w + fold(_bigrams(toks), num_features)
+    return df.withColumn(out_col, w)
 
 
 def dsir_resample(

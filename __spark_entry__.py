@@ -2995,26 +2995,26 @@ def _jaccard_sql(threshold: float, max_df: int | None = None) -> str:
 _MINHASH_PRIME = (1 << 61) - 1
 
 
-def _minhash_case_sql(num_hashes: int) -> str:
-    """CASE mapping i → the affine Carter-Wegman hash of the base md5
-    hash hb: (a_i·hb + b_i) mod (2^61−1), HUGEINT intermediate — same
-    constants and values as operators/dedup.py:minhash_signature."""
+def _minhash_min_exprs_sql(num_hashes: int) -> str:
+    """The affine Carter-Wegman minhashes — (a_i·hb + b_i) mod (2^61−1),
+    HUGEINT intermediates, same constants and values as
+    operators/dedup.py:minhash_signature — as ``num_hashes`` parallel
+    ``min()`` aggregate expressions (h0..h{n-1}) over doc-shingle rows.
+    The previous CROSS JOIN range(num_hashes) shape multiplied ~750M
+    doc-shingle rows to 6B at 5M docs and spilled duckdb past the disk;
+    this one adds zero rows."""
     from ondine_spark.operators.dedup import minhash_coeffs
 
-    arms = " ".join(
-        "WHEN i = {i} THEN (({a}::HUGEINT * hb + {b}) % {p})::BIGINT".format(
+    return ", ".join(
+        "min((({a}::HUGEINT * hb + {b}) % {p})::BIGINT) AS h{i}".format(
             i=i, a=minhash_coeffs(i)[0], b=minhash_coeffs(i)[1],
             p=_MINHASH_PRIME,
         )
         for i in range(num_hashes)
     )
-    return f"CASE {arms} END"
 
 
 def _minhash_sql(num_hashes: int) -> str:
-    mins = ", ".join(
-        f"min(CASE WHEN i = {i} THEN h END) AS h{i}" for i in range(num_hashes)
-    )
     return f"""
         WITH toks AS (
           SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS w
@@ -3029,11 +3029,9 @@ def _minhash_sql(num_hashes: int) -> str:
           SELECT doc_id,
                  ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS hb
           FROM grams
-        ), hashed AS (
-          SELECT doc_id, i, {_minhash_case_sql(num_hashes)} AS h
-          FROM based CROSS JOIN range({num_hashes}) r(i)
         )
-        SELECT doc_id, {mins} FROM hashed GROUP BY doc_id
+        SELECT doc_id, {_minhash_min_exprs_sql(num_hashes)}
+        FROM based GROUP BY doc_id
     """
 
 
@@ -3041,9 +3039,6 @@ def _minhash_lsh_sql(num_hashes: int, bands: int, threshold: float) -> str:
     """LSH banding over the md5 MinHash signatures: candidates share ≥1
     band key; est_jaccard = signature agreement rate."""
     r = num_hashes // bands
-    mins = ", ".join(
-        f"min(CASE WHEN i = {i} THEN h END) AS h{i}" for i in range(num_hashes)
-    )
     band_keys = ", ".join(
         "(" + " || ',' || ".join(
             f"h{b * r + j}::VARCHAR" for j in range(r)
@@ -3072,11 +3067,13 @@ def _minhash_lsh_sql(num_hashes: int, bands: int, threshold: float) -> str:
           SELECT doc_id,
                  ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS hb
           FROM (SELECT DISTINCT doc_id, shingle FROM grams)
-        ), hashed AS (
-          SELECT doc_id, i, {_minhash_case_sql(num_hashes)} AS h
-          FROM based CROSS JOIN range({num_hashes}) r(i)
         ), sigs AS (
-          SELECT doc_id, {mins} FROM hashed GROUP BY doc_id
+          -- the num_hashes affine hashes as PARALLEL min() aggregates
+          -- over the doc-shingle rows: a CROSS JOIN range(num_hashes)
+          -- multiplies ~750M doc-shingle rows to 6B at 5M docs and
+          -- spills duckdb past the disk; this shape adds zero rows
+          SELECT doc_id, {_minhash_min_exprs_sql(num_hashes)}
+          FROM based GROUP BY doc_id
         ), keyed AS (
           SELECT *, {band_keys} FROM sigs
         ), bands_t AS ({band_union}),

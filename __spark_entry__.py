@@ -3138,7 +3138,35 @@ def _dup_clusters_sql(final: str) -> str:
 
 
 def _simhash_pairs_sql(max_hamming: int) -> str:
+    """SimHash pair oracle, shaped to survive 5M docs:
+
+    - per-bit majority votes as 60 PARALLEL sum() aggregates (the
+      CROSS JOIN range(60) shape multiplied ~1B doc-token rows to 60B
+      and ground for hours at sf100h);
+    - candidate pairs by pigeonhole blocking instead of the O(N²/2)
+      self-join (12.5e12 comparisons at 5M docs): with 60 bits in
+      ``max_hamming + 1`` equal blocks, any pair within max_hamming
+      MUST share at least one whole block (pigeonhole — exact, not a
+      heuristic), so block-equality joins enumerate a superset and the
+      final bit_count check keeps the true pairs. Same math as the
+      engine (operators/dedup.py:simhash_pairs), independently
+      re-implemented."""
     tok_hash = _MD5L.format(x="t")
+    n_blocks = max_hamming + 1
+    width = 60 // n_blocks
+    votes = ", ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(60)
+    )
+    pack = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN 1::BIGINT << {j} ELSE 0 END)"
+        for j in range(60)
+    )
+    block_union = " UNION ALL ".join(
+        f"SELECT doc_id, sig, {k} AS blk,"
+        f" (sig >> {k * width}) & {(1 << width) - 1} AS bval FROM sigs"
+        for k in range(n_blocks)
+    )
     return f"""
         WITH toks AS (
           SELECT doc_id,
@@ -3147,17 +3175,17 @@ def _simhash_pairs_sql(max_hamming: int) -> str:
         ), hashed AS (
           SELECT doc_id, {tok_hash} AS h FROM toks
         ), votes AS (
-          SELECT doc_id, j,
-                 sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS v
-          FROM hashed CROSS JOIN range(60) r(j)
-          GROUP BY doc_id, j
+          SELECT doc_id, {votes} FROM hashed GROUP BY doc_id
         ), sigs AS (
-          SELECT doc_id,
-                 sum(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS sig
-          FROM votes GROUP BY doc_id
+          SELECT doc_id, ({pack})::BIGINT AS sig FROM votes
+        ), blocks AS ({block_union}),
+        cand AS (
+          SELECT DISTINCT x.doc_id AS a, x.sig AS siga,
+                          y.doc_id AS b, y.sig AS sigb
+          FROM blocks x JOIN blocks y
+            ON x.blk = y.blk AND x.bval = y.bval AND x.doc_id < y.doc_id
         )
-        SELECT s1.doc_id AS a, s2.doc_id AS b,
-               bit_count(xor(s1.sig, s2.sig))::INT AS hamming
-        FROM sigs s1 JOIN sigs s2 ON s1.doc_id < s2.doc_id
-        WHERE bit_count(xor(s1.sig, s2.sig)) <= {max_hamming}
+        SELECT a, b, bit_count(xor(siga, sigb))::INT AS hamming
+        FROM cand
+        WHERE bit_count(xor(siga, sigb)) <= {max_hamming}
     """

@@ -3064,9 +3064,14 @@ def _minhash_lsh_sql(num_hashes: int, bands: int, threshold: float) -> str:
                    j -> w[j] || ' ' || w[j+1] || ' ' || w[j+2])) AS shingle
           FROM toks
         ), based AS (
-          SELECT doc_id,
+          -- DISTINCT after hashing: the same hb set as distinct-then-
+          -- hash (min() downstream is insensitive even to collisions),
+          -- but the 750M-row dedup at 5M docs runs on fixed 16-byte
+          -- rows instead of variable shingle strings (5x smaller hash
+          -- table — the string-keyed DISTINCT spilled past the disk)
+          SELECT DISTINCT doc_id,
                  ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS hb
-          FROM (SELECT DISTINCT doc_id, shingle FROM grams)
+          FROM grams
         ), sigs AS (
           -- the num_hashes affine hashes as PARALLEL min() aggregates
           -- over the doc-shingle rows: a CROSS JOIN range(num_hashes)

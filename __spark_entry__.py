@@ -3064,12 +3064,12 @@ def _minhash_lsh_sql(num_hashes: int, bands: int, threshold: float) -> str:
                    j -> w[j] || ' ' || w[j+1] || ' ' || w[j+2])) AS shingle
           FROM toks
         ), based AS (
-          -- DISTINCT after hashing: the same hb set as distinct-then-
-          -- hash (min() downstream is insensitive even to collisions),
-          -- but the 750M-row dedup at 5M docs runs on fixed 16-byte
-          -- rows instead of variable shingle strings (5x smaller hash
-          -- table — the string-keyed DISTINCT spilled past the disk)
-          SELECT DISTINCT doc_id,
+          -- NO shingle dedup: min() over the duplicate-bearing multiset
+          -- equals min() over the distinct set, and a 750M-row DISTINCT
+          -- hash table at 5M docs spilled duckdb past the disk twice
+          -- (string-keyed AND hash-keyed). This shape streams straight
+          -- into the per-doc aggregate.
+          SELECT doc_id,
                  ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS hb
           FROM grams
         ), sigs AS (

@@ -57,10 +57,18 @@ def _tokens(text_col: str) -> Column:
 
 
 def _bigrams(toks: Column) -> Column:
-    """Adjacent-pair bigrams joined by a single space (NGram semantics)."""
-    return F.transform(
-        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
-        lambda x, i: F.concat(x, F.lit(" "), F.element_at(toks, i + 2)),
+    """Adjacent-pair bigrams joined by a single space (NGram semantics).
+
+    zip_with over two slices, NOT transform + element_at(toks, i+2):
+    ``toks`` is an expression (not a materialized column), and an
+    element_at inside the lambda re-evaluates the whole split per
+    POSITION — O(tokens²) per document (measured 8x on the bench
+    corpus). zip_with evaluates each slice argument once per row."""
+    n1 = F.greatest(F.size(toks) - 1, F.lit(0))
+    return F.zip_with(
+        F.slice(toks, 1, n1),
+        F.slice(toks, 2, n1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
     )
 
 

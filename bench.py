@@ -419,13 +419,11 @@ def main() -> None:
     hist_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "benchmarks", "history.jsonl"
     )
-    line = {
+    compact = {
         "metric": "headline_queries_total_wall",
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
-        "samples": samples,
-        "load": load,
         "clean": clean,
         "load_gate_ext_cores": LOAD_EXT_CORES,
         "history": _history_band(hist_path, set(timings), sf),
@@ -433,16 +431,25 @@ def main() -> None:
         "sf": sf,
         **api_calls,
     }
-    print(json.dumps(line))
-    # append to the per-round history so later rounds can diff regressions
+    detail = {**compact, "samples": samples, "load": load}
+    # Per-rep samples + load evidence go to a SIDE FILE and an EARLIER
+    # stderr line: round 5's artifact put them on the final line, which
+    # outgrew the driver's tail-capture window and left BENCH_r05.json
+    # with parsed: null. The LAST stdout line must stay compact and
+    # self-contained (total, per-query medians, clean flag, band).
     try:
         hist_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 "benchmarks")
         os.makedirs(hist_dir, exist_ok=True)
         with open(os.path.join(hist_dir, "history.jsonl"), "a") as fh:
-            fh.write(json.dumps({"ts": time.time(), **line}) + "\n")
+            fh.write(json.dumps({"ts": time.time(), **detail}) + "\n")
+        with open(os.path.join(hist_dir, "last_run_detail.json"), "w") as fh:
+            json.dump({"ts": time.time(), **detail}, fh, indent=1)
     except OSError:
         pass
+    print("# detail (per-rep samples + load evidence): "
+          "benchmarks/last_run_detail.json + history.jsonl", file=sys.stderr)
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

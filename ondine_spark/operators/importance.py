@@ -201,13 +201,17 @@ def dsir_resample(
     with a LIMIT pushes the limit into each partition (TakeOrdered), so
     the shuffle moves at most n rows per partition, not the corpus.
     """
-    # xxhash64 -> uniform in (0, 1): 63 usable bits, never exactly 0 or 1
+    # xxhash64 -> uniform u in (0, 1]: 63 usable bits, never exactly 0,
+    # but integers within ~2^10 of 2^63 round to exactly 1.0 as doubles
+    # (probability ~2^-53 per row). Clamp below 1.0 so -log(u) is never
+    # exactly 0 — otherwise ln(0) is NULL and the row would be silently
+    # dropped from the top-n (desc sort puts NULLs last).
     u = (
         (F.shiftrightunsigned(F.xxhash64(F.col(id_col), F.lit(seed)), 1)
          + F.lit(1)).cast("double")
         / F.lit(float(1 << 63))
     )
-    gumbel = -F.log(-F.log(u))
+    gumbel = -F.log(-F.log(F.least(u, F.lit(1.0 - 1e-16))))
     key = F.col(weight_col).cast("double") / F.lit(quant * temperature) + gumbel
     return (
         df.withColumn("_dsir_key", key)

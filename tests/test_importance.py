@@ -90,9 +90,8 @@ def test_llr_matches_hand_computation(spark):
         - (math.log(4.5) - math.log(4 + 0.5 * b))
     ))
     assert expect in llr
-    # empty buckets: ln(.5/(1+4)) - ln(.5/(4+4)) = ln(8/5) scaled — wait,
-    # denominators differ, so even empty buckets carry the N_t vs N_r
-    # normalizer offset; check one
+    # empty buckets still carry the N_t vs N_r normalizer offset because
+    # the add-alpha denominators differ; check one
     empty = round(1e6 * (
         (math.log(0.5) - math.log(1 + 0.5 * b))
         - (math.log(0.5) - math.log(4 + 0.5 * b))

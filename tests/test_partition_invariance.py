@@ -176,10 +176,21 @@ def test_train_bpe_partition_invariant_sf1(spark):
     trainer over the 50K-doc Heaps-vocabulary corpus at 1/3/17 input
     partitions and pin merges + a frozen-sample tokenization."""
     import os
+    import subprocess
+    import sys as _sys
 
-    sf1h = os.path.join(os.path.dirname(__file__), "..", "localdata", "sf1h")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sf1h = os.path.join(repo, "localdata", "sf1h")
     if not os.path.isdir(os.path.join(sf1h, "documents.parquet")):
-        pytest.skip("localdata/sf1h not generated (tools/gen_scale_data.py)")
+        # generate on demand (~15 s, 37 MB): gen_scale_data is
+        # deterministic, so the corpus is identical on every checkout.
+        # Run in a subprocess — the generator builds its own local[32]
+        # SparkSession, which must not collide with the test fixture's.
+        subprocess.run(
+            [_sys.executable, os.path.join(repo, "tools", "gen_scale_data.py"),
+             "10", sf1h, "0.1", "heaps"],
+            check=True, cwd=repo, capture_output=True, timeout=600,
+        )
     from ondine_spark.operators.tokenizer import train_bpe, word_counts
 
     docs = spark.read.parquet(f"{sf1h}/documents.parquet")

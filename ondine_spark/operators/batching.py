@@ -280,17 +280,40 @@ def _result_str(v) -> str | None:
     return json.dumps(v, separators=(",", ":"))
 
 
+_PARSE_UDFS: "weakref.WeakKeyDictionary" = None  # type: ignore[assignment]
+
+
+def _batch_parse_udf(session):
+    """One pandas UDF object per SparkSession, created lazily: the UDF is
+    stateless (pure ``parse_batch_response``), and re-creating it per
+    disaggregate call re-pickled and re-registered the function on every
+    chunk of a chunked run. Keyed WEAKLY by session so a stopped session's
+    stale ``_judf`` handle is never served to its successor."""
+    global _PARSE_UDFS
+    if _PARSE_UDFS is None:
+        import weakref
+
+        _PARSE_UDFS = weakref.WeakKeyDictionary()
+    udf = _PARSE_UDFS.get(session)
+    if udf is None:
+
+        @F.pandas_udf(T.ArrayType(T.StringType()))
+        def parse(resp: pd.Series, n: pd.Series) -> pd.Series:
+            return pd.Series(
+                [parse_batch_response(r, int(k)) for r, k in zip(resp, n)]
+            )
+
+        _PARSE_UDFS[session] = parse
+        udf = parse
+    return udf
+
+
 def disaggregate_batches(batch_df: DataFrame) -> DataFrame:
     """A2: one batch row (``_row_ids``, ``response_text``, token/cost cols)
     → per-row frame (``_row_id``, ``response_text``) with the batch's
     tokens/cost attributed to its first row (run totals stay exact, like the
     reference attributing cost per API call)."""
-
-    @F.pandas_udf(T.ArrayType(T.StringType()))
-    def parse(resp: pd.Series, n: pd.Series) -> pd.Series:
-        return pd.Series(
-            [parse_batch_response(r, int(k)) for r, k in zip(resp, n)]
-        )
+    parse = _batch_parse_udf(batch_df.sparkSession)
 
     # selectExpr keeps plan construction to a handful of py4j calls (the
     # Column-chain form was ~515 round trips per plan build — paid per
@@ -303,11 +326,12 @@ def disaggregate_batches(batch_df: DataFrame) -> DataFrame:
         "resp_model",
         "posexplode(arrays_zip(_row_ids, _results)) AS (_pos, _z)",
     )
-    zcols = exploded.select("_z.*").columns  # arrays_zip field names
+    # arrays_zip names its struct fields after the zipped columns
+    # (_row_ids, _results) — static, so no schema-analysis round-trip
     return exploded.selectExpr(
         BATCH_ID,
-        f"_z.`{zcols[0]}` AS {ROW_ID}",
-        f"_z.`{zcols[1]}` AS response_text",
+        f"_z._row_ids AS {ROW_ID}",
+        "_z._results AS response_text",
         "IF(_pos = 0, tokens_in, 0) AS tokens_in",
         "IF(_pos = 0, tokens_out, 0) AS tokens_out",
         "IF(_pos = 0, cost, CAST(NULL AS decimal(38,18))) AS cost",

@@ -79,6 +79,10 @@ class Pipeline:
         # ML transform on the session).
         self._cost_acc = None
         self._persisted: list[DataFrame] = []
+        # prompt Column cache keyed by the input frame's column tuple: the
+        # expression tree is immutable and identical for every chunk of a
+        # chunked run — rebuilding it was ~100 py4j round-trips per chunk
+        self._prompt_cols: dict[tuple, object] = {}
         # (invoked frame still carrying _memo_key, memo path) pairs awaiting
         # write-back — flushed by execute()/the chunked runner AFTER the
         # run's results are materialized (see flush_memo)
@@ -142,12 +146,16 @@ class Pipeline:
                 ctx.evidence_top_k, ctx.evidence_min_score,
             )
 
-        p = prompt_column(
-            spec.prompt.template,
-            spec.prompt.use_jinja2,
-            spec.prompt.few_shot_examples,
-            available_columns=df.columns,
-        )
+        pkey = tuple(df.columns)
+        p = self._prompt_cols.get(pkey)
+        if p is None:
+            p = prompt_column(
+                spec.prompt.template,
+                spec.prompt.use_jinja2,
+                spec.prompt.few_shot_examples,
+                available_columns=df.columns,
+            )
+            self._prompt_cols[pkey] = p
         # F4: context injection — prepend retrieved context when non-empty
         for c in ("_kb_context", "_evidence_context"):
             if c in df.columns:
@@ -195,10 +203,20 @@ class Pipeline:
             # so the global index computed above it is stable across the
             # count and assembly passes. (With user after_prompt stages
             # the prompt column must exist eagerly — fallback below.)
-            from pyspark import StorageLevel
+            # Chunked callers (seq_col set) skip the persist: their input
+            # is already a materialized, file-pruned parquet slice of the
+            # chunk spill, so the re-scan the cache would save is a tiny
+            # pruned read — while a persist PER CHUNK both churns the
+            # block manager and accumulates a _persisted handle per chunk
+            # for the lifetime of the run (1000 chunks = 1000 pinned
+            # frames, measured as part of the 0.52 s/chunk fixed cost).
+            if seq_col is None:
+                from pyspark import StorageLevel
 
-            base = df.persist(StorageLevel.MEMORY_AND_DISK)
-            self._persisted.append(base)
+                base = df.persist(StorageLevel.MEMORY_AND_DISK)
+                self._persisted.append(base)
+            else:
+                base = df
             batches = aggregate_batches(
                 base.withColumn("prompt", p),
                 spec.prompt.batch_size, persist=False, seq_col=seq_col,

@@ -197,10 +197,9 @@ def iter_chunks(
             # per-chunk count job (one fewer driver-blocking job per chunk
             # — at 1000 chunks that's 1000 saved jobs), and batch grouping
             # stays exactly ceil(chunk_rows / batch_size)
-            chunk = (
-                chunked.filter(F.col("_chunk") == cid)
-                .drop("_chunk")
-                .withColumn("_seq", F.col("_seq") - (cid * chunk_size))
+            chunk = chunked.where(f"_chunk = {cid}").selectExpr(
+                *[f"`{c}`" for c in in_cols],
+                f"_seq - {cid * chunk_size} AS _seq",
             )
             # ONE job per chunk: the durable write is the only action. The
             # row count needs no job at all — chunk assignment is a

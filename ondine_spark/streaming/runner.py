@@ -106,7 +106,20 @@ def iter_chunks(
     """Generator form (T2 parity: the reference's execute_stream yields a
     result per chunk, ondine/api/pipeline.py:1233-1324). Each yielded
     ChunkResult is already DURABLY COMMITTED; the consumer can stop at any
-    point and resume later with the same session id."""
+    point and resume later with the same session id.
+
+    CONSUMER-CRASH CONTRACT: the chunk commit (the durable response-cache
+    append, which happens BEFORE the yield) is the single source of
+    truth. If the consumer crashes between receiving a yield and applying
+    its own side effect, re-iteration with the same session id yields
+    ONLY the not-yet-committed chunks — the chunk whose yield was lost is
+    already committed and is never re-yielded (and its rows are never
+    re-invoked). Consumers must therefore derive per-chunk side effects
+    from the cache (``chunked_result_frame``) on resume, or keep their
+    own durable progress marker and reconcile; accumulating yields alone
+    under-counts by exactly the crashed-yield chunk. Pinned by
+    tests/test_resume_crash.py::test_consumer_crash_between_yield_and_side_effect.
+    """
     summary = _summary if _summary is not None else StreamSummary()
     spec = pipeline.spec
     ckpt = checkpoint_dir or spec.processing.checkpoint_dir

@@ -262,3 +262,47 @@ def test_compact_responses_dedups_and_preserves_resume(spark, tmp_path):
     assert replay.count() == 60
     # compacting a session that does not exist is a quiet no-op
     assert compact_responses(spark, str(tmp_path), "missing") == 0
+
+
+def test_consumer_crash_between_yield_and_side_effect(spark, tmp_path):
+    """Round-5 verdict item 8: the consumer-crash contract. A chunk's
+    durable commit happens BEFORE its yield, so a consumer that dies
+    between receiving a yield and applying its own side effect finds on
+    re-iteration that (a) the crashed-yield chunk is NOT re-yielded and
+    its rows are NOT re-invoked — commit is the source of truth — and
+    (b) the full result, including that chunk, is recoverable from the
+    cache via chunked_result_frame. A consumer accumulating yields alone
+    under-counts by exactly that chunk; the docstring directs it to the
+    cache."""
+    from ondine_spark.streaming.runner import iter_chunks
+
+    counts = str(tmp_path / "calls.txt")
+    ckpt = tmp_path / "ckpt"
+
+    class ConsumerCrash(RuntimeError):
+        pass
+
+    side_effects: list[int] = []
+    p = _builder(spark, ckpt, mock_client_factory(count_file=counts)).build()
+    with pytest.raises(ConsumerCrash):
+        for ch in iter_chunks(p, chunk_size=25):
+            if ch.chunk_id == 1:
+                # crash AFTER chunk 1 committed + yielded, BEFORE the
+                # consumer side-effects it
+                raise ConsumerCrash()
+            side_effects.append(ch.chunk_id)
+    assert side_effects == [0]
+    calls_before = sum(1 for _ in open(counts))
+    assert calls_before == 50  # chunks 0 and 1 both invoked + committed
+
+    # re-iteration: only the UNCOMMITTED chunks (2, 3) are yielded;
+    # chunk 1 — committed but never consumer-side-effected — is not
+    p2 = _builder(spark, ckpt, mock_client_factory(count_file=counts)).build()
+    resumed = [ch.chunk_id for ch in iter_chunks(p2, chunk_size=25)]
+    assert len(resumed) == 2
+    assert sum(1 for _ in open(counts)) == 100  # 50 new, 0 re-invocations
+
+    # the cache is the source of truth: all 100 rows, chunk 1 included
+    out = chunked_result_frame(p2, str(ckpt), "sess1")
+    assert out.count() == 100
+    assert out.filter("sentiment IS NULL").count() == 0

@@ -18,6 +18,10 @@ generated DISTRIBUTED — mapInPandas over a range frame, so the same script
 generates a 10^10-row corpus on a real cluster.
 
 Usage: python tools/gen_scale_data.py [sf] [out_dir] [cluster_frac] [vocab]
+                                      [tables]
+  tables: optional comma list (documents,embeddings,events) — only these
+      are (re)written; lets a finished table survive a straggler in
+      another one.
   sf: scale multiplier relative to sf0.1 (default 10 -> "sf1": 50K docs,
       20K embeddings, 1M events)
   cluster_frac: fraction of docs in the near-dup cluster (default 0.1).
@@ -84,6 +88,11 @@ def main() -> None:
     cluster_frac = float(sys.argv[3]) if len(sys.argv) > 3 else 0.1
     n_cluster = int(n_docs * cluster_frac)
     vocab_mode = sys.argv[4] if len(sys.argv) > 4 else "fixed"
+    # optional 5th arg: comma list of tables to (re)write — the other
+    # tables' plans are still built (cheap) but not executed, so a
+    # straggler in one table's generation never forces regenerating the
+    # finished ones
+    only = set(sys.argv[5].split(",")) - {""} if len(sys.argv) > 5 else set()
     # The hot-paragraph skew probe must stay CONSTANT-SIZE, like the
     # near-dup cluster (see cluster_frac above): a relative 1-in-50 rate
     # at 5M docs puts the verbatim paragraph in 100K docs, whose LSH
@@ -165,7 +174,8 @@ def main() -> None:
         spark.range(n_docs).repartition(int(cpus))
         .mapInPandas(gen_docs, "doc_id long, text string, lang string, source string, n_chars long")
     )
-    docs.write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    if not only or "documents" in only:
+        docs.write.mode("overwrite").parquet(f"{out}/documents.parquet")
 
     # ----------------------------------------------------------- embeddings
     def gen_emb(batches):
@@ -191,7 +201,8 @@ def main() -> None:
         spark.range(n_emb).repartition(int(cpus))
         .mapInPandas(gen_emb, "vec_id long, embedding array<float>, label int")
     )
-    emb.write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+    if not only or "embeddings" in only:
+        emb.write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
 
     # --------------------------------------------------------------- events
     def gen_events(batches):
@@ -218,15 +229,23 @@ def main() -> None:
                 "props": [f'{{"k": {int(k)}}}' for k in rng.randint(0, 100, size=len(ids))],
             })
 
+    # CONTIGUOUS range partitions, no shuffle: boundaries are a pure
+    # function of (n_events, ev_parts), so ids[0] — and with it every
+    # per-batch RandomState seed — is the same on any cluster layout.
+    # The old repartition(cpus) round-robin pushed 3.1M-row Arrow tasks
+    # at sf100h and one stalled; ~780K-row partitions keep every
+    # mapInPandas task short (the round-5 fix that never got committed).
+    ev_parts = max(int(cpus), -(-n_events // 781_250))
     ev = (
-        spark.range(n_events).repartition(int(cpus))
+        spark.range(n_events, numPartitions=ev_parts)
         .mapInPandas(
             gen_events,
             "event_id long, ts timestamp, user_id long, event_type string, "
             "value double, props string",
         )
     )
-    ev.write.mode("overwrite").parquet(f"{out}/events.parquet")
+    if not only or "events" in only:
+        ev.write.mode("overwrite").parquet(f"{out}/events.parquet")
 
     # relational tables: the scale story for dedup/ANN/curation lives in the
     # three tables above; symlink the sf0.1 TPC-H-ish tables so bench's

@@ -181,6 +181,18 @@ def _call_with_retry(
         t0 = time.monotonic()
         try:
             res = client.complete(prompt, system)
+            if isinstance(res, str):
+                # custom clients may return the completion text directly
+                # (the simplest possible client); wrap it so accounting
+                # columns exist — tokens/cost unknown, charged as zero
+                # (same tolerance as clients that skip cost fields)
+                from ondine_spark.llm.client import LLMResult
+
+                res = LLMResult(
+                    text=res, tokens_in=0, tokens_out=0,
+                    model=getattr(client, "model", "custom"),
+                    cost=Decimal(0),
+                )
             res.latency_ms = (time.monotonic() - t0) * 1000.0
             return res
         except TransientLLMError as e:

@@ -203,6 +203,58 @@ def aggregate_batches(
     return out
 
 
+def aggregate_batches_per_chunk(
+    df: DataFrame, batch_size: int, chunk_size: int,
+    prompt_col: str = "prompt", seq_col: str = "_seq",
+    chunk_col: str = "_chunk",
+) -> DataFrame:
+    """Chunk-aligned batch assembly for the chunked runner: assemble EVERY
+    chunk's mega-prompt batches in ONE job, so each per-chunk job is a
+    shuffle-free scan of its own pre-assembled batch rows (the per-chunk
+    groupBy exchange was the largest slice of the ~0.4 s/chunk fixed cost
+    at 1000 chunks, tools/chunk_overhead.py). Batch membership depends
+    only on the static global index, so nothing about it is per-chunk
+    work.
+
+    ``BATCH_ID`` is globally unique and ``_seq``-ordered:
+    ``chunk * ceil(chunk_size/batch_size) + (chunk-rebased _seq) //
+    batch_size``. Membership — and therefore the mega-prompt BYTES,
+    ``api_calls = ceil(chunk_rows/batch_size)`` per chunk, and memo keys
+    — is identical to running :func:`aggregate_batches` on each rebased
+    chunk slice (pinned by test_batching's chunked-assembly parity test).
+    Output: one row per batch with ``chunk_col``, ``BATCH_ID``,
+    ``_row_ids`` and the rendered mega-prompt.
+    """
+    if batch_size <= 1:
+        raise ValueError("batch_size must be > 1 for aggregation")
+    mbpc = -(-chunk_size // batch_size)  # max batches per chunk
+    items = (
+        df.selectExpr(
+            f"`{chunk_col}` * {mbpc}L + CAST((`{seq_col}` - `{chunk_col}`"
+            f" * {chunk_size}L) / {batch_size} AS LONG) AS {BATCH_ID}",
+            f"`{seq_col}` AS _seq",
+            ROW_ID,
+            f"`{prompt_col}` AS _p",
+        )
+        .groupBy(BATCH_ID)
+        .agg(
+            F.expr(
+                f"array_sort(collect_list(struct(_seq, {ROW_ID}, _p)))"
+            ).alias("_items")
+        )
+    )
+    ids_json_sql = (
+        "to_json(transform(_items, (x, i) -> "
+        "struct(CAST(i + 1 AS INT) AS id, x._p AS input)))"
+    )
+    return items.selectExpr(
+        f"{BATCH_ID} DIV {mbpc} AS `{chunk_col}`",
+        BATCH_ID,
+        f"transform(_items, x -> x.{ROW_ID}) AS _row_ids",
+        _mega_prompt_sql(ids_json_sql, "size(_items)") + f" AS `{prompt_col}`",
+    )
+
+
 # ------------------------------------------------------------ A2: parse back
 
 _ARRAY_RE = re.compile(r"\[(?:[^[\]]|\[(?:[^[\]]|\[[^\[\]]*\])*\])*\]", re.DOTALL)

@@ -20,7 +20,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Any
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ondine_spark.core.specs import (
@@ -100,7 +100,7 @@ class Pipeline:
 
     def response_frame(
         self, df: DataFrame | None = None, resume: bool = True,
-        seq_col: str | None = None,
+        seq_col: str | None = None, rows_only: bool = False,
     ) -> DataFrame:
         """Input rows → rows + response columns (pre-parse).
 
@@ -109,10 +109,24 @@ class Pipeline:
         index per chunk) — the batched path then skips its per-chunk
         count job. Only valid with ``resume=False``: the resume anti-join
         would puncture the contiguity the batch grouping relies on for
-        exact ceil(N/batch_size) call counts."""
+        exact ceil(N/batch_size) call counts.
+
+        ``rows_only`` returns the per-row response frame WITHOUT
+        re-attaching the input columns. The batch disaggregator is 1:N
+        row-preserving (one output row per ``_row_ids`` member, error
+        rows included), so the frame already carries ``_row_id`` + every
+        response-cache column — the ``base ⋈ responses`` join exists only
+        to put input columns next to responses for in-memory consumers.
+        The chunked runner's durable write drops those columns anyway, so
+        it passes rows_only=True and sheds one full shuffle per chunk
+        (measured: the join was most of the per-chunk fixed cost at 1000
+        chunks, tools/chunk_overhead.py). Only valid with resume=False:
+        the resumed-rows union replays input columns from the cache."""
         spec = self.spec
         if seq_col is not None and resume:
             raise ValueError("seq_col requires resume=False")
+        if rows_only and resume:
+            raise ValueError("rows_only requires resume=False")
         if df is None:
             df = self.input_frame()
         if resume and spec.processing.session_id and spec.processing.checkpoint_dir:
@@ -125,62 +139,8 @@ class Pipeline:
         else:
             self._cached_responses = None
 
-        # R3/R4: per-row retrieval BEFORE prompt formatting (reference stage
-        # order: ondine/api/pipeline.py:694-758) — both are one inverted-index
-        # join over the whole frame, not per-row store calls
-        ctx = spec.context
-        if ctx.kb_path and ctx.kb_query_columns:
-            from ondine_spark.knowledge.retrieval import attach_context
-            from ondine_spark.knowledge.store import KnowledgeStore
-
-            df = attach_context(
-                df, KnowledgeStore(self.spark, ctx.kb_path),
-                ctx.kb_query_columns, ctx.kb_top_k, ctx.kb_min_score,
-                context_col="_kb_context", count_col="_kb_count",
-            )
-        if ctx.evidence_path and ctx.evidence_query_columns:
-            from ondine_spark.context.store import ClaimStore
-
-            df = ClaimStore(self.spark, ctx.evidence_path).attach_evidence(
-                df, ctx.evidence_query_columns,
-                ctx.evidence_top_k, ctx.evidence_min_score,
-            )
-
-        pkey = tuple(df.columns)
-        p = self._prompt_cols.get(pkey)
-        if p is None:
-            p = prompt_column(
-                spec.prompt.template,
-                spec.prompt.use_jinja2,
-                spec.prompt.few_shot_examples,
-                available_columns=df.columns,
-            )
-            self._prompt_cols[pkey] = p
-        # F4: context injection — prepend retrieved context when non-empty
-        for c in ("_kb_context", "_evidence_context"):
-            if c in df.columns:
-                p = F.when(
-                    (F.col(c).isNotNull()) & (F.col(c) != ""),
-                    F.concat(F.lit("Context:\n"), F.col(c), F.lit("\n\n"), p),
-                ).otherwise(p)
-        # created once per Pipeline, not per plan build: the auto-retry
-        # pass builds a second plan through here, and replacing the
-        # accumulator would zero the count of the main pass — api_calls
-        # is cumulative for the pipeline object
-        if self._call_counter is None:
-            self._call_counter = self.spark.sparkContext.accumulator(0)
-        if self._cost_acc is None:
-            from ondine_spark.observability import make_call_event_accumulator
-
-            self._cost_acc = make_call_event_accumulator(
-                self.spark.sparkContext
-            )
-        if self._call_events is None and spec.processing.call_event_sample:
-            from ondine_spark.observability import make_call_event_accumulator
-
-            self._call_events = make_call_event_accumulator(
-                self.spark.sparkContext
-            )
+        df, p = self._rendered_prompt(df)
+        self._ensure_accumulators()
         has_after_prompt = any(
             pos == "after_prompt" for pos, _ in spec.processing.stages
         )
@@ -223,6 +183,8 @@ class Pipeline:
             )
             invoked = self._invoke(batches)
             responses = disaggregate_batches(invoked)
+            if rows_only:
+                return responses
             out = base.join(responses, on=ROW_ID, how="left")
         elif spec.prompt.batch_size > 1:
             from pyspark import StorageLevel
@@ -236,6 +198,8 @@ class Pipeline:
             )
             invoked = self._invoke(batches)
             responses = disaggregate_batches(invoked)
+            if rows_only:
+                return responses
             keep = [
                 c for c in df.columns if c != "prompt" and c != seq_col
             ]
@@ -249,6 +213,74 @@ class Pipeline:
         if self._cached_responses is not None:
             out = out.unionByName(self._cached_responses, allowMissingColumns=True)
         return out
+
+    def _rendered_prompt(self, df: DataFrame) -> tuple[DataFrame, Column]:
+        """Attach retrieval context and return ``(df, prompt Column)``.
+
+        R3/R4: per-row retrieval BEFORE prompt formatting (reference stage
+        order: ondine/api/pipeline.py:694-758) — both are one
+        inverted-index join over the whole frame, not per-row store calls.
+        F4: retrieved context is prepended to the prompt when non-empty.
+        The parsed prompt Column is cached per input-column set (plan
+        construction is pure py4j latency, paid per chunk in chunked
+        mode). Shared by response_frame and the chunked runner's
+        assemble-once spill."""
+        spec = self.spec
+        ctx = spec.context
+        if ctx.kb_path and ctx.kb_query_columns:
+            from ondine_spark.knowledge.retrieval import attach_context
+            from ondine_spark.knowledge.store import KnowledgeStore
+
+            df = attach_context(
+                df, KnowledgeStore(self.spark, ctx.kb_path),
+                ctx.kb_query_columns, ctx.kb_top_k, ctx.kb_min_score,
+                context_col="_kb_context", count_col="_kb_count",
+            )
+        if ctx.evidence_path and ctx.evidence_query_columns:
+            from ondine_spark.context.store import ClaimStore
+
+            df = ClaimStore(self.spark, ctx.evidence_path).attach_evidence(
+                df, ctx.evidence_query_columns,
+                ctx.evidence_top_k, ctx.evidence_min_score,
+            )
+
+        pkey = tuple(df.columns)
+        p = self._prompt_cols.get(pkey)
+        if p is None:
+            p = prompt_column(
+                spec.prompt.template,
+                spec.prompt.use_jinja2,
+                spec.prompt.few_shot_examples,
+                available_columns=df.columns,
+            )
+            self._prompt_cols[pkey] = p
+        for c in ("_kb_context", "_evidence_context"):
+            if c in df.columns:
+                p = F.when(
+                    (F.col(c).isNotNull()) & (F.col(c) != ""),
+                    F.concat(F.lit("Context:\n"), F.col(c), F.lit("\n\n"), p),
+                ).otherwise(p)
+        return df, p
+
+    def _ensure_accumulators(self) -> None:
+        """Create the call/cost/event accumulators once per Pipeline, not
+        per plan build: the auto-retry pass builds a second plan, and
+        replacing an accumulator would zero the count of the main pass —
+        api_calls is cumulative for the pipeline object."""
+        if self._call_counter is None:
+            self._call_counter = self.spark.sparkContext.accumulator(0)
+        if self._cost_acc is None:
+            from ondine_spark.observability import make_call_event_accumulator
+
+            self._cost_acc = make_call_event_accumulator(
+                self.spark.sparkContext
+            )
+        if self._call_events is None and self.spec.processing.call_event_sample:
+            from ondine_spark.observability import make_call_event_accumulator
+
+            self._call_events = make_call_event_accumulator(
+                self.spark.sparkContext
+            )
 
     def _invoke(self, frame: DataFrame) -> DataFrame:
         """LLM invocation with optional cross-run memoization.

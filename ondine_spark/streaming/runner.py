@@ -148,7 +148,26 @@ def iter_chunks(
     else:
         todo = df
 
-    seq = with_global_index(todo, "_seq")
+    # Assemble-once fast path (round-6): with mega-batching and no user
+    # after_prompt stages, batch membership depends only on the static
+    # global index — so render prompts, attach retrieval context, and
+    # assemble EVERY chunk's mega-prompt batch rows in the one spill job.
+    # Each per-chunk job then degenerates to: pruned scan of its own
+    # ~ceil(chunk/batch) pre-assembled batch rows → invoke UDF → explode
+    # → durable write. ONE narrow stage, zero per-chunk shuffles (the
+    # per-chunk groupBy exchange + base ⋈ responses join were most of the
+    # 0.4-0.5 s/chunk fixed cost at 1000 chunks, tools/chunk_overhead.py).
+    has_after_prompt = any(
+        pos == "after_prompt" for pos, _ in spec.processing.stages
+    )
+    mega = spec.prompt.batch_size > 1 and not has_after_prompt
+    if mega:
+        work, prompt_col = pipeline._rendered_prompt(todo)
+        pipeline._ensure_accumulators()
+    else:
+        work = todo
+
+    seq = with_global_index(work, "_seq")
     # total rows fall out of the index's offset pass — no count job
     n_rows = int(getattr(seq, "_ondine_total_rows", 0))
     n_chunks = -(-n_rows // chunk_size) if n_rows else 0
@@ -169,25 +188,52 @@ def iter_chunks(
     chunked = seq.withColumn(
         "_chunk", (F.col("_seq") / chunk_size).cast("long")
     )
+    in_cols: list[str] = []
+    if mega:
+        from ondine_spark.operators.batching import (
+            aggregate_batches_per_chunk,
+        )
+
+        spillable = aggregate_batches_per_chunk(
+            chunked.withColumn("prompt", prompt_col),
+            spec.prompt.batch_size, chunk_size,
+        )
+    else:
+        spillable = chunked
     if n_chunks >= sc.defaultParallelism:
         # many small chunks: co-locate each chunk's rows in one writer
         # task so the spill is ~1 file per chunk, not tasks × chunks
-        chunked = chunked.repartition(sc.defaultParallelism, "_chunk")
-    # parquet rejects some user column names (spaces, '=', ...); spill
-    # under positional aliases and restore on read
-    in_cols = [c for c in chunked.columns if c not in ("_seq", "_chunk")]
-    safe = chunked.select(
-        *[F.col(c).alias(f"_c{i}") for i, c in enumerate(in_cols)],
-        "_seq", "_chunk",
-    )
+        spillable = spillable.repartition(sc.defaultParallelism, "_chunk")
+    if not mega:
+        # parquet rejects some user column names (spaces, '=', ...); spill
+        # under positional aliases and restore on read (the mega spill's
+        # columns are all internal — no aliasing needed)
+        in_cols = [
+            c for c in spillable.columns if c not in ("_seq", "_chunk")
+        ]
+        spillable = spillable.select(
+            *[F.col(c).alias(f"_c{i}") for i, c in enumerate(in_cols)],
+            "_seq", "_chunk",
+        )
     if n_rows:
-        safe.write.mode("overwrite").partitionBy("_chunk").parquet(spill)
+        spillable.write.mode("overwrite").partitionBy("_chunk").parquet(spill)
     # the spill materialized from the index's internal cache (one source
     # scan total for offsets + spill); release those blocks now
     for _c in getattr(seq, "_ondine_cached", []):
         _c.unpersist()
     chunked = None
-    if n_rows:
+    bat_schema = None
+    if n_rows and mega:
+        # per-chunk reads go straight at the chunk's partition directory
+        # with the schema pinned driver-side: no per-chunk partition
+        # pruning over n_chunks directories and no per-chunk footer-based
+        # schema inference (measured ~25 ms/chunk at 1000 chunks)
+        from pyspark.sql.types import StructType
+
+        bat_schema = StructType(
+            [f for f in spillable.schema.fields if f.name != "_chunk"]
+        )
+    elif n_rows:
         chunked = spark.read.parquet(spill).select(
             *[F.col(f"_c{i}").alias(c) for i, c in enumerate(in_cols)],
             "_seq", "_chunk",
@@ -205,15 +251,15 @@ def iter_chunks(
                 chunks_total=int(n_chunks),
                 rows_total=min(chunk_size, n_rows - cid * chunk_size),
             )
-            # rebase the run-level global index to 0 within the chunk and
-            # hand it to the pipeline: the batched spine then skips its
-            # per-chunk count job (one fewer driver-blocking job per chunk
-            # — at 1000 chunks that's 1000 saved jobs), and batch grouping
-            # stays exactly ceil(chunk_rows / batch_size)
-            chunk = chunked.where(f"_chunk = {cid}").selectExpr(
-                *[f"`{c}`" for c in in_cols],
-                f"_seq - {cid * chunk_size} AS _seq",
-            )
+            if not mega:
+                # rebase the run-level global index to 0 within the chunk
+                # and hand it to the pipeline: the batched spine then skips
+                # its per-chunk count job, and batch grouping stays exactly
+                # ceil(chunk_rows / batch_size)
+                chunk = chunked.where(f"_chunk = {cid}").selectExpr(
+                    *[f"`{c}`" for c in in_cols],
+                    f"_seq - {cid * chunk_size} AS _seq",
+                )
             # ONE job per chunk: the durable write is the only action. The
             # row count needs no job at all — chunk assignment is a
             # contiguous slice of the global index, so it is
@@ -234,9 +280,29 @@ def iter_chunks(
             # serialize (measured on 4.1.2 — one Observation broke every
             # subsequent ML transform on the shared session).
             n_chunk_rows = int(min(chunk_size, n_rows - cid * chunk_size))
-            responses = pipeline.response_frame(
-                chunk, resume=False, seq_col="_seq"
-            )
+            if mega:
+                # pre-assembled batch rows: pruned scan → invoke → explode
+                # → write, one narrow stage (see the spill comment above).
+                # rows_only insight applies here too: the durable write
+                # needs _row_id + response cols only, and the disaggregator
+                # is row-preserving, so the base ⋈ responses join never
+                # happens in chunked mode.
+                from ondine_spark.operators.batching import (
+                    disaggregate_batches,
+                )
+
+                batch_rows = (
+                    spark.read.schema(bat_schema)
+                    .parquet(f"{spill}/_chunk={cid}")
+                    .select("_batch_id", "_row_ids", "prompt")
+                )
+                responses = disaggregate_batches(
+                    pipeline._invoke(batch_rows)
+                )
+            else:
+                responses = pipeline.response_frame(
+                    chunk, resume=False, seq_col="_seq", rows_only=True
+                )
             # commit this chunk's responses durably BEFORE touching the next
             write_responses(responses, ckpt, sid)
             cost = _drain_cost(pipeline._cost_acc)

@@ -84,6 +84,33 @@ def test_custom_client_without_cost_accounting(spark):
     assert res.stats.total_cost == Decimal("0")
 
 
+def test_custom_client_returning_bare_string(spark):
+    """The simplest possible custom client returns the completion text
+    as a plain str (no LLMResult) — found on the round-6 verify drive:
+    the retry wrapper set .latency_ms on the str and every row became
+    an AttributeError row. Bare strings are wrapped with zero-cost
+    accounting, same tolerance as cost=None clients."""
+
+    class StrClient:
+        def complete(self, prompt, system=None):
+            return "positive" if "great" in prompt else "neutral"
+
+    p = (
+        PipelineBuilder(spark)
+        .from_dataframe(
+            spark.createDataFrame(REVIEWS), ["review"], id_column="review_id"
+        )
+        .with_prompt("Classify: {review}", ["sentiment"])
+        .with_custom_llm_client(lambda: StrClient())
+        .build()
+    )
+    res = p.execute()
+    assert res.quality.valid_rows == 6
+    assert res.stats.total_cost == Decimal("0")
+    vals = {r["sentiment"] for r in res.data.collect()}
+    assert vals <= {"positive", "neutral"} and "positive" in vals
+
+
 def test_batched_matches_unbatched(spark):
     res = _pipeline(spark, batch_size=4).execute()
     rows = {r["review_id"]: r["sentiment"] for r in res.data.collect()}
@@ -539,6 +566,56 @@ def test_batching_sql_exprs(spark):
     )
     want = items.select(old_expr.alias("prompt")).collect()
     assert sorted(r["prompt"] for r in got) == sorted(r["prompt"] for r in want)
+
+
+def test_chunked_assembly_parity(spark):
+    """aggregate_batches_per_chunk (the assemble-once spill of the chunked
+    runner) must produce the SAME batches as running aggregate_batches on
+    each chunk-rebased slice: same membership, same _seq-order, and
+    byte-identical mega-prompt text (memo keys and the mock client's
+    parser both key on the bytes). Chunk size deliberately not a multiple
+    of batch size so tail batches differ per chunk."""
+    from pyspark.sql import functions as F
+
+    from ondine_spark.operators.batching import (
+        aggregate_batches,
+        aggregate_batches_per_chunk,
+    )
+
+    n, cs, bs = 23, 7, 3
+    rows = [(f"r{i:02d}", f'text {i} "q" é\n') for i in range(n)]
+    df = (
+        spark.createDataFrame(rows, ["_row_id", "prompt"])
+        .coalesce(1)
+        .selectExpr(
+            "_row_id", "prompt",
+            "row_number() over (order by _row_id) - 1 as _seq",
+        )
+        .withColumn("_chunk", (F.col("_seq") / cs).cast("long"))
+    )
+    got_rows = aggregate_batches_per_chunk(df, bs, cs).collect()
+    got = {}
+    for r in got_rows:
+        got.setdefault(r["_chunk"], []).append(
+            (tuple(r["_row_ids"]), r["prompt"])
+        )
+    mbpc = -(-cs // bs)
+    for cid in range(-(-n // cs)):
+        slice_df = df.where(F.col("_chunk") == cid).selectExpr(
+            "_row_id", "prompt", f"_seq - {cid * cs} AS _seq"
+        )
+        want_rows = aggregate_batches(
+            slice_df, bs, persist=False, seq_col="_seq"
+        ).collect()
+        want = sorted(
+            (tuple(r["_row_ids"]), r["prompt"]) for r in want_rows
+        )
+        assert sorted(got[cid]) == want, f"chunk {cid} mismatch"
+        # global ids are chunk-rebased and dense from cid*mbpc
+        ids = sorted(
+            r["_batch_id"] for r in got_rows if r["_chunk"] == cid
+        )
+        assert ids == [cid * mbpc + j for j in range(len(want))]
 
 
 def test_aggregate_batches_seq_col_skips_index(spark, monkeypatch):

@@ -101,12 +101,41 @@ def main() -> None:
     fixed = (small["wall_sec"] - big["wall_sec"]) / (
         small["n_chunks"] - big["n_chunks"]
     )
+
+    # Machine floor probe: ONE job that does the chunk loop's irreducible
+    # work — a python (Arrow) stage over an in-memory 40-row frame plus a
+    # durable parquet append — with zero pipeline logic. Whatever this
+    # measures is unreachable headroom for ANY per-chunk-durable design
+    # on this box (the python runner handshake alone is ~150 ms/job).
+    floor_dir = tempfile.mkdtemp(prefix="chunk_floor_")
+    mem = spark.range(40).selectExpr(
+        "CAST(id AS STRING) AS _row_id", "repeat('x', 3000) AS prompt"
+    ).coalesce(1).localCheckpoint()
+    floors = []
+    for i in range(12):
+        t0 = time.monotonic()
+        mem.mapInPandas(
+            lambda it: it, "_row_id string, prompt string"
+        ).write.mode("append").parquet(f"{floor_dir}/session_id=s")
+        floors.append(time.monotonic() - t0)
+    floors.sort()
+    floor = floors[len(floors) // 2]
+    import shutil
+
+    shutil.rmtree(floor_dir, ignore_errors=True)
+
     line = {
         "metric": "per_chunk_fixed_cost",
         "value": round(fixed, 4),
         "unit": "sec/chunk",
         "n_rows": N_ROWS,
         "arms": arms,
+        "job_floor_sec": round(floor, 4),
+        "job_floor_note": (
+            "median of 12 no-op jobs (python stage + parquet append on a "
+            "40-row in-memory frame): the per-job machine floor below "
+            "which no per-chunk-durable design can go on this box"
+        ),
         "ts": time.time(),
     }
     print(json.dumps(line))

@@ -87,7 +87,10 @@ def main() -> None:
         t0 = time.monotonic()
         w = dsir_weights(docs.select("doc_id", "text"), llr, "text",
                          num_features=b, use_bigrams=True)
-        w.count()
+        # force the weight column: a bare count() lets Catalyst prune the
+        # entire scoring expression (caught in round 6 — 0.7 s "scores"
+        # for 200M tokens were a column-pruned no-op scan)
+        w.agg(F.sum("dsir_w_q")).collect()
         score_sec = time.monotonic() - t0
 
         t0 = time.monotonic()

@@ -110,3 +110,76 @@ def test_contradiction_in_pipeline(spark):
     out = p.result_frame(df).collect()
     got = {r["k"]: r["_contradiction"] for r in out}
     assert got == {"a": True, "b": True, "c": False}
+
+
+def mega_echo_factory():
+    """Mega-batch-aware context echo: parses the engine's batch prompt
+    (JSON items whose ``input`` is the context-wrapped per-row prompt)
+    and answers each item with its context's first line when present."""
+
+    class MegaEchoClient:
+        def complete(self, prompt, system=None):
+            import json as _json
+            import re as _re
+
+            from ondine_spark.llm.client import LLMResult
+
+            m = _re.search(r"INPUT:\n(\[.*\])\n\nCRITICAL", prompt, _re.DOTALL)
+            items = _json.loads(m.group(1))
+            out = []
+            for it in items:
+                text = "unsupported hallucinated claim xyz"
+                if it["input"].startswith("Context:\n"):
+                    text = it["input"].split("\n")[1]
+                out.append({"id": it["id"], "result": text})
+            return LLMResult(
+                text=_json.dumps(out), tokens_in=len(prompt.split()),
+                tokens_out=5, model="mega-echo", cost="0.000001",
+                latency_ms=0.5,
+            )
+
+    return MegaEchoClient()
+
+
+def test_kb_retrieval_chunked_matches_batch(spark, kb, tmp_path):
+    """KB context attach + mega-batching through the CHUNKED runner must
+    equal the one-shot batched execute(): round 6 moved the context
+    join and prompt render from per-chunk plan builds into the
+    assemble-once spill job, so this pins that the retrieved context
+    reaches every chunk's mega-prompts identically."""
+    from ondine_spark.streaming.runner import (
+        chunked_result_frame,
+        execute_chunked,
+    )
+
+    qs = [("q%02d" % i, "capital of France" if i % 3 == 0
+           else "capital of Spain" if i % 3 == 1
+           else "zz qq unmatched tokens %d" % i) for i in range(12)]
+    rows = spark.createDataFrame(qs, ["qid", "question"])
+
+    def build(ckpt, sid):
+        return (
+            PipelineBuilder(spark)
+            .from_dataframe(rows, ["question"], id_column="qid")
+            .with_prompt("Answer: {question}", ["answer"])
+            .with_custom_llm_client(mega_echo_factory)
+            .with_knowledge_base(kb.path, ["question"], top_k=1, min_score=0.3)
+            .with_batch_size(4)
+            .with_checkpoint_dir(ckpt, sid)
+            .build()
+        )
+
+    p1 = build(str(tmp_path / "c1"), "chunked")
+    execute_chunked(p1, chunk_size=5)  # 3 chunks, batches split 2/2 per chunk edge
+    chunked = {
+        r["qid"]: r["answer"]
+        for r in chunked_result_frame(p1, str(tmp_path / "c1"), "chunked").collect()
+    }
+
+    p2 = build(str(tmp_path / "c2"), "batch")
+    batch = {r["qid"]: r["answer"] for r in p2.execute().data.collect()}
+
+    assert chunked == batch
+    assert "paris" in chunked["q00"].lower()
+    assert "madrid" in chunked["q01"].lower()
+    assert chunked["q02"] == "unsupported hallucinated claim xyz"

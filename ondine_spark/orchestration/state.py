@@ -35,7 +35,11 @@ class StateManager:
 
     @property
     def path(self) -> str:
-        return os.path.join(self.dir, f"{self.session_id}.state.json.gz")
+        # the memento filename embeds the session id; percent-encode path
+        # separators (and '%' so the encoding round-trips) — a session id
+        # like "run 6/alpha" must not create directories
+        safe = self.session_id.replace("%", "%25").replace("/", "%2F")
+        return os.path.join(self.dir, f"{safe}.state.json.gz")
 
     def save(self, memento: RunMemento) -> None:
         memento.updated_at = time.time()

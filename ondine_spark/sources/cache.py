@@ -30,6 +30,22 @@ def _cache_path(checkpoint_dir: str) -> str:
     return os.path.join(checkpoint_dir, "responses")
 
 
+def _session_part_dir(spark, checkpoint_dir: str, session_id: str) -> str | None:
+    """The session's partition directory, escaped with Spark's OWN
+    partition-value escaping (ExternalCatalogUtils) so direct-path
+    writes/rewrites land exactly where ``partitionBy`` would put them
+    and partition discovery reads the value back. None if the JVM
+    helper is unavailable (callers fall back to partitionBy)."""
+    try:
+        esc = (
+            spark._jvm.org.apache.spark.sql.catalyst.catalog
+            .ExternalCatalogUtils.escapePathName(session_id)
+        )
+    except Exception:  # pragma: no cover - JVM helper missing
+        return None
+    return os.path.join(_cache_path(checkpoint_dir), f"session_id={esc}")
+
+
 def read_cache(spark, checkpoint_dir: str, session_id: str) -> DataFrame | None:
     path = _cache_path(checkpoint_dir)
     try:
@@ -96,17 +112,9 @@ def write_responses(
     correctness."""
     cols = [ROW_ID] + [c for c in CACHE_COLS if c in result.columns]
     spark = result.sparkSession
-    try:
-        esc = (
-            spark._jvm.org.apache.spark.sql.catalyst.catalog
-            .ExternalCatalogUtils.escapePathName(session_id)
-        )
-    except Exception:  # pragma: no cover - JVM helper missing
-        esc = None
-    if esc is not None:
-        result.select(*cols).write.mode("append").parquet(
-            os.path.join(_cache_path(checkpoint_dir), f"session_id={esc}")
-        )
+    part_dir = _session_part_dir(spark, checkpoint_dir, session_id)
+    if part_dir is not None:
+        result.select(*cols).write.mode("append").parquet(part_dir)
         return
     out = result.select(*cols).withColumn("session_id", F.lit(session_id))
     (
@@ -122,9 +130,11 @@ def compact_responses(spark, checkpoint_dir: str, session_id: str) -> int:
     chunked appends accumulate one file set per commit). Returns the row
     count after compaction. Run this BETWEEN runs, never concurrently
     with a writer: the rewrite replaces the partition directory."""
-    part_dir = os.path.join(
-        _cache_path(checkpoint_dir), f"session_id={session_id}"
-    )
+    part_dir = _session_part_dir(spark, checkpoint_dir, session_id)
+    if part_dir is None:  # pragma: no cover - JVM helper missing
+        part_dir = os.path.join(
+            _cache_path(checkpoint_dir), f"session_id={session_id}"
+        )
     try:
         df = spark.read.parquet(part_dir)
     except Exception:

@@ -306,3 +306,47 @@ def test_consumer_crash_between_yield_and_side_effect(spark, tmp_path):
     out = chunked_result_frame(p2, str(ckpt), "sess1")
     assert out.count() == 100
     assert out.filter("sentiment IS NULL").count() == 0
+
+
+def test_weird_session_id_direct_path_append(spark, tmp_path):
+    """write_responses appends straight into the session_id=<escaped>
+    partition directory (round 6, skipping the dynamic-partitionBy
+    commit machinery). Session ids with slashes/spaces/'=' must land in
+    the directory Spark's own partition escaping would produce, read
+    back through partition discovery, and resume cleanly."""
+    sid = "run 6/alpha=β"
+    ckpt = str(tmp_path / "ckpt")
+    p = (
+        PipelineBuilder(spark)
+        .from_dataframe(
+            spark.createDataFrame(_rows(20)), ["review"], id_column="id"
+        )
+        .with_prompt("Classify: {review}", ["sentiment"])
+        .with_custom_llm_client(mock_client_factory())
+        .with_batch_size(7)
+        .with_checkpoint_dir(ckpt, sid)
+        .build()
+    )
+    execute_chunked(p, chunk_size=8)
+    out = chunked_result_frame(p, ckpt, sid)
+    assert out.count() == 20
+    assert out.filter("sentiment IS NULL").count() == 0
+    # the cache reader sees exactly this session under partition discovery
+    from ondine_spark.sources.cache import read_cache
+
+    cached = read_cache(spark, ckpt, sid)
+    assert cached is not None and cached.count() == 20
+    # and a second run resumes fully from it: zero new chunks
+    p2 = (
+        PipelineBuilder(spark)
+        .from_dataframe(
+            spark.createDataFrame(_rows(20)), ["review"], id_column="id"
+        )
+        .with_prompt("Classify: {review}", ["sentiment"])
+        .with_custom_llm_client(mock_client_factory())
+        .with_batch_size(7)
+        .with_checkpoint_dir(ckpt, sid)
+        .build()
+    )
+    s2 = execute_chunked(p2, chunk_size=8)
+    assert s2.resumed_rows == 20 and s2.total_rows == 0

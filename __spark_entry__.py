@@ -873,14 +873,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def q_pack_sequences(spark, sf_dir):
-        from ondine_spark.operators.curation import pack_sequences
+        from ondine_spark.operators.curation import (
+            pack_sequences,
+            shard_for_training,
+        )
 
         docs = _docs(spark, sf_dir).withColumn(
             "n_tokens", ta.token_count_ws(F.col("text"))
         )
-        return pack_sequences(
+        packed = pack_sequences(
             docs, "doc_id", "n_tokens", seq_len=2048, n_shards=8
-        ).select("doc_id", "n_tokens", "shard", "pack_id", "offset")
+        )
+        # (r6) composed: the training-export assignment — murmur3-based
+        # deterministic global shuffle + dense per-shard position
+        # (curation.shard_for_training) — joined per doc; the oracle
+        # replays Spark's hash() bit-exactly (_mm3_sqlhash_sgn_ctes)
+        exp = shard_for_training(
+            docs.select("doc_id"), 8, id_col="doc_id", seed="42",
+            pos_col="export_pos", shard_col="export_shard",
+        )
+        return packed.join(exp, "doc_id").select(
+            "doc_id", "n_tokens", "shard", "pack_id", "offset",
+            "export_shard", "export_pos",
+        )
 
     def q_strip_boilerplate(spark, sf_dir):
         from ondine_spark.operators.curation import remove_boilerplate_lines
@@ -1616,11 +1631,25 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY (h % 8) ORDER BY h, doc_id
                        ROWS UNBOUNDED PRECEDING) - n_tokens AS start
               FROM t
+            ), dw AS (
+              SELECT DISTINCT doc_id::VARCHAR || '#42' AS w FROM documents
+            ), {_mm3_sqlhash_sgn_ctes()}, es AS (
+              SELECT d.doc_id, s.h32,
+                     (((s.h32 % 8) + 8) % 8)::INT AS export_shard
+              FROM documents d
+              JOIN sgn s ON s.w = d.doc_id::VARCHAR || '#42'
+            ), ep AS (
+              SELECT doc_id, export_shard,
+                     (ROW_NUMBER() OVER (
+                        PARTITION BY export_shard ORDER BY h32, doc_id
+                      ) - 1)::INT AS export_pos
+              FROM es
             )
-            SELECT doc_id, n_tokens, shard,
-                   floor(start::DOUBLE / 2048)::BIGINT AS pack_id,
-                   (start % 2048)::INT AS "offset"
-            FROM c
+            SELECT c.doc_id, c.n_tokens, c.shard,
+                   floor(c.start::DOUBLE / 2048)::BIGINT AS pack_id,
+                   (c.start % 2048)::INT AS "offset",
+                   ep.export_shard, ep.export_pos
+            FROM c JOIN ep ON ep.doc_id = c.doc_id
         """,
         "strip_boilerplate": f"""
             WITH t AS (

@@ -212,6 +212,70 @@ def _hash_point(col: Column, seed: int) -> Column:
     ).cast("double") / F.lit(float(16 ** 15))
 
 
+def shard_for_training(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    seed: str = "0",
+    pos_col: str = "pos",
+    shard_col: str = "shard",
+) -> DataFrame:
+    """Deterministic global shuffle + balanced shard assignment for
+    training export: every row gets a ``shard`` in [0, n_shards) and a
+    dense 0-based ``pos`` within its shard, both pure functions of
+    (id, seed) — independent of input partitioning, cluster size, or
+    run, so a re-export after a crash produces byte-identical shards
+    (the property trainers need for resumable data loading).
+
+    Spark-first shape: the shuffle key is one JVM ``hash()`` (murmur3)
+    of ``id '#' seed``; shard = pmod(key, n); pos = row_number over
+    (shard, ordered by key then id — the id tie-break makes hash
+    collisions harmless). Exactly ONE exchange (the window's hash
+    partitioning by shard), which IS the data movement a shard export
+    must do; within-shard order is the pseudorandom permutation. Shard
+    sizes concentrate at N/n by the hash's uniformity — the trainer-side
+    balance this exists for. Oracle-gated (``export_shards``) via the
+    bit-exact murmur3 SQL replay.
+
+    ``write_training_shards`` is the sink form: same assignment,
+    ``repartition(n, shard) + sortWithinPartitions`` so each shard is
+    one sorted file set under ``shard=K/``.
+    """
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    key = F.hash(F.concat(F.col(id_col).cast("string"), F.lit(f"#{seed}")))
+    out = df.withColumn("_shuffle_key", key).withColumn(
+        shard_col, F.pmod(F.col("_shuffle_key"), F.lit(n_shards))
+    )
+    w = Window.partitionBy(shard_col).orderBy("_shuffle_key", id_col)
+    return out.withColumn(pos_col, F.row_number().over(w) - 1).drop(
+        "_shuffle_key"
+    )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    id_col: str = "doc_id",
+    seed: str = "0",
+) -> None:
+    """Sink form of :func:`shard_for_training`: writes ``shard=K/``
+    parquet directories, one sorted file per shard (each shard's rows
+    are co-located in one writer task and sorted by the shuffle key, so
+    a trainer streams shard K in its deterministic permutation order
+    without a sort of its own)."""
+    assigned = shard_for_training(df, n_shards, id_col, seed)
+    key = F.hash(F.concat(F.col(id_col).cast("string"), F.lit(f"#{seed}")))
+    (
+        assigned.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", key, id_col)
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+
+
 def sample_to_token_budget(
     df: DataFrame,
     id_col: str,

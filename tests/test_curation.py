@@ -312,3 +312,68 @@ def test_excise_duplicate_spans_short_docs_untouched(spark):
                                            span_tokens=5).collect()}
     # both docs are shorter than one span window -> nothing to excise
     assert out == {1: "tiny doc", 2: "tiny doc"}
+
+
+def test_shard_for_training_deterministic_and_balanced(spark):
+    from ondine_spark.operators.curation import shard_for_training
+
+    rows = [(f"doc{i:04d}", f"text {i}") for i in range(2000)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def snapshot(frame):
+        return sorted(
+            (r["doc_id"], r["shard"], r["pos"])
+            for r in shard_for_training(frame, 8, seed="s1").collect()
+        )
+
+    base = snapshot(df.coalesce(1))
+    # assignment and within-shard positions are invariant to layout
+    assert snapshot(df.repartition(7)) == base
+    assert snapshot(df.repartition(32, "text")) == base
+
+    # shards are hash-balanced: all 8 within +-20% of N/8 at N=2000
+    from collections import Counter
+
+    sizes = Counter(s for _, s, _ in base)
+    assert set(sizes) == set(range(8))
+    assert all(abs(v - 250) <= 50 for v in sizes.values()), sizes
+
+    # pos is dense 0..k-1 per shard
+    per = {}
+    for _, s, p in base:
+        per.setdefault(s, []).append(p)
+    for s, ps in per.items():
+        assert sorted(ps) == list(range(len(ps)))
+
+    # a different seed produces a different permutation
+    other = sorted(
+        (r["doc_id"], r["shard"], r["pos"])
+        for r in shard_for_training(df, 8, seed="s2").collect()
+    )
+    assert other != base
+
+
+def test_write_training_shards_layout(spark, tmp_path):
+    from ondine_spark.operators.curation import (
+        shard_for_training,
+        write_training_shards,
+    )
+
+    rows = [(f"d{i:03d}", i) for i in range(300)]
+    df = spark.createDataFrame(rows, ["doc_id", "v"])
+    out = str(tmp_path / "shards")
+    write_training_shards(df, out, 4, seed="x")
+
+    back = spark.read.parquet(out)
+    assert back.count() == 300
+    assert sorted(r["shard"] for r in back.select("shard").distinct().collect()) == [0, 1, 2, 3]
+    # file order within a shard == pos order (trainer streams without sorting)
+    import glob
+
+    for k in range(4):
+        files = sorted(glob.glob(f"{out}/shard={k}/*.parquet"))
+        assert len(files) == 1, files  # one sorted file per shard
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(files[0]).to_pydict()
+        assert t["pos"] == sorted(t["pos"])

@@ -294,6 +294,20 @@ def main() -> int:
     check("dsir.resample.take_ordered", "TakeOrderedAndProject" in plan,
           "global sort instead of per-partition top-n")
 
+    # training-shard export (r6): exactly ONE exchange (the window's
+    # hash partitioning by shard — the data movement a shard export IS),
+    # all-JVM, no global sort
+    from ondine_spark.operators.curation import shard_for_training
+
+    plan = plan_of(shard_for_training(docs_raw.select("doc_id"), 8))
+    n_exchange = len(re.findall(r"\(\d+\) Exchange\b", plan))
+    check("shards.one_exchange", n_exchange == 1, f"{n_exchange} exchanges")
+    check("shards.jvm_only",
+          "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+          and "MapInPandas" not in plan)
+    check("shards.no_global_sort",
+          not re.search(r"\(\d+\) Sort\b.*global=true", plan))
+
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     return 1 if failures else 0
 

@@ -181,18 +181,41 @@ def _call_with_retry(
         t0 = time.monotonic()
         try:
             res = client.complete(prompt, system)
-            if isinstance(res, str):
-                # custom clients may return the completion text directly
-                # (the simplest possible client); wrap it so accounting
-                # columns exist — tokens/cost unknown, charged as zero
-                # (same tolerance as clients that skip cost fields)
+            if isinstance(res, (str, dict)):
+                # custom clients may return the completion directly as a
+                # plain str, or as a dict with text/token fields — the
+                # two simplest client shapes; wrap either so accounting
+                # columns exist (unknown tokens/cost charged as zero,
+                # same tolerance as clients that skip cost fields).
+                # Any other object is treated as result-like and only
+                # needs to tolerate attribute assignment, as before.
                 from ondine_spark.llm.client import LLMResult
 
-                res = LLMResult(
-                    text=res, tokens_in=0, tokens_out=0,
-                    model=getattr(client, "model", "custom"),
-                    cost=Decimal(0),
-                )
+                if isinstance(res, str):
+                    res = LLMResult(
+                        text=res, tokens_in=0, tokens_out=0,
+                        model=getattr(client, "model", "custom"),
+                        cost=Decimal(0),
+                    )
+                else:
+                    text = res.get("text", res.get("content",
+                                   res.get("completion")))
+                    if not isinstance(text, str):
+                        raise TypeError(
+                            "custom client returned a dict without a "
+                            "str 'text'/'content'/'completion' field: "
+                            f"{sorted(res)!r}"
+                        )
+                    res = LLMResult(
+                        text=text,
+                        tokens_in=int(res.get("tokens_in",
+                                      res.get("prompt_tokens", 0))),
+                        tokens_out=int(res.get("tokens_out",
+                                       res.get("completion_tokens", 0))),
+                        model=str(res.get("model",
+                                  getattr(client, "model", "custom"))),
+                        cost=Decimal(str(res.get("cost", 0))),
+                    )
             res.latency_ms = (time.monotonic() - t0) * 1000.0
             return res
         except TransientLLMError as e:

@@ -219,6 +219,7 @@ def shard_for_training(
     seed: str = "0",
     pos_col: str = "pos",
     shard_col: str = "shard",
+    check_unique: bool = False,
 ) -> DataFrame:
     """Deterministic global shuffle + balanced shard assignment for
     training export: every row gets a ``shard`` in [0, n_shards) and a
@@ -240,17 +241,36 @@ def shard_for_training(
     ``write_training_shards`` is the sink form: same assignment,
     ``repartition(n, shard) + sortWithinPartitions`` so each shard is
     one sorted file set under ``shard=K/``.
+
+    PRECONDITION: ``id_col`` values must be unique AFTER cast to string
+    (the usual case for a document id). Two rows with the same id string
+    are indistinguishable to any function of (id, seed), so their
+    relative ``pos`` would fall back to partition order — i.e. the
+    byte-identical-re-export guarantee holds only over unique ids. Pass
+    ``check_unique=True`` to enforce it with one aggregation (an extra
+    scan — opt-in because the caller usually knows its id is a key).
     """
     if n_shards < 1:
         raise ValueError("n_shards must be >= 1")
+    if check_unique:
+        dup = (
+            df.groupBy(F.col(id_col).cast("string").alias("_id"))
+            .count().where(F.col("count") > 1).limit(1).count()
+        )
+        if dup:
+            raise ValueError(
+                f"shard_for_training: {id_col!r} has duplicate values "
+                "(after cast to string); pos would not be deterministic"
+            )
+    kcol = "__ondine_shard_key"
+    while kcol in df.columns:  # never clobber a user column
+        kcol = "_" + kcol
     key = F.hash(F.concat(F.col(id_col).cast("string"), F.lit(f"#{seed}")))
-    out = df.withColumn("_shuffle_key", key).withColumn(
-        shard_col, F.pmod(F.col("_shuffle_key"), F.lit(n_shards))
+    out = df.withColumn(kcol, key).withColumn(
+        shard_col, F.pmod(F.col(kcol), F.lit(n_shards))
     )
-    w = Window.partitionBy(shard_col).orderBy("_shuffle_key", id_col)
-    return out.withColumn(pos_col, F.row_number().over(w) - 1).drop(
-        "_shuffle_key"
-    )
+    w = Window.partitionBy(shard_col).orderBy(kcol, id_col)
+    return out.withColumn(pos_col, F.row_number().over(w) - 1).drop(kcol)
 
 
 def write_training_shards(

@@ -48,12 +48,24 @@ class StateManager:
             json.dump(asdict(memento), f)
         os.replace(tmp, self.path)  # atomic on POSIX
 
+    @property
+    def _legacy_path(self) -> str:
+        # Pre-escaping filename: session ids containing '%' (but no '/',
+        # which never produced a loadable file) wrote here. Kept as a
+        # read-only fallback so pre-upgrade runs keep their counters.
+        return os.path.join(self.dir, f"{self.session_id}.state.json.gz")
+
     def load(self) -> RunMemento | None:
-        if not os.path.exists(self.path):
-            return None
-        with gzip.open(self.path, "rt") as f:
+        path = self.path
+        if not os.path.exists(path):
+            legacy = self._legacy_path
+            if legacy == path or not os.path.exists(legacy):
+                return None
+            path = legacy
+        with gzip.open(path, "rt") as f:
             return RunMemento(**json.load(f))
 
     def cleanup(self) -> None:
-        if os.path.exists(self.path):
-            os.remove(self.path)
+        for p in (self.path, self._legacy_path):
+            if os.path.exists(p):
+                os.remove(p)

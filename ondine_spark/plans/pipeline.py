@@ -207,7 +207,16 @@ class Pipeline:
         else:
             df = df.withColumn("prompt", p)
             df = self._apply_stages(df, "after_prompt")
+            input_cols = set(df.columns)
             out = self._invoke(df).drop("prompt")
+            if rows_only:
+                # Same contract as the batched branches: _row_id + the
+                # invocation-produced columns only, no input columns.
+                keep = [ROW_ID] + [
+                    c for c in out.columns
+                    if c not in input_cols and c != ROW_ID
+                ]
+                out = out.select(*keep)
         if seq_col is not None:
             out = out.drop(seq_col)
         if self._cached_responses is not None:

@@ -115,6 +115,12 @@ def write_responses(
     part_dir = _session_part_dir(spark, checkpoint_dir, session_id)
     if part_dir is not None:
         result.select(*cols).write.mode("append").parquet(part_dir)
+        # The old partitionBy write refreshed the responses BASE path as
+        # a side effect; the direct-path append only refreshes the
+        # session directory. Refresh the base explicitly so a user-held
+        # DataFrame/plan rooted at the responses table sees the append
+        # (driver-side catalog call, does not touch the chunk spill).
+        result.sparkSession.catalog.refreshByPath(_cache_path(checkpoint_dir))
         return
     out = result.select(*cols).withColumn("session_id", F.lit(session_id))
     (

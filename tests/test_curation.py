@@ -377,3 +377,42 @@ def test_write_training_shards_layout(spark, tmp_path):
 
         t = pq.read_table(files[0]).to_pydict()
         assert t["pos"] == sorted(t["pos"])
+
+
+def test_shard_for_training_check_unique_and_col_collision(spark):
+    """ADVICE r6: duplicate ids break pos determinism — check_unique=True
+    must raise; and a user column named like the internal shuffle key
+    must survive untouched."""
+    import pytest as _pytest
+
+    from ondine_spark.operators.curation import shard_for_training
+
+    dup = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 3)], ["doc_id", "v"]
+    )
+    with _pytest.raises(ValueError, match="duplicate"):
+        shard_for_training(dup, 2, check_unique=True).collect()
+
+    # unique ids pass the check and produce the same frame as unchecked
+    uniq = spark.createDataFrame(
+        [(f"d{i}", i) for i in range(50)], ["doc_id", "v"]
+    )
+    checked = sorted(
+        (r["doc_id"], r["shard"], r["pos"])
+        for r in shard_for_training(uniq, 4, check_unique=True).collect()
+    )
+    unchecked = sorted(
+        (r["doc_id"], r["shard"], r["pos"])
+        for r in shard_for_training(uniq, 4).collect()
+    )
+    assert checked == unchecked
+
+    # a pre-existing column with the internal key name is not clobbered
+    clash = uniq.withColumnRenamed("v", "__ondine_shard_key")
+    out = shard_for_training(clash, 4)
+    got = {r["doc_id"]: r["__ondine_shard_key"] for r in out.collect()}
+    assert got == {f"d{i}": i for i in range(50)}
+    assert {r["doc_id"]: (r["shard"], r["pos"]) for r in out.collect()} == {
+        r["doc_id"]: (r["shard"], r["pos"])
+        for r in shard_for_training(uniq, 4).collect()
+    }

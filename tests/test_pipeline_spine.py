@@ -664,3 +664,77 @@ def test_chunked_batched_calls_exact(spark, tmp_path):
     assert summary.total_rows == 95
     # chunks: 30,30,30,5 -> ceil/7 = 5+5+5+1 = 16 calls
     assert sum(1 for _ in open(calls)) == 16
+
+
+def test_rows_only_unbatched_contract(spark):
+    """ADVICE r6: rows_only=True with batch_size == 1 must honor the
+    documented contract — _row_id + response columns, NO input columns —
+    exactly like the batched branches."""
+    p = _pipeline(spark)  # batch_size defaults to 1 (unbatched path)
+    out = p.response_frame(resume=False, rows_only=True)
+    cols = set(out.columns)
+    assert "_row_id" in cols
+    assert "response_text" in cols
+    assert "review" not in cols and "review_id" not in cols
+    assert "prompt" not in cols
+    assert out.count() == len(REVIEWS)
+    # and the batched path returns the same column set for the same spec
+    # (modulo _batch_id, which only the disaggregator produces)
+    pb = _pipeline(spark, batch_size=3)
+    cols_b = set(pb.response_frame(resume=False, rows_only=True).columns)
+    assert cols == cols_b - {"_batch_id"}, (cols, cols_b)
+
+
+def test_custom_client_returning_dict(spark):
+    """Round-7 verify drive, same class as the round-6 bare-string find:
+    a custom client returning a plain dict ({'text': ..., 'tokens_in':
+    ...}) crashed the retry wrapper with AttributeError. Dicts with a
+    text/content/completion field are wrapped into LLMResult, token and
+    cost fields carried through; a dict WITHOUT a text field raises a
+    TypeError naming the expected shapes."""
+
+    class DictClient:
+        def complete(self, prompt, system=None):
+            return {
+                "text": "positive" if "great" in prompt else "neutral",
+                "tokens_in": 7,
+                "tokens_out": 2,
+                "cost": "0.001",
+                "model": "dicty",
+            }
+
+    p = (
+        PipelineBuilder(spark)
+        .from_dataframe(
+            spark.createDataFrame(REVIEWS), ["review"], id_column="review_id"
+        )
+        .with_prompt("Classify: {review}", ["sentiment"])
+        .with_custom_llm_client(lambda: DictClient())
+        .build()
+    )
+    res = p.execute()
+    assert res.quality.valid_rows == 6
+    assert res.stats.total_cost == Decimal("0.001") * 6
+    assert res.stats.tokens_in == 42 and res.stats.tokens_out == 12
+    vals = {r["sentiment"] for r in res.data.collect()}
+    assert vals <= {"positive", "neutral"} and "positive" in vals
+
+    class BadDictClient:
+        def complete(self, prompt, system=None):
+            return {"label": "positive"}  # no text field
+
+    p2 = (
+        PipelineBuilder(spark)
+        .from_dataframe(
+            spark.createDataFrame(REVIEWS), ["review"], id_column="review_id"
+        )
+        .with_prompt("Classify: {review}", ["sentiment"])
+        .with_custom_llm_client(lambda: BadDictClient())
+        .with_error_policy("skip")
+        .with_max_retries(0)
+        .build()
+    )
+    # every row errors -> the no-output guard escalates, carrying the
+    # shape-naming TypeError as the sample error
+    with pytest.raises(RuntimeError, match="'text'/'content'/'completion'"):
+        p2.execute()

@@ -350,3 +350,70 @@ def test_weird_session_id_direct_path_append(spark, tmp_path):
     )
     s2 = execute_chunked(p2, chunk_size=8)
     assert s2.resumed_rows == 20 and s2.total_rows == 0
+
+
+def test_memento_legacy_unescaped_filename_fallback(tmp_path):
+    """ADVICE r6: session ids containing '%' wrote an unescaped memento
+    filename before round 6's percent-encoding; load() must fall back to
+    the legacy file so pre-upgrade runs keep their counters."""
+    import gzip
+    import json
+
+    from ondine_spark.orchestration.state import RunMemento, StateManager
+
+    sid = "run%6"
+    ckpt = str(tmp_path / "ckpt")
+    st = StateManager(ckpt, sid)
+    # simulate a pre-upgrade memento at the unescaped filename
+    os.makedirs(ckpt, exist_ok=True)
+    legacy = os.path.join(ckpt, f"{sid}.state.json.gz")
+    with gzip.open(legacy, "wt") as f:
+        json.dump(
+            {
+                "session_id": sid,
+                "chunks_committed": 3,
+                "rows_processed": 240,
+                "cumulative_cost": "1.5",
+                "updated_at": 0.0,
+            },
+            f,
+        )
+    assert st.path != legacy  # escaping really changes the name
+    m = st.load()
+    assert m is not None and m.chunks_committed == 3 and m.rows_processed == 240
+    # a save writes the NEW name; the new file then wins over legacy
+    m.chunks_committed = 4
+    st.save(m)
+    assert os.path.exists(st.path)
+    assert st.load().chunks_committed == 4
+    # cleanup removes both
+    st.cleanup()
+    assert not os.path.exists(st.path) and not os.path.exists(legacy)
+
+
+def test_direct_append_refreshes_base_path_catalog(spark, tmp_path):
+    """ADVICE r6: a user-held DataFrame rooted at the responses BASE path
+    must see rows appended via the direct session-partition write (the
+    old partitionBy write refreshed the base path; the direct path must
+    refresh it explicitly)."""
+    from ondine_spark.sources.cache import _cache_path, write_responses
+
+    ckpt = str(tmp_path / "ckpt")
+    sid = "sessA"
+    df1 = spark.createDataFrame(
+        [("r1", "ok")], ["_row_id", "response_text"]
+    )
+    write_responses(df1, ckpt, sid)
+    base = spark.read.parquet(_cache_path(ckpt)).cache()
+    try:
+        assert base.count() == 1  # materialize the cache
+        # append through the direct path while the user holds the
+        # CACHED frame; refreshByPath must recache it (uncached frames
+        # pin their listing at read time under either write path)
+        df2 = spark.createDataFrame(
+            [("r2", "ok2")], ["_row_id", "response_text"]
+        )
+        write_responses(df2, ckpt, sid)
+        assert base.count() == 2
+    finally:
+        base.unpersist()

@@ -135,6 +135,15 @@ class ProcessingSpec:
     # O4: exact global rate limit via a shared Redis bucket (import-guarded;
     # falls back to the local per-worker bucket when unavailable)
     redis_rate_limit_url: str | None = None
+    # O4 without redis: exact global limit via a flock-guarded state file
+    # on a shared filesystem (orchestration/coordination.FileTokenBucket).
+    # Precedence in the invoke path: redis > file > local divided bucket.
+    file_rate_limit_dir: str | None = None
+    # Multi-process chunk coordination (orchestration/coordination.py):
+    # concurrent iter_chunks workers on the same session claim disjoint
+    # chunks (no row invoked twice) and share a cost ledger so one
+    # worker's spend stops every worker's budget check within one chunk.
+    coordinate: bool = False
     error_policy: ErrorPolicy = ErrorPolicy.RETRY
     default_value: str | None = None
     max_budget: Decimal | None = None

@@ -286,6 +286,7 @@ def invoke_llm(
     event_every = proc.call_event_sample if call_events is not None else None
 
     redis_url = proc.redis_rate_limit_url
+    file_limit_dir = proc.file_rate_limit_dir
     model_scope = llm.model or "default"
     global_rpm = proc.rate_limit_rpm
 
@@ -298,7 +299,15 @@ def invoke_llm(
 
                 bucket = RedisTokenBucket(redis_url, model_scope, global_rpm)
             except ImportError:
-                bucket = None  # fall back to the local divided bucket
+                bucket = None  # fall back to the file/local bucket
+        if bucket is None and file_limit_dir and global_rpm:
+            # exact global limit over a shared FS: one flock-guarded
+            # state file shared by every executor PROCESS
+            from ondine_spark.orchestration.coordination import (
+                FileTokenBucket,
+            )
+
+            bucket = FileTokenBucket(file_limit_dir, model_scope, global_rpm)
         if bucket is None:
             bucket = _get_bucket(factory_key, per_worker_rpm)
         pool = ThreadPoolExecutor(max_workers=concurrency)

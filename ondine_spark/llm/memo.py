@@ -85,11 +85,17 @@ def write_memo(invoked: DataFrame, path: str) -> None:
     ``invoked`` must be the MATERIALIZED (persisted/checkpointed) invoke
     output still carrying ``_memo_key`` — writing from an unpinned plan
     would re-invoke the provider. Failed rows are never memoized (a
-    retry next run should hit the provider again)."""
-    (
-        invoked.filter(F.col("error").isNull() & F.col("response_text").isNotNull())
+    retry next run should hit the provider again). Concurrent writers
+    (coordinated multi-process chunk workers flush per chunk) go through
+    the staged append — a plain append races on the shared _temporary
+    commit dir; a key stored twice is fine, a lost flush is not."""
+    from ondine_spark.sources.cache import append_parquet_atomic
+
+    append_parquet_atomic(
+        invoked.filter(
+            F.col("error").isNull() & F.col("response_text").isNotNull()
+        )
         .select(MEMO_KEY, *_MEMO_COLS)
-        .dropDuplicates([MEMO_KEY])
-        .write.mode("append")
-        .parquet(path)
+        .dropDuplicates([MEMO_KEY]),
+        path,
     )

@@ -134,6 +134,15 @@ def dsir_llr_table(
     ]
 
 
+# Measured crossover (tools/dsir_scale.py, SCALE.md "Round 7"): the SQL
+# literal costs ~30 µs per table entry to PARSE (plan build), the
+# broadcast path a near-flat setup (Arrow createDataFrame + one-row
+# broadcast). Below this many entries the literal's parse is cheaper
+# than the broadcast fixed cost; above, plan build blows up (8.3 s at
+# 2¹⁸ entries) while broadcast stays flat.
+_LUT_BROADCAST_MIN = 1 << 15
+
+
 def dsir_weights(
     df: DataFrame,
     llr_q: list[int],
@@ -141,19 +150,36 @@ def dsir_weights(
     num_features: int = 1 << 16,
     use_bigrams: bool = True,
     out_col: str = "dsir_w_q",
+    lut_mode: str = "auto",
 ) -> DataFrame:
     """Append the quantized DSIR importance weight
 
         out_col = Σ_tokens llr_q[bucket(token)]
                   (+ Σ_bigrams llr_q[num_features + bucket(bigram)])
 
-    to every row, in exact BIGINT arithmetic. The LLR table rides the
-    plan as ONE constant-folded array literal (a single SQL parse —
-    NOT B ``F.lit`` py4j round-trips, which take minutes at B = 2¹⁷),
-    and each token instance costs one murmur3 + one array index inside
-    whole-stage codegen: zero shuffle, zero Python, no dense per-row
-    vectors. Divide by the ``quant`` used in :func:`dsir_llr_table` to
-    recover the float log-likelihood ratio.
+    to every row, in exact BIGINT arithmetic. Each token instance costs
+    one murmur3 + one array index inside whole-stage codegen: zero
+    shuffle, zero Python, no dense per-row vectors. Divide by the
+    ``quant`` used in :func:`dsir_llr_table` to recover the float
+    log-likelihood ratio.
+
+    ``lut_mode`` picks how the LLR table reaches the executors —
+    bit-identical outputs either way (same element_at lookups over the
+    same integers, same murmur3 bucketing; pinned by
+    tests/test_importance.py::test_lut_modes_bit_identical):
+
+    - ``"literal"``: ONE constant-folded SQL array literal (a single
+      SQL parse — NOT B ``F.lit`` py4j round-trips, which take minutes
+      at B = 2¹⁷). Parse cost is ~30 µs/entry, so plan build blows up
+      above ~2¹⁷ entries (measured: 8.3 s at B=2¹⁷ bigrams).
+    - ``"broadcast"``: the table travels as DATA — a one-row DataFrame
+      holding the full array, broadcast cross-joined onto ``df`` (a
+      BroadcastNestedLoopJoin against a single row: no exchange on the
+      corpus side), folded against, and dropped in the same projection
+      so the array never materializes per output row. Plan size O(1)
+      at any B.
+    - ``"auto"`` (default): literal below ``_LUT_BROADCAST_MIN``
+      entries, broadcast at or above — the measured crossover.
     """
     expect = num_features * (2 if use_bigrams else 1)
     if len(llr_q) != expect:
@@ -161,9 +187,29 @@ def dsir_weights(
             f"llr_q has {len(llr_q)} entries, expected {expect} "
             f"(num_features={num_features}, use_bigrams={use_bigrams})"
         )
-    lut = F.expr(
-        "array(" + ",".join(f"{int(v)}L" for v in llr_q) + ")"
+    if lut_mode not in ("auto", "literal", "broadcast"):
+        raise ValueError(f"unknown lut_mode {lut_mode!r}")
+    broadcast_lut = lut_mode == "broadcast" or (
+        lut_mode == "auto" and len(llr_q) >= _LUT_BROADCAST_MIN
     )
+
+    lut_col = "__dsir_llr"
+    while lut_col in df.columns:
+        lut_col = "_" + lut_col
+    if broadcast_lut:
+        import pandas as pd
+
+        spark = df.sparkSession
+        one = spark.createDataFrame(
+            pd.DataFrame({lut_col: [[int(v) for v in llr_q]]})
+        ).select(F.col(lut_col).cast("array<bigint>").alias(lut_col))
+        lut = F.col(lut_col)
+        base = df.crossJoin(F.broadcast(one))
+    else:
+        lut = F.expr(
+            "array(" + ",".join(f"{int(v)}L" for v in llr_q) + ")"
+        )
+        base = df
     toks = _tokens(text_col)
 
     def fold(arr: Column, offset: int) -> Column:
@@ -178,7 +224,8 @@ def dsir_weights(
     w = fold(toks, 0)
     if use_bigrams:
         w = w + fold(_bigrams(toks), num_features)
-    return df.withColumn(out_col, w)
+    out = base.withColumn(out_col, w)
+    return out.drop(lut_col) if broadcast_lut else out
 
 
 def dsir_resample(

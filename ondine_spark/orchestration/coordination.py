@@ -1,0 +1,173 @@
+"""Cross-PROCESS coordination primitives over a shared POSIX filesystem.
+
+A real cluster runs separate executor/driver *processes* that share only
+the checkpoint filesystem — the in-JVM thread primitives (invoke.py's
+TokenBucket, the per-run Decimal budget counter) coordinate threads, not
+processes. These three primitives close that gap without any external
+service (the Redis bucket, llm/redis_bucket.py, remains the preferred
+exact limiter when available; reference semantics:
+ondine/utils/redis_rate_limiter.py):
+
+- :class:`FileTokenBucket` — one token-bucket STATE FILE, mutated under
+  ``fcntl.flock``: the granted rate across ANY number of processes on
+  the shared FS is the configured rpm. Wire with
+  ``PipelineBuilder.with_file_rate_limit(dir, rpm)``.
+- :class:`CostLedger` — append-only per-process cost files; the global
+  spend of a session is the sum over all files. ``iter_chunks`` records
+  each committed chunk and checks the LEDGER total against
+  ``max_budget``, so one process's spend stops every process within one
+  chunk boundary.
+- :class:`ChunkClaims` — ``O_CREAT | O_EXCL`` claim files, one per
+  chunk: concurrent workers iterating the same session each win a
+  disjoint subset of chunks, so no row is invoked twice. Claims are
+  scoped by a GENERATION digest of the chunk assignment (row-id xor +
+  count + chunk size): workers that observed the same committed cache
+  state share work; a worker that starts after commits have landed
+  computes a different todo set, gets a different generation, and falls
+  back to plain resume semantics (correct, possibly overlapping work —
+  never lost rows).
+
+POSIX notes: flock is advisory and per-open-file (safe across processes
+and threads here — each acquire opens the file); O_EXCL create is atomic
+on local FS and NFSv3+; single-line appends below PIPE_BUF are atomic.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+from decimal import Decimal
+
+
+class FileTokenBucket:
+    """Token bucket shared across processes via one flock-guarded state
+    file. Same acquire()/penalize() surface as the in-process bucket
+    (llm/invoke.py) so the invoke path can swap it in transparently.
+
+    State file format: ``<tokens> <updated_unix> <not_before_unix>``.
+    Uses wall-clock ``time.time()`` (monotonic clocks are per-process).
+    """
+
+    def __init__(self, dir_path: str, scope: str, rpm: float,
+                 burst: float | None = None):
+        os.makedirs(dir_path, exist_ok=True)
+        safe = "".join(
+            c if c.isalnum() or c in "-_." else "_" for c in scope
+        )
+        self.path = os.path.join(dir_path, f"bucket_{safe}.state")
+        self.rate = rpm / 60.0
+        self.capacity = burst if burst is not None else max(1.0, rpm / 60.0)
+
+    def _take(self, penalty: float = 0.0) -> float:
+        """One locked read-update-write; returns seconds to wait
+        (0 = token granted)."""
+        import fcntl
+
+        fd = os.open(self.path, os.O_RDWR | os.O_CREAT, 0o644)
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX)
+            raw = os.read(fd, 256).decode() or ""
+            now = time.time()
+            try:
+                tokens_s, updated_s, nb_s = raw.split()
+                tokens, updated, not_before = (
+                    float(tokens_s), float(updated_s), float(nb_s)
+                )
+            except ValueError:  # fresh or corrupt -> full bucket
+                tokens, updated, not_before = self.capacity, now, 0.0
+            tokens = min(self.capacity, tokens + (now - updated) * self.rate)
+            if penalty > 0.0:
+                not_before = max(not_before, now + penalty)
+            wait = not_before - now
+            if wait <= 0 and tokens >= 1.0 and penalty == 0.0:
+                tokens -= 1.0
+                wait = 0.0
+            elif wait <= 0 and penalty == 0.0:
+                wait = (1.0 - tokens) / self.rate
+            os.lseek(fd, 0, os.SEEK_SET)
+            os.ftruncate(fd, 0)
+            os.write(fd, f"{tokens!r} {now!r} {not_before!r}".encode())
+            return max(wait, 0.0)
+        finally:
+            fcntl.flock(fd, fcntl.LOCK_UN)
+            os.close(fd)
+
+    def acquire(self) -> None:
+        while True:
+            wait = self._take()
+            if wait <= 0:
+                return
+            time.sleep(min(wait, 1.0))
+
+    def penalize(self, delay: float) -> None:
+        """Retry-After from the provider drains the bucket for EVERY
+        process, same semantics as the local bucket."""
+        self._take(penalty=float(delay))
+
+
+class CostLedger:
+    """Global session spend over a shared FS: each process appends one
+    line per committed chunk to its OWN file (no locking needed —
+    single-writer files), and ``total()`` sums every process's file.
+    Costs are Decimal strings; the sum is exact."""
+
+    def __init__(self, checkpoint_dir: str, session_token: str):
+        self.dir = os.path.join(
+            checkpoint_dir, "ledger", f"session={session_token}"
+        )
+        os.makedirs(self.dir, exist_ok=True)
+        self._file = os.path.join(self.dir, f"{uuid.uuid4().hex}.costs")
+
+    def add(self, cost: Decimal) -> None:
+        # single short line, opened in append mode: atomic on POSIX
+        with open(self._file, "a") as f:
+            f.write(f"{cost}\n")
+            f.flush()
+            os.fsync(f.fileno())
+
+    def total(self) -> Decimal:
+        out = Decimal(0)
+        try:
+            names = os.listdir(self.dir)
+        except OSError:
+            return out
+        for n in names:
+            if not n.endswith(".costs"):
+                continue
+            try:
+                with open(os.path.join(self.dir, n)) as f:
+                    for ln in f:
+                        ln = ln.strip()
+                        if ln:
+                            out += Decimal(ln)
+            except (OSError, ArithmeticError):
+                continue
+        return out
+
+
+class ChunkClaims:
+    """Disjoint chunk ownership among concurrent same-generation workers
+    via atomic claim-file creation."""
+
+    def __init__(self, checkpoint_dir: str, session_token: str,
+                 generation: str):
+        self.dir = os.path.join(
+            checkpoint_dir, "claims",
+            f"session={session_token}", f"gen={generation}",
+        )
+        os.makedirs(self.dir, exist_ok=True)
+
+    def claim(self, chunk_id: int) -> bool:
+        """True iff THIS caller now owns the chunk. O_EXCL create is the
+        atomic arbiter; the file records pid+time for debugging only."""
+        path = os.path.join(self.dir, f"{chunk_id}.claim")
+        try:
+            fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644)
+        except FileExistsError:
+            return False
+        try:
+            os.write(fd, f"{os.getpid()} {time.time()}\n".encode())
+        finally:
+            os.close(fd)
+        return True

@@ -222,6 +222,28 @@ class PipelineBuilder:
         self._spec.processing.rate_limit_rpm = rpm
         return self
 
+    def with_file_rate_limit(self, dir_path: str, rpm: int):
+        """O4 without redis: exact global limit across PROCESSES via a
+        flock-guarded token-bucket state file on a shared filesystem
+        (orchestration/coordination.FileTokenBucket). Redis, when also
+        configured, takes precedence."""
+        self._spec.processing.file_rate_limit_dir = dir_path
+        self._spec.processing.rate_limit_rpm = rpm
+        return self
+
+    def with_multiprocess_coordination(self, enabled: bool = True):
+        """Concurrent ``execute_chunked``/``iter_chunks`` workers on the
+        SAME session (same checkpoint_dir + session_id, shared FS) claim
+        disjoint chunks — no row is invoked twice — and share a cost
+        ledger, so one worker's spend stops every worker's budget check
+        within one chunk. Workers must start against the same committed
+        cache state (e.g. launched together); a worker that starts after
+        commits have landed computes a different chunk generation and
+        falls back to plain resume semantics (correct, possibly
+        overlapping work, never lost rows)."""
+        self._spec.processing.coordinate = bool(enabled)
+        return self
+
     def with_error_policy(self, policy: str | ErrorPolicy, default_value=None):
         self._spec.processing.error_policy = ErrorPolicy(policy)
         self._spec.processing.default_value = default_value

@@ -16,11 +16,44 @@ interrupted run loses at most one micro-batch of *work*, never *data*.
 from __future__ import annotations
 
 import os
+import shutil
+import uuid
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ondine_spark.sources.readers import ROW_ID
+
+
+def append_parquet_atomic(df: DataFrame, target_dir: str) -> None:
+    """Append ``df``'s rows to ``target_dir`` safely under CONCURRENT
+    writers: Spark writes to a fresh underscore-prefixed staging dir
+    (invisible to readers), then the part files are renamed into place
+    (same-FS rename, one syscall per file). A plain ``mode("append")``
+    from two processes races on the directory's shared ``_temporary/0``
+    commit staging — one job's commit deletes it under the other
+    (observed: FileNotFoundException in FileOutputCommitter). Part
+    filenames embed a per-job UUID, so renames never collide. Readers
+    de-dup rows idempotently, so a crash mid-rename (some files moved)
+    costs re-invocation of the unmoved rows only, never duplicates.
+
+    Non-local targets (scheme://) fall back to the plain append —
+    single-writer semantics there, as before."""
+    if "://" in target_dir:
+        df.write.mode("append").parquet(target_dir)
+        return
+    base = os.path.dirname(target_dir.rstrip("/")) or "."
+    staging = os.path.join(base, f"_staging_{uuid.uuid4().hex}")
+    df.write.mode("overwrite").parquet(staging)
+    os.makedirs(target_dir, exist_ok=True)
+    try:
+        for f in os.listdir(staging):
+            if f.startswith("part-") and not f.endswith(".crc"):
+                os.replace(
+                    os.path.join(staging, f), os.path.join(target_dir, f)
+                )
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
 
 CACHE_COLS = ["response_text", "tokens_in", "tokens_out", "resp_model",
               "cost", "latency_ms", "error"]
@@ -114,7 +147,9 @@ def write_responses(
     spark = result.sparkSession
     part_dir = _session_part_dir(spark, checkpoint_dir, session_id)
     if part_dir is not None:
-        result.select(*cols).write.mode("append").parquet(part_dir)
+        # staging + rename (not mode("append")): concurrent coordinated
+        # workers commit chunks to the same session dir simultaneously
+        append_parquet_atomic(result.select(*cols), part_dir)
         # The old partitionBy write refreshed the responses BASE path as
         # a side effect; the direct-path append only refreshes the
         # session directory. Refresh the base explicitly so a user-held

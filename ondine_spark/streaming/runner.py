@@ -19,6 +19,7 @@ forms:
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 from decimal import Decimal
 from typing import Iterator
@@ -185,6 +186,13 @@ def iter_chunks(
     # files) exactly like the checkpoint did, without pinning executor
     # memory for the run's lifetime.
     spill = f"{ckpt}/chunk_spill/session_id={sid}"
+    if spec.processing.coordinate:
+        # concurrent workers each spill their own copy: the spill is
+        # run-scoped scratch, and a shared path would race (overwrite
+        # deletes files under another worker's in-flight chunk reads)
+        import uuid as _uuid
+
+        spill = f"{spill}/worker={_uuid.uuid4().hex}"
     chunked = seq.withColumn(
         "_chunk", (F.col("_seq") / chunk_size).cast("long")
     )
@@ -238,14 +246,52 @@ def iter_chunks(
             *[F.col(f"_c{i}").alias(c) for i, c in enumerate(in_cols)],
             "_seq", "_chunk",
         )
+    # Multi-process coordination (opt-in): disjoint chunk claims + a
+    # shared cost ledger (orchestration/coordination.py). The claim
+    # GENERATION digests the chunk assignment's inputs — workers that
+    # observed the same committed cache state (and thus computed the
+    # same todo set and chunking) share one claim namespace; a worker
+    # that starts later sees different inputs, gets a different
+    # generation, and degrades to plain resume semantics.
+    claims = ledger = None
+    if spec.processing.coordinate and n_rows:
+        import hashlib
+
+        from ondine_spark.orchestration.coordination import (
+            ChunkClaims,
+            CostLedger,
+        )
+        from ondine_spark.sources.cache import _session_part_dir
+
+        token = os.path.basename(
+            _session_part_dir(spark, ckpt, sid)
+            or f"session_id={sid}"
+        ).split("=", 1)[1]
+        gen = hashlib.md5(
+            f"{summary.resumed_rows}|{spent}|{n_rows}|{chunk_size}".encode()
+        ).hexdigest()[:16]
+        claims = ChunkClaims(ckpt, token, gen)
+        ledger = CostLedger(ckpt, token)
     try:
         budget = spec.processing.max_budget
         for cid in range(int(n_chunks)):
-            if budget is not None and spent >= budget:
-                raise BudgetExceededError(
-                    f"budget {budget} exhausted after {spent} "
-                    f"({len(summary.chunks)} chunks committed)"
+            # global spend first: the ledger carries every coordinated
+            # process's committed chunks, so one worker crossing the
+            # budget stops ALL workers at their next chunk boundary.
+            # max() with the local view keeps pre-coordination history
+            # (cache-derived `spent`) counted without double counting.
+            if budget is not None:
+                spent_global = (
+                    max(spent, ledger.total()) if ledger is not None
+                    else spent
                 )
+                if spent_global >= budget:
+                    raise BudgetExceededError(
+                        f"budget {budget} exhausted after {spent_global} "
+                        f"({len(summary.chunks)} chunks committed)"
+                    )
+            if claims is not None and not claims.claim(cid):
+                continue  # another worker owns this chunk
             dispatcher.emit(
                 "chunk_start", run_id=sid, chunk_id=cid,
                 chunks_total=int(n_chunks),
@@ -311,6 +357,8 @@ def iter_chunks(
             # re-read per chunk), and a crash loses at most one chunk's memo
             pipeline.flush_memo()
             spent += cost
+            if ledger is not None:
+                ledger.add(cost)
             result = ChunkResult(cid, n_chunk_rows, cost, spent)
             summary.chunks.append(result)
             summary.total_rows += n_chunk_rows

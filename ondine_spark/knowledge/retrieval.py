@@ -78,6 +78,136 @@ def retrieve_topk(
     return topk.join(store.chunks().select("chunk_id", "text", "source"), on="chunk_id")
 
 
+def _lsh_band_keys(
+    tf: DataFrame, id_col: str, n_planes: int, n_bands: int
+) -> DataFrame:
+    """(id, band, key) — banded random-hyperplane signature of the sparse
+    hashed-ngram TF vector. Plane p's random direction assigns each
+    bucket ±1 via murmur3(bucket * n_planes + p); the signature bit is
+    the sign of Σ tf·±1 — the standard SimHash/hyperplane construction,
+    computed as ONE groupBy(id) with n_planes sum expressions (one
+    shuffle, no dense vectors, no per-plane explode)."""
+    sums = [
+        F.sum(
+            F.col("tf")
+            * (F.pmod(F.hash(F.col("bucket") * n_planes + p), F.lit(2)) * 2 - 1)
+        ).alias(f"_s{p}")
+        for p in range(n_planes)
+    ]
+    sig = tf.groupBy(id_col).agg(*sums)
+    per_band = n_planes // n_bands
+    keys = F.array(*[
+        sum(
+            (F.col(f"_s{b * per_band + i}") >= 0).cast("long") * (1 << i)
+            for i in range(per_band)
+        )
+        for b in range(n_bands)
+    ])
+    return sig.select(
+        id_col, F.posexplode(keys).alias("band", "key")
+    )
+
+
+def retrieve_topk_lsh(
+    df: DataFrame,
+    store: KnowledgeStore,
+    query_cols: list[str],
+    top_k: int = 3,
+    min_score: float = 0.0,
+    n_planes: int = 64,
+    n_bands: int = 8,
+    max_bucket: int = 2000,
+) -> DataFrame:
+    """Same contract as :func:`retrieve_topk` (row → top-k chunks with
+    EXACT cosine scores), candidate generation via banded
+    random-hyperplane LSH instead of the exact inverted-index join — the
+    scale path the SURVEY names for R3 (§2.9): the exact join's
+    (query-bucket × posting) volume grows with corpus × query length,
+    while the LSH join touches only (band, key) collisions, so the
+    candidate set per row is governed by signature similarity, not
+    corpus size. Recall < 1 comes ONLY from candidate misses (pairs
+    whose 8-bit band keys never collide); every surfaced candidate is
+    rescored with the same exact cosine as retrieve_topk
+    (tests/test_kb_lsh.py pins recall on a seeded corpus).
+
+    ``max_bucket`` drops pathological (band, key) postings longer than
+    this on the CHUNK side (hot buckets = near-constant signatures from
+    boilerplate; the standard LSH hot-bucket guard) — bounding worst-case
+    candidates per row at n_bands × max_bucket regardless of corpus.
+
+    Plan shape (plan-audited ``kb_lsh.*``): no crossJoin anywhere; one
+    groupBy per side for signatures; an equi-join on (band, key); exact
+    rescoring joins bounded by the candidate count.
+    """
+    q = df.select(
+        F.col(ROW_ID),
+        F.concat_ws(" ", *[F.col(c) for c in query_cols]).alias("_q"),
+    )
+    qb = (
+        q.select(
+            ROW_ID,
+            F.explode(ngram_buckets(F.col("_q"), dim=store.ngram_dim)).alias(
+                "bucket"
+            ),
+        )
+        .groupBy(ROW_ID, "bucket")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    cb = store.buckets()
+
+    q_bands = _lsh_band_keys(qb, ROW_ID, n_planes, n_bands)
+    c_bands = _lsh_band_keys(
+        cb.select("chunk_id", "bucket", "tf"), "chunk_id", n_planes, n_bands
+    )
+    if max_bucket:
+        w_hot = Window.partitionBy("band", "key")
+        c_bands = (
+            c_bands.withColumn("_n", F.count(F.lit(1)).over(w_hot))
+            .filter(F.col("_n") <= max_bucket)
+            .drop("_n")
+        )
+    cand = (
+        q_bands.join(c_bands, on=["band", "key"])
+        .select(ROW_ID, "chunk_id")
+        .distinct()
+    )
+
+    # exact rescoring over candidates only: dot via the bucket join
+    # RESTRICTED to candidate pairs, norms as in the exact path
+    qnorm = qb.groupBy(ROW_ID).agg(
+        F.sqrt(F.sum(F.col("tf") * F.col("tf"))).alias("qnorm")
+    )
+    cnorm = cb.groupBy("chunk_id").agg(
+        F.sqrt(F.sum(F.col("tf") * F.col("tf"))).alias("cnorm")
+    )
+    dots = (
+        cand.join(qb.withColumnRenamed("tf", "qtf"), on=ROW_ID)
+        .join(
+            cb.select("chunk_id", "bucket", F.col("tf").alias("ctf")),
+            on=["chunk_id", "bucket"],
+        )
+        .groupBy(ROW_ID, "chunk_id")
+        .agg(F.sum(F.col("qtf") * F.col("ctf")).alias("_dot"))
+    )
+    scored = (
+        dots.join(qnorm, on=ROW_ID)
+        .join(cnorm, on="chunk_id")
+        .select(
+            ROW_ID,
+            "chunk_id",
+            (F.col("_dot") / (F.col("qnorm") * F.col("cnorm"))).alias("score"),
+        )
+        .filter(F.col("score") >= min_score)
+    )
+    w = Window.partitionBy(ROW_ID).orderBy(F.desc("score"), "chunk_id")
+    topk = scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= top_k
+    )
+    return topk.join(
+        store.chunks().select("chunk_id", "text", "source"), on="chunk_id"
+    )
+
+
 def attach_context(
     df: DataFrame,
     store: KnowledgeStore,

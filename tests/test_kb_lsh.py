@@ -1,0 +1,112 @@
+"""R3 at scale (r6 verdict #4): LSH-candidate retrieval must match the
+exact inverted-index retrieval on scores and hit most of its top-k —
+recall < 1 only from band-collision misses, never from scoring drift.
+
+Scale evidence (500K rows x 1M chunks) lives in
+tools/kb_lsh_scale.py -> benchmarks/KB_LSH_500K.json; these tests pin
+semantics at a size the suite can afford.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ondine_spark.knowledge.retrieval import retrieve_topk, retrieve_topk_lsh
+from ondine_spark.knowledge.store import KnowledgeStore
+
+
+WORDS = [
+    "alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf",
+    "hotel", "india", "juliet", "kilo", "lima", "mike", "november",
+    "oscar", "papa", "quebec", "romeo", "sierra", "tango",
+]
+
+
+def _text(i: int, salt: str = "") -> str:
+    # 12 deterministic pseudo-random words per doc; distinct docs share
+    # few ngrams, so the true nearest chunk for a near-copy query is its
+    # source chunk
+    out = []
+    x = i * 2654435761 % (1 << 32)
+    for k in range(12):
+        x = (x * 1103515245 + 12345 + k) % (1 << 31)
+        out.append(WORDS[x % len(WORDS)] + str(x % 97))
+    return " ".join(out) + salt
+
+
+@pytest.fixture(scope="module")
+def kb(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("kb_lsh") / "store")
+    docs = spark.createDataFrame(
+        [(i, _text(i)) for i in range(400)], ["doc_id", "text"]
+    )
+    store = KnowledgeStore(spark, path, ngram_dim=2048)
+    store.ingest(docs, max_tokens=64)
+    return store
+
+
+def test_lsh_scores_are_exact_on_shared_pairs(spark, kb):
+    """Every (row, chunk) pair surfaced by BOTH paths carries the SAME
+    cosine — LSH changes candidate generation, not scoring."""
+    rows = spark.createDataFrame(
+        [(f"q{i}", _text(i * 7 % 400)) for i in range(40)], ["_row_id", "q"]
+    )
+    exact = retrieve_topk(rows, kb, ["q"], top_k=5).select(
+        "_row_id", "chunk_id", "score"
+    )
+    lsh = retrieve_topk_lsh(
+        rows, kb, ["q"], top_k=5, n_planes=64, n_bands=8
+    ).select("_row_id", "chunk_id", F.col("score").alias("lsh_score"))
+    both = exact.join(lsh, on=["_row_id", "chunk_id"])
+    n_both = both.count()
+    assert n_both > 0
+    drift = both.filter(
+        F.abs(F.col("score") - F.col("lsh_score")) > 1e-9
+    ).count()
+    assert drift == 0, f"{drift}/{n_both} pairs scored differently"
+
+
+def test_lsh_recall_at_top1(spark, kb):
+    """Queries that are near-copies of a chunk's text: the LSH path must
+    recover the exact path's top-1 for >= 90% of queries at 64 planes /
+    8 bands (near-identical vectors agree on almost every hyperplane, so
+    band collision probability is ~1)."""
+    rows = spark.createDataFrame(
+        [(f"q{i}", _text(i, salt=" zz9")) for i in range(100)],
+        ["_row_id", "q"],
+    )
+    top1 = {
+        r["_row_id"]: r["chunk_id"]
+        for r in retrieve_topk(rows, kb, ["q"], top_k=1).collect()
+    }
+    lsh1 = {
+        r["_row_id"]: r["chunk_id"]
+        for r in retrieve_topk_lsh(rows, kb, ["q"], top_k=1).collect()
+    }
+    assert len(top1) == 100
+    hits = sum(1 for k, v in top1.items() if lsh1.get(k) == v)
+    assert hits >= 90, f"top-1 recall {hits}/100"
+
+
+def test_lsh_hot_bucket_cap_bounds_candidates(spark, kb):
+    """max_bucket=1 drops every multi-chunk (band, key) posting: the
+    operator still runs and returns only candidates from singleton
+    buckets — the worst-case candidate bound n_bands x max_bucket."""
+    rows = spark.createDataFrame(
+        [(f"q{i}", _text(i)) for i in range(10)], ["_row_id", "q"]
+    )
+    out = retrieve_topk_lsh(rows, kb, ["q"], top_k=3, max_bucket=1)
+    # every returned score is a true cosine in (0, 1]
+    bad = out.filter((F.col("score") <= 0) | (F.col("score") > 1.0 + 1e-9))
+    assert bad.count() == 0
+
+
+def test_lsh_plan_no_cartesian(spark, kb):
+    rows = spark.createDataFrame(
+        [(f"q{i}", _text(i)) for i in range(5)], ["_row_id", "q"]
+    )
+    plan = (
+        retrieve_topk_lsh(rows, kb, ["q"], top_k=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -308,6 +308,37 @@ def main() -> int:
     check("shards.no_global_sort",
           not re.search(r"\(\d+\) Sort\b.*global=true", plan))
 
+    # KB retrieval via LSH candidates (r7, verdict #4): the rows x chunks
+    # retrieval must stay equi-join shaped — signature generation is one
+    # groupBy per side, candidates come from a (band, key) hash join,
+    # rescoring joins are bounded by candidates. No cartesian/BNLJ, no
+    # Python.
+    import tempfile
+
+    from ondine_spark.knowledge.retrieval import retrieve_topk_lsh
+    from ondine_spark.knowledge.store import KnowledgeStore
+
+    kb_dir = tempfile.mkdtemp(prefix="plan_audit_kb_")
+    store = KnowledgeStore(spark, os.path.join(kb_dir, "store"))
+    store.ingest(
+        docs_raw.select("doc_id", "text").limit(50), max_tokens=32
+    )
+    rows_q = docs_raw.select(
+        F.col("doc_id").cast("string").alias("_row_id"),
+        F.col("text").alias("q"),
+    ).limit(20)
+    plan = plan_of(retrieve_topk_lsh(rows_q, store, ["q"], top_k=3))
+    check("kb_lsh.no_cartesian",
+          "CartesianProduct" not in plan
+          and "BroadcastNestedLoopJoin" not in plan)
+    check("kb_lsh.jvm_only",
+          "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+          and "MapInPandas" not in plan)
+    # the chunk-side postings join on (band, key) is a real equi-join
+    check("kb_lsh.equi_join",
+          "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+          or "BroadcastHashJoin" in plan)
+
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     return 1 if failures else 0
 

@@ -247,13 +247,17 @@ def main() -> None:
         t0 = time.monotonic()
         kills = run_child(dirs, repo, kill)
         restarts = 0
+        resume_wall = None
         if kill is not None:
             restarts = 1
+            t1 = time.monotonic()
             run_child(dirs, repo, None)  # resume from checkpoint + store
+            resume_wall = round(time.monotonic() - t1, 1)
         wall = time.monotonic() - t0
         results[arm] = {
             **snapshot(spark, dirs),
             "wall_sec": round(wall, 1),
+            "resume_wall_sec": resume_wall,
             "kills": kills,
             "restarts": restarts,
         }
@@ -270,8 +274,12 @@ def main() -> None:
     no_dup_rows = (
         g["docs"] == g["docs_distinct"] and c["docs"] == c["docs_distinct"]
     )
+    scale_tag = (
+        f"{N_DOCS // 1_000_000}M" if N_DOCS % 1_000_000 == 0
+        else str(N_DOCS)
+    )
     line = {
-        "metric": "stream_dedup_1m_crash_parity",
+        "metric": f"stream_dedup_{scale_tag.lower()}_crash_parity",
         "n_docs": N_DOCS,
         "n_files": N_FILES,
         "kill_after_batches": KILL_AFTER_BATCHES,
@@ -282,7 +290,7 @@ def main() -> None:
         "ts": time.time(),
     }
     print(json.dumps(line))
-    out = os.path.join(repo, "benchmarks", "STREAM_1M.json")
+    out = os.path.join(repo, "benchmarks", f"STREAM_{scale_tag}.json")
     with open(out, "w") as fh:
         json.dump(line, fh, indent=1)
     assert identical and no_dup_rows, "crash parity FAILED"

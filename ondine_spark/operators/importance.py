@@ -134,12 +134,14 @@ def dsir_llr_table(
     ]
 
 
-# Measured crossover (tools/dsir_scale.py, SCALE.md "Round 7"): the SQL
-# literal costs ~30 µs per table entry to PARSE (plan build), the
-# broadcast path a near-flat setup (Arrow createDataFrame + one-row
-# broadcast). Below this many entries the literal's parse is cheaper
-# than the broadcast fixed cost; above, plan build blows up (8.3 s at
-# 2¹⁸ entries) while broadcast stays flat.
+# Measured crossover (SCALE.md "Round 7"): the SQL literal costs
+# ~30 µs per table entry to PARSE (plan build) plus a per-row cost
+# that grows with the table (the array literal is materialized per
+# evaluation); the broadcast-join path pays a near-flat setup (Arrow
+# createDataFrame of B rows + one broadcast) and O(1) per token.
+# Below this many entries the literal wins on fixed cost; above, its
+# plan build blows up (28-66 s at 2¹⁸ entries) while broadcast stays
+# flat.
 _LUT_BROADCAST_MIN = 1 << 15
 
 
@@ -151,6 +153,7 @@ def dsir_weights(
     use_bigrams: bool = True,
     out_col: str = "dsir_w_q",
     lut_mode: str = "auto",
+    id_col: str | None = None,
 ) -> DataFrame:
     """Append the quantized DSIR importance weight
 
@@ -164,22 +167,28 @@ def dsir_weights(
     log-likelihood ratio.
 
     ``lut_mode`` picks how the LLR table reaches the executors —
-    bit-identical outputs either way (same element_at lookups over the
-    same integers, same murmur3 bucketing; pinned by
+    bit-identical outputs either way (same murmur3 bucketing, same
+    exact-integer adds, which commute; pinned by
     tests/test_importance.py::test_lut_modes_bit_identical):
 
     - ``"literal"``: ONE constant-folded SQL array literal (a single
       SQL parse — NOT B ``F.lit`` py4j round-trips, which take minutes
-      at B = 2¹⁷). Parse cost is ~30 µs/entry, so plan build blows up
-      above ~2¹⁷ entries (measured: 8.3 s at B=2¹⁷ bigrams).
-    - ``"broadcast"``: the table travels as DATA — a one-row DataFrame
-      holding the full array, broadcast cross-joined onto ``df`` (a
-      BroadcastNestedLoopJoin against a single row: no exchange on the
-      corpus side), folded against, and dropped in the same projection
-      so the array never materializes per output row. Plan size O(1)
-      at any B.
+      at B = 2¹⁷) folded per row with ``element_at``. Parse cost is
+      ~30 µs/entry, so plan BUILD blows up above ~2¹⁷ entries
+      (measured: 28-66 s at 2¹⁸ entries) — and array-literal access
+      also pays a per-row cost proportional to B (measured time ∝
+      rows × B: the array is materialized per evaluation), so this
+      path is for small tables.
+    - ``"broadcast"``: the table travels as DATA — a B-row (bucket,
+      llr) DataFrame built via Arrow, broadcast-hash-joined onto the
+      EXPLODED token instances, re-aggregated per row. Requires
+      ``id_col`` with UNIQUE values (the rows are reassembled by key;
+      duplicate ids would merge their weights). O(1) plan text,
+      O(1) per-token work at any B; the two extra exchanges (per-id
+      partial-aggregated sum + the join back) carry ~1 row per doc.
     - ``"auto"`` (default): literal below ``_LUT_BROADCAST_MIN``
-      entries, broadcast at or above — the measured crossover.
+      entries; broadcast at or above when ``id_col`` is given (else
+      stays literal — the caller opted out of a join key).
     """
     expect = num_features * (2 if use_bigrams else 1)
     if len(llr_q) != expect:
@@ -190,27 +199,65 @@ def dsir_weights(
     if lut_mode not in ("auto", "literal", "broadcast"):
         raise ValueError(f"unknown lut_mode {lut_mode!r}")
     broadcast_lut = lut_mode == "broadcast" or (
-        lut_mode == "auto" and len(llr_q) >= _LUT_BROADCAST_MIN
+        lut_mode == "auto"
+        and len(llr_q) >= _LUT_BROADCAST_MIN
+        and id_col is not None
     )
+    if broadcast_lut and id_col is None:
+        raise ValueError("lut_mode='broadcast' requires id_col")
 
-    lut_col = "__dsir_llr"
-    while lut_col in df.columns:
-        lut_col = "_" + lut_col
-    if broadcast_lut:
-        import pandas as pd
-
-        spark = df.sparkSession
-        one = spark.createDataFrame(
-            pd.DataFrame({lut_col: [[int(v) for v in llr_q]]})
-        ).select(F.col(lut_col).cast("array<bigint>").alias(lut_col))
-        lut = F.col(lut_col)
-        base = df.crossJoin(F.broadcast(one))
-    else:
-        lut = F.expr(
-            "array(" + ",".join(f"{int(v)}L" for v in llr_q) + ")"
-        )
-        base = df
     toks = _tokens(text_col)
+    if broadcast_lut:
+        spark = df.sparkSession
+        try:
+            # pyarrow Table → DataFrame is zero-copy-ish regardless of
+            # the session's arrow conf; the pandas fallback without
+            # spark.sql.execution.arrow.pyspark.enabled converts row by
+            # row (measured 29 s at 2²¹ entries vs ~2 s via pyarrow)
+            import pyarrow as pa
+
+            lut_df = spark.createDataFrame(pa.table({
+                "_bkt": pa.array(range(len(llr_q)), type=pa.int32()),
+                "_llr": pa.array(
+                    [int(v) for v in llr_q], type=pa.int64()
+                ),
+            }))
+        except Exception:  # pragma: no cover - pyarrow always present here
+            import pandas as pd
+
+            lut_df = spark.createDataFrame(
+                pd.DataFrame(
+                    {"_bkt": range(len(llr_q)),
+                     "_llr": [int(v) for v in llr_q]}
+                )
+            ).select(
+                F.col("_bkt").cast("int"), F.col("_llr").cast("long")
+            )
+        inst = df.select(
+            id_col, F.explode(toks).alias("_w")
+        ).select(id_col, _bucket(F.col("_w"), num_features).alias("_bkt"))
+        if use_bigrams:
+            big = df.select(
+                id_col, F.explode(_bigrams(_tokens(text_col))).alias("_w")
+            ).select(
+                id_col,
+                (_bucket(F.col("_w"), num_features)
+                 + F.lit(num_features)).alias("_bkt"),
+            )
+            inst = inst.unionAll(big)
+        sums = (
+            inst.join(F.broadcast(lut_df), on="_bkt")
+            .groupBy(id_col)
+            .agg(F.sum("_llr").alias(out_col))
+        )
+        # docs with zero tokens sum to 0, exactly like the empty fold
+        return df.join(sums, on=id_col, how="left").withColumn(
+            out_col, F.coalesce(F.col(out_col), F.lit(0).cast("long"))
+        )
+
+    lut = F.expr(
+        "array(" + ",".join(f"{int(v)}L" for v in llr_q) + ")"
+    )
 
     def fold(arr: Column, offset: int) -> Column:
         return F.aggregate(
@@ -224,8 +271,7 @@ def dsir_weights(
     w = fold(toks, 0)
     if use_bigrams:
         w = w + fold(_bigrams(toks), num_features)
-    out = base.withColumn(out_col, w)
-    return out.drop(lut_col) if broadcast_lut else out
+    return df.withColumn(out_col, w)
 
 
 def dsir_resample(

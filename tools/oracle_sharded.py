@@ -68,7 +68,20 @@ SHARD_GATES = (
     "range_join_sessions",
     "dedup_paragraphs",
     "sample_mix",
+    "quality_margin",
+    "winnow_fps",
+    "lm_perplexity",
+    "winnow_pairs",
 )
+
+# Gates whose oracle output is a PURE PER-DOCUMENT function: every CTE
+# either selects from ``documents`` row-wise or computes values that are
+# pure functions of a single document's text (the ``dw``/``sgn``
+# distinct-word murmur3 tables in quality_margin dedupe words before
+# hashing — recomputing them per shard hashes the same words to the
+# same buckets). For these the ORIGINAL oracle text runs verbatim per
+# shard with ``documents`` rebound to one doc_id shard.
+DOC_VERBATIM_GATES = ("quality_margin", "winnow_fps")
 
 _MD5L = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
 
@@ -143,6 +156,164 @@ def _events_sharded_digest(gate_sql: str, sf_dir: str, k: int, tmp_root: str):
         acc = _digest_rows(cols, _fetch_iter(res), acc)
         con.close()
         print(f"#   shard {i + 1}/{k}: cumulative rows {acc[2]}",
+              file=sys.stderr, flush=True)
+    return sorted(cols), acc
+
+
+# ------------------------------------------------ doc-sharded verbatim
+def _documents_sharded_digest(gate_sql: str, sf_dir: str, k: int,
+                              tmp_root: str):
+    """Run the verbatim gate oracle per doc_id shard: rebind the
+    ``documents`` view to one shard and fold the digests. Exact only for
+    DOC_VERBATIM_GATES (per-document semantics)."""
+    cols, acc = None, None
+    for i in range(k):
+        con = _connect(sf_dir, tmp_root)
+        con.execute("DROP VIEW documents")
+        path = f"{sf_dir}/documents.parquet"
+        if os.path.isdir(os.path.realpath(path)):
+            path = f"{path}/*.parquet"
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{path}' "
+            f"WHERE doc_id % {k} = {i}"
+        )
+        res = con.execute(gate_sql)
+        ocols = [d[0] for d in res.description]
+        if cols is None:
+            cols = ocols
+        assert ocols == cols, f"shard {i} columns drifted: {ocols}"
+        acc = _digest_rows(cols, _fetch_iter(res), acc)
+        con.close()
+        print(f"#   shard {i + 1}/{k}: cumulative rows {acc[2]}",
+              file=sys.stderr, flush=True)
+    return sorted(cols), acc
+
+
+# ---------------------------------------------------------- lm_perplexity
+def _lm_perplexity_digest(sf_dir: str, k: int, tmp_root: str, wd: str):
+    """Global LM count tables from per-doc-shard PARTIAL integer counts
+    (shard order irrelevant -> the log2() inputs are bit-identical to
+    the one-shot oracle), then per-doc scoring per shard joining the
+    materialized logp tables. Mirrors the sample_mix fit decomposition."""
+    uni_dc = """
+        SELECT doc_id, tok, count(*) AS c FROM (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(lower(trim(text)), '\\S+'))
+                   AS tok
+          FROM documents {W}
+        ) GROUP BY 1, 2
+    """
+    bi_dc = """
+        SELECT doc_id, bg AS tok, count(*) AS c FROM (
+          SELECT doc_id, l[i] || ' ' || l[i + 1] AS bg
+          FROM (
+            SELECT doc_id, l, unnest(generate_series(1, len(l) - 1)) AS i
+            FROM (SELECT doc_id,
+                         regexp_extract_all(lower(trim(text)), '\\S+') AS l
+                  FROM documents {W})
+          )
+        ) GROUP BY 1, 2
+    """
+    # ---- stage C: per-shard partial (tok -> count) for both orders
+    for tag, dc in (("uni", uni_dc), ("bi", bi_dc)):
+        for i in range(k):
+            con = _connect(sf_dir, tmp_root)
+            con.execute(f"""
+                COPY (
+                  SELECT tok, sum(c) AS c FROM (
+                    {dc.format(W=f"WHERE doc_id % {k} = {i}")}
+                  ) GROUP BY tok
+                ) TO '{wd}/{tag}_c_{i}.parquet' (FORMAT PARQUET)
+            """)
+            con.close()
+        print(f"#   C {tag} partials done", file=sys.stderr, flush=True)
+        # combine -> logp table (integer sums; log2 sees the one-shot
+        # oracle's exact doubles). The unigram model is add-1 over the
+        # corpus (n + v); the BIGRAM model is CONDITIONAL: add-1 over
+        # the context count c_w1 (all bigrams sharing the first word)
+        # with the UNIGRAM vocab size v — both replayed from the
+        # combined integer partials.
+        con = _connect(sf_dir, tmp_root)
+        if tag == "uni":
+            con.execute(f"""
+                COPY (
+                  WITH vocab AS (
+                    SELECT tok, sum(c) AS c_w
+                    FROM '{wd}/uni_c_*.parquet' GROUP BY tok
+                  ), tot AS (
+                    SELECT sum(c_w)::DOUBLE AS n, count(*)::DOUBLE AS v
+                    FROM vocab
+                  )
+                  SELECT tok, log2((c_w + 1.0) / (n + 1.0 * v)) AS logp
+                  FROM vocab, tot
+                ) TO '{wd}/uni_lp.parquet' (FORMAT PARQUET)
+            """)
+        else:
+            con.execute(f"""
+                COPY (
+                  WITH corpus AS (
+                    SELECT tok AS bg, sum(c) AS c_b
+                    FROM '{wd}/bi_c_*.parquet' GROUP BY tok
+                  ), ctx AS (
+                    SELECT split_part(bg, ' ', 1) AS w1, sum(c_b) AS c_w1
+                    FROM corpus GROUP BY 1
+                  ), vv AS (
+                    SELECT count(*)::DOUBLE AS v FROM (
+                      SELECT DISTINCT tok FROM '{wd}/uni_c_*.parquet'
+                    )
+                  )
+                  SELECT corpus.bg AS tok,
+                         log2((c_b + 1.0) / (c_w1 + 1.0 * v)) AS logp
+                  FROM corpus
+                  JOIN ctx ON split_part(corpus.bg, ' ', 1) = ctx.w1, vv
+                ) TO '{wd}/bi_lp.parquet' (FORMAT PARQUET)
+            """)
+        con.close()
+        print(f"#   L {tag} logp table done", file=sys.stderr, flush=True)
+
+    # ---- final: per-doc scoring per shard (gate output columns)
+    cols, acc = None, None
+    for i in range(k):
+        con = _connect(sf_dir, tmp_root)
+        W = f"WHERE doc_id % {k} = {i}"
+        res = con.execute(f"""
+            WITH udc AS ({uni_dc.format(W=W)}),
+            uper AS (
+              SELECT d.doc_id,
+                     coalesce(sum(udc.c), 0)::BIGINT AS n_tokens,
+                     sum(udc.c * lp.logp) AS slp
+              FROM (SELECT doc_id FROM documents {W}) d
+              LEFT JOIN udc ON udc.doc_id = d.doc_id
+              LEFT JOIN '{wd}/uni_lp.parquet' lp ON lp.tok = udc.tok
+              GROUP BY d.doc_id
+            ),
+            bdc AS ({bi_dc.format(W=W)}),
+            bper AS (
+              SELECT d.doc_id,
+                     coalesce(sum(bdc.c), 0)::BIGINT AS n_bigrams,
+                     sum(bdc.c * lp.logp) AS slp
+              FROM (SELECT doc_id FROM documents {W}) d
+              LEFT JOIN bdc ON bdc.doc_id = d.doc_id
+              LEFT JOIN '{wd}/bi_lp.parquet' lp ON lp.tok = bdc.tok
+              GROUP BY d.doc_id
+            )
+            SELECT u.doc_id, u.n_tokens,
+                   CAST(round(CASE WHEN u.n_tokens = 0 THEN NULL
+                                   ELSE -u.slp / u.n_tokens END * 1e4)
+                        AS BIGINT) AS ceq_unigram,
+                   b.n_bigrams,
+                   CAST(round(CASE WHEN b.n_bigrams = 0 THEN NULL
+                                   ELSE -b.slp / b.n_bigrams END * 1e4)
+                        AS BIGINT) AS ceq_bigram
+            FROM uper u JOIN bper b ON u.doc_id = b.doc_id
+        """)
+        ocols = [d[0] for d in res.description]
+        if cols is None:
+            cols = ocols
+        assert ocols == cols
+        acc = _digest_rows(cols, _fetch_iter(res), acc)
+        con.close()
+        print(f"#   score shard {i + 1}/{k}: cumulative rows {acc[2]}",
               file=sys.stderr, flush=True)
     return sorted(cols), acc
 
@@ -495,6 +666,133 @@ def _sample_mix_digest(sf_dir: str, k: int, tmp_root: str, wd: str):
     return sorted(cols), acc
 
 
+# ------------------------------------------------------------ winnow_pairs
+def _winnow_fps_ctes(path_kind: str, shard_filter: str) -> str:
+    """The gate's per-doc fingerprint CTE chain (__spark_entry__
+    winnow_pairs) with ``documents`` shard-filtered: ``path_kind`` picks
+    the md5 expression path ('ex') or the polynomial kernel replay
+    ('fa'); both end in e(doc_id, fp). Constants match the gate
+    (k=12, w=8)."""
+    if path_kind == "ex":
+        md5l = _MD5L.format(x="substr(s, i::INT, 12)")
+        return f"""
+          g AS (
+            SELECT doc_id, lower(text) AS s,
+                   greatest(length(text) - 11, 0) AS p
+            FROM documents {shard_filter}
+          ), h AS (
+            SELECT doc_id, p,
+                   list_transform(generate_series(1, p), i -> {md5l}) AS hs
+            FROM g WHERE p >= 1
+          ), fps AS (
+            SELECT doc_id,
+              CASE WHEN p >= 8
+                THEN list_distinct(list_transform(
+                       generate_series(1, p - 7),
+                       j -> list_min(hs[j:j+7])))
+                ELSE [list_min(hs)] END AS fps
+            FROM h
+          ), e AS (SELECT doc_id, unnest(fps) AS fp FROM fps)"""
+    kk, w = 12, 8
+    m1, b1 = 2147483647, 131
+    m2, b2 = 2147483629, 137
+    pw1 = [pow(b1, kk - 1 - j, m1) for j in range(kk)]
+    pw2 = [pow(b2, kk - 1 - j, m2) for j in range(kk)]
+    byte = "('0x' || substr(s, (2 * (i + {j}) - 1)::INT, 2))::BIGINT"
+    h1 = " + ".join(f"{byte.format(j=j)} * {pw1[j]}" for j in range(kk))
+    h2 = " + ".join(f"{byte.format(j=j)} * {pw2[j]}" for j in range(kk))
+    return f"""
+      g AS (
+        SELECT doc_id, hex(encode(lower(text))) AS s,
+               greatest(octet_length(encode(lower(text))) - {kk - 1}, 0) AS p
+        FROM documents {shard_filter}
+      ), h AS (
+        SELECT doc_id, p,
+               list_transform(generate_series(1, p),
+                 i -> (({h1}) % {m1}) * 2147483648 + (({h2}) % {m2})
+               ) AS hs
+        FROM g WHERE p >= 1
+      ), fps AS (
+        SELECT doc_id,
+          CASE WHEN p >= {w}
+            THEN list_distinct(list_transform(
+                   generate_series(1, p - {w - 1}),
+                   j -> list_min(hs[j:j+{w - 1}])))
+            ELSE [list_min(hs)] END AS fps
+        FROM h
+      ), e AS (SELECT doc_id, unnest(fps) AS fp FROM fps)"""
+
+
+def _winnow_pairs_digest(sf_dir: str, k: int, tmp_root: str, wd: str):
+    """Both winnowing paths (md5 expression + polynomial kernel replay),
+    sharded twice: (doc_id, fp) exploded per DOC shard (per-doc
+    fingerprints, documents rebound verbatim), then the global df-cap +
+    pair counting per FP shard — the df count and each (a, b) pair's
+    shared-count are sums over disjoint fp shards, combined exactly in
+    one final pass (integer counts). min_shared/max_df match the gate
+    (10 / 20)."""
+    for kind in ("ex", "fa"):
+        for i in range(k):
+            con = _connect(sf_dir, tmp_root)
+            con.execute(f"""
+                COPY (
+                  WITH {_winnow_fps_ctes(kind,
+                                         f"WHERE doc_id % {k} = {i}")}
+                  SELECT doc_id, fp FROM e
+                ) TO '{wd}/{kind}_e_{i}.parquet' (FORMAT PARQUET)
+            """)
+            con.close()
+        print(f"#   E {kind} fingerprints done", file=sys.stderr, flush=True)
+
+        # per FP shard: df-cap then partial pair counts
+        for j in range(k):
+            con = _connect(sf_dir, tmp_root)
+            con.execute(f"""
+                COPY (
+                  WITH e AS (
+                    SELECT doc_id, fp FROM '{wd}/{kind}_e_*.parquet'
+                    WHERE fp % {k} = {j}
+                  ), fdf AS (
+                    SELECT fp, count(*) AS dfc FROM e GROUP BY fp
+                  ), kept AS (
+                    SELECT e.doc_id, e.fp FROM e JOIN fdf USING (fp)
+                    WHERE fdf.dfc <= 20
+                  )
+                  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS c
+                  FROM kept a JOIN kept b
+                    ON a.fp = b.fp AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2
+                ) TO '{wd}/{kind}_p_{j}.parquet' (FORMAT PARQUET)
+            """)
+            con.close()
+        print(f"#   P {kind} pair partials done", file=sys.stderr,
+              flush=True)
+        con = _connect(sf_dir, tmp_root)
+        con.execute(f"""
+            COPY (
+              SELECT a, b, sum(c) AS shared
+              FROM '{wd}/{kind}_p_*.parquet'
+              GROUP BY a, b HAVING sum(c) >= 10
+            ) TO '{wd}/{kind}_pairs.parquet' (FORMAT PARQUET)
+        """)
+        con.close()
+        print(f"#   F {kind} pairs combined", file=sys.stderr, flush=True)
+
+    con = _connect(sf_dir, tmp_root)
+    res = con.execute(f"""
+        SELECT coalesce(ex.a, fa.a) AS a, coalesce(ex.b, fa.b) AS b,
+               coalesce(ex.shared, 0)::BIGINT AS shared_expr,
+               coalesce(fa.shared, 0)::BIGINT AS shared_fast
+        FROM '{wd}/ex_pairs.parquet' ex
+        FULL JOIN '{wd}/fa_pairs.parquet' fa
+          ON ex.a = fa.a AND ex.b = fa.b
+    """)
+    cols = [d[0] for d in res.description]
+    acc = _digest_rows(cols, _fetch_iter(res))
+    con.close()
+    return sorted(cols), acc
+
+
 # --------------------------------------------------------------------- main
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
@@ -542,6 +840,13 @@ def main() -> None:
             if name in ("asof_purchases", "range_join_sessions"):
                 oc, odig = _events_sharded_digest(
                     oracles[name], sf_dir, k, tmp_root)
+            elif name in DOC_VERBATIM_GATES:
+                oc, odig = _documents_sharded_digest(
+                    oracles[name], sf_dir, k, tmp_root)
+            elif name == "lm_perplexity":
+                oc, odig = _lm_perplexity_digest(sf_dir, k, tmp_root, wd)
+            elif name == "winnow_pairs":
+                oc, odig = _winnow_pairs_digest(sf_dir, k, tmp_root, wd)
             elif name == "dedup_paragraphs":
                 oc, odig = _dedup_paragraphs_digest(sf_dir, k, tmp_root, wd)
             else:
@@ -564,9 +869,10 @@ def main() -> None:
         "sf_dir": sf_dir, "gates": len(out), "green": n_ok,
         "method": f"tools/oracle_sharded.py - one-shot oracle text replayed "
                   f"over {k} disjoint shards (user_id for the event gates; "
-                  f"content-hash winner sets + doc_id rebuild for "
-                  f"dedup_paragraphs; per-bucket partial fits + doc_id "
-                  f"scoring for sample_mix), digests xor/sum-combined",
+                  f"doc_id verbatim for the per-document gates; content-hash "
+                  f"winner sets + doc_id rebuild for dedup_paragraphs; "
+                  f"partial integer count tables for sample_mix / "
+                  f"lm_perplexity / winnow_pairs), digests xor/sum-combined",
     }}
     artifact.update(out)
     with open(out_path, "w") as fh:

@@ -197,6 +197,8 @@ class ContextSpec:
     kb_query_columns: list[str] = field(default_factory=list)
     kb_top_k: int = 3
     kb_min_score: float = 0.0
+    # retrieval plan: auto (LSH above LSH_AUTO_THRESHOLD chunks) | exact | lsh
+    kb_method: str = "auto"
     # evidence priming (R4) from a ClaimStore
     evidence_path: str | None = None
     evidence_query_columns: list[str] = field(default_factory=list)

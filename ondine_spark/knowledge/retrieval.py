@@ -9,8 +9,10 @@ rows retrieve in one plan: explode each row's query into hashed-ngram
 buckets → join the store's bucket postings (inverted index) → cosine per
 (row, chunk) → window top-k per row → collect formatted context. No
 per-row store calls, no crossJoin; the join key (bucket) keeps the
-candidate set sparse. At extreme scale swap the exact join for
-LSH (operators/similarity_search.lsh_topk) — same contract.
+candidate set sparse. At scale :func:`attach_context` auto-routes to
+:func:`retrieve_topk_lsh` (banded hyperplane candidates, exact rescore)
+above ``LSH_AUTO_THRESHOLD`` chunks — same contract, corpus-independent
+candidate volume.
 """
 
 from __future__ import annotations
@@ -23,6 +25,14 @@ from ondine_spark.knowledge.store import KnowledgeStore
 from ondine_spark.sources.readers import ROW_ID
 
 KB_CONTEXT = "_kb_context"
+
+# attach_context(method="auto") switches to the LSH candidate path above
+# this many chunks — the exact inverted-index join's (query-bucket ×
+# posting) volume grows with corpus × query length, which the round-7
+# 500K×1M scale run measured as the failure mode; below it the exact
+# join is both faster and recall-1.0. One memoized footer-metadata read
+# decides (same pattern as the DSIR auto mode).
+LSH_AUTO_THRESHOLD = 100_000
 
 
 def retrieve_topk(
@@ -185,7 +195,7 @@ def retrieve_topk_lsh(
     if n_planes is None:
         import math
 
-        n_chunks = store.chunks().count()
+        n_chunks = store.chunk_count()  # memoized footer-metadata read
         bits = min(20, max(8, math.ceil(math.log2(max(n_chunks, 1) / 16 or 1))))
         n_planes = n_bands * bits
 
@@ -291,8 +301,14 @@ def retrieve_topk_lsh(
                 _dot=dots
             )[[ROW_ID, "chunk_id", "_dot", "qnorm", "cnorm"]]
 
+    # _dot > 0 before scoring: an LSH candidate sharing NO ngram bucket
+    # with the query has dot 0, which the default min_score=0.0 >= filter
+    # would otherwise let fill top-k slots — the exact path (inner join on
+    # bucket) can never surface such a pair, and "same contract" means we
+    # must not either (round-7 ADVICE).
     scored = (
         paired.mapInPandas(_merge_dot, schema=out_schema)
+        .filter(F.col("_dot") > 0)
         .select(
             ROW_ID,
             "chunk_id",
@@ -318,12 +334,36 @@ def attach_context(
     context_col: str = KB_CONTEXT,
     with_attribution: bool = False,
     count_col: str = "_evidence_count",
+    method: str = "auto",
+    lsh_kwargs: dict | None = None,
 ) -> DataFrame:
     """Append ``_kb_context``: top-k chunk texts joined by newlines, rank
     order (reference format: knowledge_retrieval_stage.py:83; the evidence
     variant adds score+source attribution,
-    evidence_retrieval_stage.py:81-99)."""
-    topk = retrieve_topk(df, store, query_cols, top_k, min_score)
+    evidence_retrieval_stage.py:81-99).
+
+    ``method``: ``"exact"`` forces the inverted-index join
+    (:func:`retrieve_topk`), ``"lsh"`` the banded-hyperplane scale path
+    (:func:`retrieve_topk_lsh`), ``"auto"`` (default) picks LSH when the
+    store holds ≥ ``LSH_AUTO_THRESHOLD`` chunks — one memoized metadata
+    read, so pipelines built through ``with_knowledge_base`` get the
+    plan that survives a 1M-chunk corpus without opting in.
+    ``lsh_kwargs`` forwards tuning knobs (n_planes, n_bands, max_bucket,
+    min_band_matches, broadcast_queries) to the LSH path."""
+    if method == "auto":
+        method = (
+            "lsh" if store.chunk_count() >= LSH_AUTO_THRESHOLD else "exact"
+        )
+    if method == "lsh":
+        topk = retrieve_topk_lsh(
+            df, store, query_cols, top_k, min_score, **(lsh_kwargs or {})
+        )
+    elif method == "exact":
+        topk = retrieve_topk(df, store, query_cols, top_k, min_score)
+    else:
+        raise ValueError(
+            f"attach_context method must be auto|exact|lsh, got {method!r}"
+        )
     line = (
         F.format_string(
             "[%.2f] (%s) %s", F.col("score"), F.col("source"), F.col("text")

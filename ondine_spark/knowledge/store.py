@@ -179,6 +179,7 @@ class KnowledgeStore:
         self._chunks = None
         self._terms = None
         self._buckets = None
+        self._chunk_count: int | None = None
 
     # ------------------------------------------------------------- ingest
 
@@ -223,6 +224,7 @@ class KnowledgeStore:
         chunks.write.mode(mode).parquet(os.path.join(self.path, "chunks"))
         # drop memoized readers — a re-ingest overwrote their file listings
         self._chunks = self._terms = self._buckets = None
+        self._chunk_count = None
         chunks = self.chunks()  # re-read: single source of truth
 
         terms = (
@@ -254,6 +256,32 @@ class KnowledgeStore:
                 os.path.join(self.path, "chunks")
             )
         return self._chunks
+
+    def chunk_count(self) -> int:
+        """Corpus size, memoized (the store is immutable between ingests).
+
+        Read from parquet FOOTER metadata when the path is a local
+        directory (pyarrow ``count_rows`` — no Spark job, no data scan);
+        fall back to one Spark count otherwise. Callers that size plans
+        by corpus scale (LSH auto band width, ``attach_context``
+        method="auto") hit this on every plan build, so it must be a
+        metadata read, not a repeated job (round-7 ADVICE)."""
+        if self._chunk_count is None:
+            chunk_dir = os.path.join(self.path, "chunks")
+            try:
+                import glob
+
+                import pyarrow.dataset as pads
+
+                parts = glob.glob(os.path.join(chunk_dir, "*.parquet"))
+                if not parts:  # non-local FS or empty dir: Spark path
+                    raise FileNotFoundError(chunk_dir)
+                self._chunk_count = pads.dataset(
+                    parts, format="parquet"
+                ).count_rows()
+            except Exception:
+                self._chunk_count = self.chunks().count()
+        return self._chunk_count
 
     def terms(self) -> DataFrame:
         if self._terms is None:

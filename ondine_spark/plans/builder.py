@@ -297,12 +297,22 @@ class PipelineBuilder:
 
     # --------------------------------------------------- knowledge/context
     def with_knowledge_base(self, path: str, query_columns: list[str],
-                            top_k: int = 3, min_score: float = 0.0):
+                            top_k: int = 3, min_score: float = 0.0,
+                            method: str = "auto"):
         """R3: per-row KB retrieval; top-k chunk context prepended to
-        prompts (reference: with_knowledge_base)."""
+        prompts (reference: with_knowledge_base). ``method``:
+        "auto" (default) routes to the banded-LSH candidate plan above
+        ``knowledge.retrieval.LSH_AUTO_THRESHOLD`` chunks so a 1M-chunk
+        corpus never hits the exact join's corpus-proportional posting
+        volume; "exact"/"lsh" force a plan."""
+        if method not in ("auto", "exact", "lsh"):
+            raise ValueError(
+                f"method must be auto|exact|lsh, got {method!r}"
+            )
         c = self._spec.context
         c.kb_path, c.kb_query_columns = path, list(query_columns)
         c.kb_top_k, c.kb_min_score = top_k, min_score
+        c.kb_method = method
         return self
 
     def with_evidence_store(self, path: str, query_columns: list[str] | None = None,

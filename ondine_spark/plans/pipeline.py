@@ -244,6 +244,7 @@ class Pipeline:
                 df, KnowledgeStore(self.spark, ctx.kb_path),
                 ctx.kb_query_columns, ctx.kb_top_k, ctx.kb_min_score,
                 context_col="_kb_context", count_col="_kb_count",
+                method=getattr(ctx, "kb_method", "auto"),
             )
         if ctx.evidence_path and ctx.evidence_query_columns:
             from ondine_spark.context.store import ClaimStore

@@ -7,11 +7,21 @@ tools/kb_lsh_scale.py -> benchmarks/KB_LSH_500K.json; these tests pin
 semantics at a size the suite can afford.
 """
 
+import sys
+
 import pytest
+from pyspark import cloudpickle
 from pyspark.sql import functions as F
 
-from ondine_spark.knowledge.retrieval import retrieve_topk, retrieve_topk_lsh
+from ondine_spark.knowledge.retrieval import (
+    attach_context,
+    retrieve_topk,
+    retrieve_topk_lsh,
+)
 from ondine_spark.knowledge.store import KnowledgeStore
+
+# test modules aren't importable on executors — ship closures by value
+cloudpickle.register_pickle_by_value(sys.modules[__name__])
 
 
 WORDS = [
@@ -128,8 +138,6 @@ def test_lsh_min_band_matches_filters_but_keeps_near_copies(spark, kb):
     assert hits >= 45, f"2-band top-1 kept {hits}/50 of 1-band top-1"
     # candidate subset property: every (row, chunk) surfaced at 2 bands
     # must also surface at 1 band
-    pairs1 = {(r["_row_id"], r["chunk_id"]) for r in retrieve_topk_lsh(
-        rows, kb, ["q"], top_k=5).collect()}
     pairs2 = {(r["_row_id"], r["chunk_id"]) for r in retrieve_topk_lsh(
         rows, kb, ["q"], top_k=5, min_band_matches=2).collect()}
     # top-5 re-ranking can differ when 2-band drops high-rank chunks, so
@@ -137,3 +145,141 @@ def test_lsh_min_band_matches_filters_but_keeps_near_copies(spark, kb):
     pairs1_all = {(r["_row_id"], r["chunk_id"]) for r in retrieve_topk_lsh(
         rows, kb, ["q"], top_k=1000).collect()}
     assert pairs2 <= pairs1_all
+
+
+# ---------------------------------------------------------------- r8: the
+# scale path is now reachable from the product surface (round-7 verdict
+# #3): attach_context(method=...) dispatches, "auto" routes by corpus
+# size, and with_knowledge_base plumbs it through a real pipeline plan.
+
+
+def test_lsh_no_zero_dot_pairs(spark, kb):
+    """LSH candidates that share NO ngram bucket with the query (pure
+    band collisions) must be dropped, not returned as score-0 rows — the
+    exact path's inner join on bucket can never surface them (r7
+    ADVICE)."""
+    rows = spark.createDataFrame(
+        [(f"q{i}", _text(i)) for i in range(30)], ["_row_id", "q"]
+    )
+    out = retrieve_topk_lsh(rows, kb, ["q"], top_k=1000)
+    assert out.filter(F.col("score") <= 0).count() == 0
+
+
+def test_chunk_count_memoized_metadata_read(spark, kb):
+    """chunk_count() == chunks().count(), served from parquet footers and
+    memoized (repeat calls don't launch Spark jobs)."""
+    expected = kb.chunks().count()
+    kb._chunk_count = None
+    assert kb.chunk_count() == expected
+    assert kb._chunk_count == expected  # memoized
+    assert kb.chunk_count() == expected
+
+
+def test_attach_context_method_dispatch_parity(spark, kb):
+    """Exact-copy queries: identical ngram vectors give identical
+    hyperplane signatures, so every band collides and LSH recall is
+    exactly 1.0 — method="lsh" must equal method="exact" row for row."""
+    rows = spark.createDataFrame(
+        [(f"q{i}", _text(i * 3 % 400)) for i in range(40)], ["_row_id", "q"]
+    )
+    exact = {
+        r["_row_id"]: (r["_kb_context"], r["_evidence_count"])
+        for r in attach_context(rows, kb, ["q"], top_k=1, method="exact").collect()
+    }
+    lsh = {
+        r["_row_id"]: (r["_kb_context"], r["_evidence_count"])
+        for r in attach_context(rows, kb, ["q"], top_k=1, method="lsh").collect()
+    }
+    assert len(exact) == 40
+    assert exact == lsh
+
+
+def test_attach_context_auto_routes_by_corpus_size(spark, kb):
+    """auto → exact below LSH_AUTO_THRESHOLD (no Arrow rescore kernel in
+    the plan), auto → lsh above it (kernel present). The threshold read
+    is the memoized metadata count, so faking _chunk_count exercises the
+    routing without a 100K-chunk ingest."""
+    rows = spark.createDataFrame(
+        [(f"q{i}", _text(i)) for i in range(5)], ["_row_id", "q"]
+    )
+
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    small = plan(attach_context(rows, kb, ["q"], top_k=2, method="auto"))
+    assert "MapInPandas" not in small  # 400 chunks → exact join
+    try:
+        kb._chunk_count = 200_000
+        big = plan(attach_context(rows, kb, ["q"], top_k=2, method="auto"))
+        assert "MapInPandas" in big  # forced over threshold → LSH rescore
+    finally:
+        kb._chunk_count = None
+    with pytest.raises(ValueError, match="auto|exact|lsh"):
+        attach_context(rows, kb, ["q"], method="nope")
+
+
+def _identity_client_factory():
+    class IdentityClient:
+        def complete(self, prompt, system=None):
+            from ondine_spark.llm.client import LLMResult
+
+            text = "no-context"
+            if prompt.startswith("Context:\n"):
+                text = prompt.split("\n")[1][:40]
+            return LLMResult(
+                text=text, tokens_in=len(prompt.split()), tokens_out=4,
+                model="id", cost="0.000001", latency_ms=0.1,
+            )
+
+    return IdentityClient()
+
+
+def test_pipeline_kb_method_lsh(spark, kb):
+    """with_knowledge_base(method="lsh") through PipelineBuilder: the
+    response plan carries the LSH Arrow rescore kernel (scale path
+    reachable from the product surface), and execution attaches the
+    right chunk as context for exact-copy questions."""
+    from ondine_spark import PipelineBuilder
+
+    rows = spark.createDataFrame(
+        [(f"q{i}", _text(i * 11 % 400)) for i in range(10)],
+        ["qid", "question"],
+    )
+
+    def build(method):
+        return (
+            PipelineBuilder(spark)
+            .from_dataframe(rows, ["question"], id_column="qid")
+            .with_prompt("Answer: {question}", ["answer"])
+            .with_custom_llm_client(_identity_client_factory)
+            .with_knowledge_base(
+                kb.path, ["question"], top_k=1, method=method
+            )
+            .build()
+        )
+
+    plan_lsh = (
+        build("lsh").response_frame(resume=False)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    plan_exact = (
+        build("exact").response_frame(resume=False)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # differential: the lsh plan carries the one extra Arrow kernel
+    import re
+
+    n_lsh = len(re.findall(r"MapInPandas", plan_lsh))
+    n_exact = len(re.findall(r"MapInPandas", plan_exact))
+    assert n_lsh > n_exact, f"lsh plan {n_lsh} vs exact plan {n_exact}"
+
+    res = build("lsh").execute()
+    got = {r["qid"]: r["answer"] for r in res.data.collect()}
+    assert len(got) == 10
+    # every exact-copy question retrieved its source chunk as context
+    for i in range(10):
+        expected = _text(i * 11 % 400)[:40]
+        assert got[f"q{i}"] == expected, (i, got[f"q{i}"], expected)
+
+    with pytest.raises(ValueError, match="auto|exact|lsh"):
+        PipelineBuilder(spark).with_knowledge_base(kb.path, ["q"], method="x")

@@ -194,7 +194,15 @@ def _lm_perplexity_digest(sf_dir: str, k: int, tmp_root: str, wd: str):
     """Global LM count tables from per-doc-shard PARTIAL integer counts
     (shard order irrelevant -> the log2() inputs are bit-identical to
     the one-shot oracle), then per-doc scoring per shard joining the
-    materialized logp tables. Mirrors the sample_mix fit decomposition."""
+    materialized logp tables. Mirrors the sample_mix fit decomposition.
+
+    SYNC WARNING: unlike asof/range/paragraph shards, this decomposition
+    re-states the gate's SQL and constants (the '\\S+' tokenizer, +1
+    Laplace smoothing, the 1e-4 cross-entropy quantization) instead of
+    rebinding the oracle_sql() text — it duplicates
+    ``__spark_entry__.oracle_sql()["lm_perplexity"]``. If that gate
+    changes, change THIS builder too; a desync shows up as a false RED
+    (digest mismatch), never a false green."""
     uni_dc = """
         SELECT doc_id, tok, count(*) AS c FROM (
           SELECT doc_id,
@@ -672,7 +680,14 @@ def _winnow_fps_ctes(path_kind: str, shard_filter: str) -> str:
     winnow_pairs) with ``documents`` shard-filtered: ``path_kind`` picks
     the md5 expression path ('ex') or the polynomial kernel replay
     ('fa'); both end in e(doc_id, fp). Constants match the gate
-    (k=12, w=8)."""
+    (k=12, w=8).
+
+    SYNC WARNING: this re-states the gate's CTE chain and constants
+    (k=12, w=8, min_shared=10, max_df=20, the two rolling-hash moduli/
+    bases) — it duplicates ``__spark_entry__.oracle_sql()
+    ["winnow_pairs"]`` (and the winnow_fps gate that shares the chain).
+    If those gates change, change THIS builder too; a desync is a false
+    RED (digest mismatch), never a false green."""
     if path_kind == "ex":
         md5l = _MD5L.format(x="substr(s, i::INT, 12)")
         return f"""

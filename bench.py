@@ -227,7 +227,11 @@ def timed_rep(spark, run_once, retries: int = LOAD_RETRIES):
 def _history_band(hist_path: str, keys: set, sf: float, last_n: int = 8):
     """Median + [min,max] band of the last N same-query-set, same-sf
     sessions — the context a reader needs to tell one slow session from a
-    code regression."""
+    code regression. Sessions recorded under external host load
+    (``clean: false``) are EXCLUDED: a dirty run is evidence about the
+    box, not the code, and letting it widen the band would make the band
+    unable to flag the next dirty run (r7 verdict #1 — the 62.185 s
+    loaded session must not stretch the [42, 52] clean band)."""
     try:
         with open(hist_path) as fh:
             rows = [json.loads(ln) for ln in fh if ln.strip()]
@@ -237,6 +241,7 @@ def _history_band(hist_path: str, keys: set, sf: float, last_n: int = 8):
         r
         for r in rows
         if set(r.get("queries", {})) == keys and r.get("sf") == sf
+        and r.get("clean", True)  # pre-gate rows (no flag) count as clean
     ]
     vals = [r["value"] for r in same[-last_n:]]
     if not vals:
@@ -304,6 +309,8 @@ def main() -> None:
     timings: dict[str, float] = {}
     samples: dict[str, list[float]] = {}
     load: dict[str, list[dict]] = {}
+    # every query's timed closure, for the end-of-run load-retry pass
+    once_registry: dict = {}
     total = 0.0
     for name in BENCH_QUERIES:
         fn = qs[name]
@@ -316,9 +323,10 @@ def main() -> None:
             # timed_rep GC-fences each rep (the previous run's heap debt
             # otherwise swings timings 3-4x — JMH-style hygiene) and
             # retries reps recorded under external host load
-            def _once():
+            def _once(fn=fn):
                 return fn(spark, sf_dir).count()
 
+            once_registry[name] = _once
             rep, n = timed_rep(spark, _once)
             reps.append(rep)
             # operators may persist intermediates (self-join reuse); drop
@@ -388,6 +396,7 @@ def main() -> None:
                 _100k_builder(25).result_frame().select("uid", "sentiment").count()
             )
 
+        once_registry["enrich_batched_100k"] = _spine_once
         rep, n100k = timed_rep(spark, _spine_once)
         reps.append(rep)
         spark.catalog.clearCache()
@@ -421,10 +430,9 @@ def main() -> None:
         key = f"enrich_{arm}_100k_exec"
         arm_reps: list[dict] = []
         res = None
+        once_registry[key] = lambda b=batch: _100k_builder(b).execute()
         for _ in range(reps_n):
-            rep, res = timed_rep(
-                spark, lambda b=batch: _100k_builder(b).execute()
-            )
+            rep, res = timed_rep(spark, once_registry[key])
             arm_reps.append(rep)
             spark.catalog.clearCache()
         runs = sorted(r["sec"] for r in arm_reps)
@@ -442,6 +450,42 @@ def main() -> None:
             f"{res.api_calls} api calls)",
             file=sys.stderr,
         )
+
+    # One whole-query retry pass for queries whose final reps stayed
+    # loaded (r8, verdict #1): per-rep retries cover second-scale load
+    # spikes, but a multi-minute external job dirties every rep of a
+    # query — re-measuring those queries once at the END of the run
+    # (minutes later, after one settle pause) rescues the record when
+    # the load was transient. Replaced only if the re-run is fully
+    # clean; otherwise the original loaded evidence stands and the
+    # artifact flags itself as before.
+    dirty = sorted(
+        n for n, rs in load.items() if any(r["loaded"] for r in rs)
+    )
+    if dirty:
+        print(f"# load-gate retry pass over {dirty}", file=sys.stderr)
+        time.sleep(10.0)
+        for name in dirty:
+            retry_reps: list[dict] = []
+            for _ in range(reps_n):
+                rep, _n = timed_rep(spark, once_registry[name])
+                retry_reps.append(rep)
+                spark.catalog.clearCache()
+            if any(r["loaded"] for r in retry_reps):
+                print(f"#   {name}: still loaded, keeping original reps",
+                      file=sys.stderr)
+                continue
+            runs = sorted(r["sec"] for r in retry_reps)
+            med = (
+                runs[len(runs) // 2] if reps_n % 2
+                else sum(runs[len(runs) // 2 - 1 : len(runs) // 2 + 1]) / 2
+            )
+            print(f"#   {name}: clean re-measure {med:.3f}s "
+                  f"(was {timings[name]:.3f}s loaded)", file=sys.stderr)
+            timings[name] = round(med, 3)
+            samples[name] = runs
+            load[name] = retry_reps
+        total = sum(timings.values())
 
     # clean = no query's FINAL (post-retry) reps were recorded under
     # external load; the artifact can no longer mistake a loaded host for

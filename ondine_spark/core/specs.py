@@ -144,6 +144,9 @@ class ProcessingSpec:
     # chunks (no row invoked twice) and share a cost ledger so one
     # worker's spend stops every worker's budget check within one chunk.
     coordinate: bool = False
+    # claim lease: a claimed-but-uncommitted chunk whose owner stopped
+    # heartbeating for this long is STALE and stealable by survivors
+    coordinate_lease_ttl: float = 120.0
     error_policy: ErrorPolicy = ErrorPolicy.RETRY
     default_value: str | None = None
     max_budget: Decimal | None = None

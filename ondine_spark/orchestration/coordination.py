@@ -148,20 +148,57 @@ class CostLedger:
 
 class ChunkClaims:
     """Disjoint chunk ownership among concurrent same-generation workers
-    via atomic claim-file creation."""
+    via atomic claim-file creation, with LEASES so a claimant that dies
+    mid-chunk does not leave a permanent hole.
+
+    Lifecycle per chunk: ``claim()`` (O_EXCL create — the atomic
+    arbiter) → work → ``commit()`` (a ``.done`` marker next to the
+    claim). While a worker holds uncommitted claims, a daemon heartbeat
+    thread touches each claim file every ``lease_ttl/4`` seconds; a
+    claim whose mtime is older than ``lease_ttl`` and has no ``.done``
+    marker is STALE — its owner stopped heartbeating (crashed, or was
+    SIGKILLed) — and any surviving worker may ``steal()`` it. Stealing
+    is atomic: rename the stale claim aside (exactly one renamer wins),
+    then re-claim via the same O_EXCL create.
+
+    CRASH-RECOVERY CONTRACT (r7 verdict #4): the streaming runner's
+    post-loop recovery pass steals stale claims and processes them, so
+    a same-generation session converges without manual intervention as
+    long as one worker survives. A claim that is uncommitted but still
+    FRESH at loop end (its owner may be alive and slow, or died within
+    the last ``lease_ttl`` seconds) is NOT stolen — it is reported in
+    ``StreamSummary.unresolved_chunks``, and a follow-up run heals it:
+    the new run observes a different committed cache state, computes a
+    new generation, and re-derives the hole's rows from the source ⋈
+    cache anti-join (plain resume semantics). Worst case for a steal
+    that races a not-actually-dead owner, or an owner that died after
+    its durable response write but before ``commit()``: the chunk's
+    rows are invoked twice and appended twice — the response-cache read
+    path de-dups by ``_row_id``, so this costs money, never
+    correctness."""
 
     def __init__(self, checkpoint_dir: str, session_token: str,
-                 generation: str):
+                 generation: str, lease_ttl: float = 120.0):
         self.dir = os.path.join(
             checkpoint_dir, "claims",
             f"session={session_token}", f"gen={generation}",
         )
         os.makedirs(self.dir, exist_ok=True)
+        self.lease_ttl = lease_ttl
+        self._held: set[str] = set()
+        self._held_lock = None  # lazily a threading.Lock
+        self._heartbeat = None
+
+    def _claim_path(self, chunk_id: int) -> str:
+        return os.path.join(self.dir, f"{chunk_id}.claim")
+
+    def _done_path(self, chunk_id: int) -> str:
+        return os.path.join(self.dir, f"{chunk_id}.done")
 
     def claim(self, chunk_id: int) -> bool:
         """True iff THIS caller now owns the chunk. O_EXCL create is the
         atomic arbiter; the file records pid+time for debugging only."""
-        path = os.path.join(self.dir, f"{chunk_id}.claim")
+        path = self._claim_path(chunk_id)
         try:
             fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644)
         except FileExistsError:
@@ -170,4 +207,84 @@ class ChunkClaims:
             os.write(fd, f"{os.getpid()} {time.time()}\n".encode())
         finally:
             os.close(fd)
+        self._track(path)
         return True
+
+    def commit(self, chunk_id: int) -> None:
+        """Mark the chunk durably done (idempotent) and stop
+        heartbeating its claim. Call AFTER the chunk's responses are
+        durably written."""
+        with open(self._done_path(chunk_id), "w") as f:
+            f.write(f"{os.getpid()} {time.time()}\n")
+        self._untrack(self._claim_path(chunk_id))
+
+    def committed(self, chunk_id: int) -> bool:
+        return os.path.exists(self._done_path(chunk_id))
+
+    def stale(self, chunk_id: int) -> bool:
+        """Claimed, uncommitted, and the owner's heartbeat stopped ≥
+        lease_ttl ago."""
+        if self.committed(chunk_id):
+            return False
+        try:
+            age = time.time() - os.stat(self._claim_path(chunk_id)).st_mtime
+        except OSError:
+            return False  # no claim at all (or just stolen)
+        return age >= self.lease_ttl
+
+    def steal(self, chunk_id: int) -> bool:
+        """Atomically take over a stale claim: exactly one concurrent
+        stealer wins the rename; the winner re-claims via O_EXCL (a
+        fresh latecomer racing the gap loses to the same arbiter)."""
+        if not self.stale(chunk_id):
+            return False
+        path = self._claim_path(chunk_id)
+        try:
+            os.rename(path, f"{path}.dead.{uuid.uuid4().hex[:8]}")
+        except OSError:
+            return False  # another stealer renamed it first
+        return self.claim(chunk_id)
+
+    def unresolved(self) -> list[int]:
+        """Chunk ids claimed but not committed — the holes a follow-up
+        run (or a stale-steal) must fill."""
+        out = []
+        for n in os.listdir(self.dir):
+            if n.endswith(".claim"):
+                cid = int(n[:-6])
+                if not self.committed(cid):
+                    out.append(cid)
+        return sorted(out)
+
+    # ------------------------------------------------------- heartbeat
+    def _track(self, path: str) -> None:
+        import threading
+
+        if self._held_lock is None:
+            self._held_lock = threading.Lock()
+        with self._held_lock:
+            self._held.add(path)
+        if self._heartbeat is None:
+            self._heartbeat = threading.Thread(
+                target=self._beat, daemon=True, name="chunk-claim-lease"
+            )
+            self._heartbeat.start()
+
+    def _untrack(self, path: str) -> None:
+        if self._held_lock is None:
+            return
+        with self._held_lock:
+            self._held.discard(path)
+
+    def _beat(self) -> None:
+        # daemon: dies with the process, which is exactly the signal —
+        # a dead process stops touching its claims and they go stale
+        while True:
+            time.sleep(self.lease_ttl / 4.0)
+            with self._held_lock:
+                held = list(self._held)
+            for p in held:
+                try:
+                    os.utime(p)
+                except OSError:  # claim stolen or dir removed
+                    self._untrack(p)

@@ -231,7 +231,8 @@ class PipelineBuilder:
         self._spec.processing.rate_limit_rpm = rpm
         return self
 
-    def with_multiprocess_coordination(self, enabled: bool = True):
+    def with_multiprocess_coordination(self, enabled: bool = True,
+                                       lease_ttl: float = 120.0):
         """Concurrent ``execute_chunked``/``iter_chunks`` workers on the
         SAME session (same checkpoint_dir + session_id, shared FS) claim
         disjoint chunks — no row is invoked twice — and share a cost
@@ -240,8 +241,16 @@ class PipelineBuilder:
         cache state (e.g. launched together); a worker that starts after
         commits have landed computes a different chunk generation and
         falls back to plain resume semantics (correct, possibly
-        overlapping work, never lost rows)."""
+        overlapping work, never lost rows).
+
+        ``lease_ttl``: a worker that dies mid-chunk stops heartbeating
+        its claim; after this many seconds survivors STEAL the stale
+        claim in their post-loop recovery pass and process the chunk
+        themselves, so one surviving worker converges the session
+        (claims still fresh at completion are reported in
+        ``StreamSummary.unresolved_chunks``)."""
         self._spec.processing.coordinate = bool(enabled)
+        self._spec.processing.coordinate_lease_ttl = float(lease_ttl)
         return self
 
     def with_error_policy(self, policy: str | ErrorPolicy, default_value=None):

@@ -51,6 +51,12 @@ class StreamSummary:
     total_rows: int = 0
     total_cost: Decimal = Decimal(0)
     resumed_rows: int = 0
+    # coordinated runs only: chunks another same-generation worker
+    # claimed but had not committed when THIS worker finished — either
+    # its owner is alive and slow, or it died < lease_ttl ago. Empty on
+    # a healthy run; a follow-up run with the same session id heals any
+    # survivors (new generation → resume anti-join re-derives the rows).
+    unresolved_chunks: list[int] = field(default_factory=list)
 
 
 def _drain_cost(acc) -> Decimal:
@@ -270,28 +276,60 @@ def iter_chunks(
         gen = hashlib.md5(
             f"{summary.resumed_rows}|{spent}|{n_rows}|{chunk_size}".encode()
         ).hexdigest()[:16]
-        claims = ChunkClaims(ckpt, token, gen)
+        claims = ChunkClaims(
+            ckpt, token, gen,
+            lease_ttl=spec.processing.coordinate_lease_ttl,
+        )
         ledger = CostLedger(ckpt, token)
     try:
         budget = spec.processing.max_budget
-        for cid in range(int(n_chunks)):
+
+        def _budget_check():
             # global spend first: the ledger carries every coordinated
             # process's committed chunks, so one worker crossing the
             # budget stops ALL workers at their next chunk boundary.
             # max() with the local view keeps pre-coordination history
             # (cache-derived `spent`) counted without double counting.
-            if budget is not None:
-                spent_global = (
-                    max(spent, ledger.total()) if ledger is not None
-                    else spent
+            if budget is None:
+                return
+            spent_global = (
+                max(spent, ledger.total()) if ledger is not None
+                else spent
+            )
+            if spent_global >= budget:
+                raise BudgetExceededError(
+                    f"budget {budget} exhausted after {spent_global} "
+                    f"({len(summary.chunks)} chunks committed)"
                 )
-                if spent_global >= budget:
-                    raise BudgetExceededError(
-                        f"budget {budget} exhausted after {spent_global} "
-                        f"({len(summary.chunks)} chunks committed)"
-                    )
-            if claims is not None and not claims.claim(cid):
-                continue  # another worker owns this chunk
+
+        skipped: list[int] = []
+
+        def _owned_chunks():
+            """Chunk ids this worker owns: its claim wins, then — after
+            the normal sweep — STALE claims stolen from same-generation
+            workers that died mid-chunk (ChunkClaims docstring).
+            Uncommitted-but-fresh claims are never stolen; they land in
+            ``summary.unresolved_chunks`` (a snapshot at this worker's
+            completion — their owner may still commit them, or a
+            follow-up run heals them via plain resume semantics)."""
+            for cid in range(int(n_chunks)):
+                _budget_check()
+                if claims is not None and not claims.claim(cid):
+                    skipped.append(cid)
+                    continue  # another worker owns this chunk
+                yield cid
+            if claims is None:
+                return
+            for cid in skipped:
+                if claims.committed(cid):
+                    continue
+                _budget_check()
+                if claims.steal(cid):
+                    yield cid
+                elif not claims.committed(cid):
+                    summary.unresolved_chunks.append(cid)
+
+        for cid in _owned_chunks():
             dispatcher.emit(
                 "chunk_start", run_id=sid, chunk_id=cid,
                 chunks_total=int(n_chunks),
@@ -359,6 +397,13 @@ def iter_chunks(
             spent += cost
             if ledger is not None:
                 ledger.add(cost)
+            if claims is not None:
+                # durable responses + ledger line are on disk: mark the
+                # claim committed so it can never be reported as a hole
+                # or stolen (a death BETWEEN write_responses and here
+                # costs one re-invoked chunk on steal — the cache read
+                # de-dups by _row_id, so never duplicate data)
+                claims.commit(cid)
             result = ChunkResult(cid, n_chunk_rows, cost, spent)
             summary.chunks.append(result)
             summary.total_rows += n_chunk_rows

@@ -1,0 +1,66 @@
+"""Bench artifact hygiene (r7 verdict #1): the history band must be
+formed from CLEAN sessions only — a run recorded under external host
+load is evidence about the box, not the code, and must not stretch the
+band that flags the next dirty run."""
+
+import json
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from bench import _history_band  # noqa: E402
+
+
+def _row(value, clean=None, queries=("q1", "q2"), sf=0.1):
+    r = {
+        "value": value,
+        "queries": {q: 1.0 for q in queries},
+        "sf": sf,
+    }
+    if clean is not None:
+        r["clean"] = clean
+    return r
+
+
+def test_history_band_ignores_dirty_sessions(tmp_path):
+    hist = tmp_path / "history.jsonl"
+    rows = [
+        _row(45.0, clean=True),
+        _row(48.0, clean=True),
+        _row(62.2, clean=False),  # the loaded r7-style outlier
+        _row(50.0, clean=True),
+    ]
+    hist.write_text("".join(json.dumps(r) + "\n" for r in rows))
+    band = _history_band(str(hist), {"q1", "q2"}, 0.1)
+    assert band["n"] == 3
+    assert band["band"] == [45.0, 50.0]  # 62.2 excluded
+    assert band["median"] == 48.0
+
+
+def test_history_band_pre_gate_rows_count_as_clean(tmp_path):
+    """Rows written before the clean flag existed (rounds <= 4) have no
+    'clean' key and must still participate."""
+    hist = tmp_path / "history.jsonl"
+    rows = [_row(40.0), _row(44.0, clean=True), _row(90.0, clean=False)]
+    hist.write_text("".join(json.dumps(r) + "\n" for r in rows))
+    band = _history_band(str(hist), {"q1", "q2"}, 0.1)
+    assert band["n"] == 2
+    assert band["band"] == [40.0, 44.0]
+
+
+def test_history_band_filters_by_query_set_and_sf(tmp_path):
+    hist = tmp_path / "history.jsonl"
+    rows = [
+        _row(45.0, clean=True),
+        _row(10.0, clean=True, queries=("q1",)),  # different query set
+        _row(11.0, clean=True, sf=1.0),  # different sf
+    ]
+    hist.write_text("".join(json.dumps(r) + "\n" for r in rows))
+    band = _history_band(str(hist), {"q1", "q2"}, 0.1)
+    assert band == {"n": 1, "median": 45.0, "band": [45.0, 45.0]}
+
+
+def test_history_band_none_when_no_clean_rows(tmp_path):
+    hist = tmp_path / "history.jsonl"
+    hist.write_text(json.dumps(_row(62.0, clean=False)) + "\n")
+    assert _history_band(str(hist), {"q1", "q2"}, 0.1) is None

@@ -231,3 +231,224 @@ def test_shared_budget_stops_all_processes_within_one_chunk(spark, tmp_path):
     assert spent <= budget + 2 * per_chunk, (spent, budget)
     # and the stop actually bit: the corpus was NOT fully processed
     assert spent < per_row * n_rows, (spent, results)
+
+
+CRASH_WORKER = """
+import json, os, sys, time
+sys.path.insert(0, {repo!r})
+from pyspark.sql import SparkSession
+
+from ondine_spark import PipelineBuilder
+from ondine_spark.streaming.runner import execute_chunked
+
+tag = sys.argv[1]
+spark = (
+    SparkSession.builder.master("local[4]")
+    .appName("coordcrash-" + tag)
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+
+GO = {go!r}
+CALLS = {calls_dir!r} + "/" + tag + ".calls"
+CRASH = tag == "w0"
+
+class GatedClient:
+    def complete(self, prompt, system=None):
+        while not os.path.exists(GO):
+            time.sleep(0.05)
+        if CRASH:
+            os._exit(9)  # kills the UDF worker; local maxFailures=1 fails the job
+        time.sleep(0.08)  # keep the survivor busy past the lease TTL
+        with open(CALLS, "a") as f:
+            f.write("x\\n")
+        return {{"text": "ok", "tokens_in": 4, "tokens_out": 1,
+                "cost": "0.001"}}
+
+rows = [{{"id": f"r{{i:03d}}", "t": f"text {{i}}"}} for i in range({n_rows})]
+p = (
+    PipelineBuilder(spark)
+    .from_dataframe(spark.createDataFrame(rows), ["t"], id_column="id")
+    .with_prompt("Say: {{t}}", ["out"])
+    .with_custom_llm_client(lambda: GatedClient())
+    .with_checkpoint_dir({ckpt!r}, "mpc")
+    .with_multiprocess_coordination(lease_ttl=2.0)
+    .build()
+)
+s = execute_chunked(p, chunk_size={chunk_size})
+with open({out_dir!r} + "/" + tag + ".json", "w") as f:
+    json.dump({{"outcome": "done", "chunks": len(s.chunks),
+               "rows": s.total_rows,
+               "unresolved": s.unresolved_chunks}}, f)
+"""
+
+
+def test_crashed_claimant_chunk_is_stolen_and_completed(spark, tmp_path):
+    """r7 verdict #5: a worker that claims a chunk and DIES mid-chunk
+    (before commit) leaves a stale claim; the surviving same-generation
+    worker's recovery pass steals it after the lease TTL and processes
+    it, so the session converges with the FULL corpus and no manual
+    re-run."""
+    n_rows, chunk_size = 60, 10
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+    calls_dir = str(tmp_path / "calls")
+    go = str(tmp_path / "go")
+    os.makedirs(out_dir)
+    os.makedirs(calls_dir)
+    code = CRASH_WORKER.format(
+        repo=REPO, go=go, calls_dir=calls_dir, ckpt=ckpt,
+        out_dir=out_dir, n_rows=n_rows, chunk_size=chunk_size,
+    )
+    env = {**os.environ, "PYTHONPATH": REPO}
+    procs = {
+        tag: subprocess.Popen(
+            [sys.executable, "-c", code, tag],
+            env=env, stdout=subprocess.DEVNULL, stderr=subprocess.PIPE,
+        )
+        for tag in ("w0", "w1")
+    }
+    claims_root = os.path.join(ckpt, "claims")
+    deadline = time.time() + 300
+    while time.time() < deadline:
+        n_claims = sum(len(fs) for _, _, fs in os.walk(claims_root))
+        if n_claims >= 2:
+            break
+        time.sleep(0.2)
+    with open(go, "w") as f:
+        f.write("go")
+    # w0 crashes (its UDF worker os._exit(9)s the first invocation)
+    _, err0 = procs["w0"].communicate(timeout=600)
+    assert procs["w0"].returncode != 0, "w0 was supposed to crash"
+    # w1 survives, finishes its share, then steals w0's stale chunk
+    _, err1 = procs["w1"].communicate(timeout=600)
+    assert procs["w1"].returncode == 0, err1.decode()[-2000:]
+
+    with open(os.path.join(out_dir, "w1.json")) as f:
+        r1 = json.load(f)
+    assert r1["outcome"] == "done"
+    assert r1["unresolved"] == [], r1
+    # the survivor owned ALL chunks: its share + the stolen one
+    assert r1["chunks"] == n_rows // chunk_size, r1
+    assert r1["rows"] == n_rows, r1
+    # every row invoked exactly once, all by the survivor
+    with open(os.path.join(calls_dir, "w1.calls")) as f:
+        calls = sum(1 for _ in f)
+    assert calls == n_rows, calls
+    # the full corpus is durably committed, the steal is on record
+    from ondine_spark.sources.cache import read_cache
+
+    cached = read_cache(spark, ckpt, "mpc")
+    assert cached.count() == n_rows
+    assert cached.filter("response_text IS NULL").count() == 0
+    gen_dirs = [
+        os.path.join(d, f) for d, _, fs in os.walk(claims_root)
+        for f in fs if ".dead." in f
+    ]
+    assert len(gen_dirs) == 1, gen_dirs  # exactly one stolen claim
+
+
+MEMO_WORKER = """
+import json, os, sys, time
+sys.path.insert(0, {repo!r})
+from pyspark.sql import SparkSession
+
+from ondine_spark import PipelineBuilder
+
+tag = sys.argv[1]
+spark = (
+    SparkSession.builder.master("local[4]")
+    .appName("memo-" + tag)
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+
+GO = {go!r}
+CALLS = {calls_dir!r} + "/" + tag + ".calls"
+
+class CountingClient:
+    def complete(self, prompt, system=None):
+        if GO:
+            while not os.path.exists(GO):
+                time.sleep(0.05)
+        with open(CALLS, "a") as f:
+            f.write("x\\n")
+        return {{"text": "ans:" + prompt[-6:], "tokens_in": 4,
+                "tokens_out": 1, "cost": "0.001"}}
+
+rows = [{{"id": f"r{{i:03d}}", "t": f"text {{i}}"}} for i in range({n_rows})]
+p = (
+    PipelineBuilder(spark)
+    .from_dataframe(spark.createDataFrame(rows), ["t"], id_column="id")
+    .with_prompt("Say: {{t}}", ["out"])
+    .with_custom_llm_client(lambda: CountingClient())
+    .with_response_memo({memo!r})
+    .build()
+)
+res = p.execute()
+n = res.data.filter("out IS NOT NULL").count()
+with open({out_dir!r} + "/" + tag + ".json", "w") as f:
+    json.dump({{"rows": n}}, f)
+"""
+
+
+def test_response_memo_concurrent_writers_stay_consistent(tmp_path):
+    """r7 verdict #8: two UNCOORDINATED processes share one
+    with_response_memo dir and run the same prompts concurrently — both
+    miss, both invoke, both append (the staged-rename append path). The
+    memo must stay readable, total spend is bounded by 2x (each process
+    invokes each prompt at most once), and a third process answers
+    everything from the memo with ZERO invocations."""
+    memo = str(tmp_path / "memo")
+    out_dir = str(tmp_path / "out")
+    calls_dir = str(tmp_path / "calls")
+    go = str(tmp_path / "go")
+    os.makedirs(out_dir)
+    os.makedirs(calls_dir)
+    n_rows = 40
+    env = {**os.environ, "PYTHONPATH": REPO}
+
+    def run(tag, gate):
+        code = MEMO_WORKER.format(
+            repo=REPO, go=gate, calls_dir=calls_dir, memo=memo,
+            out_dir=out_dir, n_rows=n_rows,
+        )
+        return subprocess.Popen(
+            [sys.executable, "-c", code, tag],
+            env=env, stdout=subprocess.DEVNULL, stderr=subprocess.PIPE,
+        )
+
+    # phase 1: two gated processes, released together → maximal overlap
+    procs = [run("m0", go), run("m1", go)]
+    time.sleep(5)  # both sessions up and blocked at the gate
+    with open(go, "w") as f:
+        f.write("go")
+    errs = []
+    for p in procs:
+        _, err = p.communicate(timeout=600)
+        if p.returncode != 0:
+            errs.append(err.decode()[-2000:])
+    assert not errs, errs
+    for tag in ("m0", "m1"):
+        with open(os.path.join(out_dir, f"{tag}.json")) as f:
+            assert json.load(f)["rows"] == n_rows
+    calls = 0
+    for name in os.listdir(calls_dir):
+        with open(os.path.join(calls_dir, name)) as f:
+            calls += sum(1 for _ in f)
+    # bounded: each process invokes each prompt at most once
+    assert n_rows <= calls <= 2 * n_rows, calls
+
+    # phase 2: a third, later process answers 100% from the memo
+    p3 = run("m2", "")
+    _, err3 = p3.communicate(timeout=600)
+    assert p3.returncode == 0, err3.decode()[-2000:]
+    with open(os.path.join(out_dir, "m2.json")) as f:
+        assert json.load(f)["rows"] == n_rows
+    assert not os.path.exists(os.path.join(calls_dir, "m2.calls")), (
+        "third run should invoke nothing"
+    )

@@ -129,6 +129,7 @@ def retrieve_topk_lsh(
     max_bucket: int = 2000,
     broadcast_queries: bool = True,
     min_band_matches: int = 1,
+    _candidates_only: bool = False,
 ) -> DataFrame:
     """Same contract as :func:`retrieve_topk` (row → top-k chunks with
     EXACT cosine scores), candidate generation via banded
@@ -225,6 +226,11 @@ def retrieve_topk_lsh(
         .filter(F.col("_nb") >= min_band_matches)
         .select(ROW_ID, "chunk_id")
     )
+    if _candidates_only:
+        # measurement hook (tools/kb_lsh_sweep.py): the candidate set IS
+        # the cost driver — rescore work, array payload, shuffle volume
+        # are all proportional to it
+        return cand
 
     # Exact rescoring over candidates only — sparse vectors as SORTED
     # PARALLEL ARRAYS, dot via an Arrow merge kernel. Two designs fail

@@ -37,7 +37,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 N_DOCS = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
 N_FILES = 20
-KILL_AFTER_BATCHES = 8
+KILL_AFTER_BATCHES = int(os.environ.get("STREAM_KILL_AFTER", "8"))
 
 
 def session():

@@ -36,6 +36,50 @@ from ondine_spark.knowledge.embedders import ngram_buckets
 
 RRF_K = 60  # reference constant: evidence/store.rs:672-702
 
+STORE_META_FILE = "store_meta.json"
+
+
+def _meta_fs_path(spark: SparkSession, path: str):
+    """(Hadoop FileSystem, Path) for the store's meta sidecar — the
+    Hadoop API so the sidecar lives on whatever scheme the store's
+    parquet does (local, hdfs://, s3a://), not just the driver's disk."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path, STORE_META_FILE)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, p
+
+
+def _read_store_meta(spark: SparkSession, path: str) -> dict | None:
+    import json
+
+    try:
+        fs, p = _meta_fs_path(spark, path)
+        if not fs.exists(p):
+            return None
+        stream = fs.open(p)
+        try:
+            raw = spark._jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8"
+            )
+        finally:
+            stream.close()
+        return json.loads(raw)
+    except Exception:
+        # unreadable/corrupt sidecar: behave like a pre-sidecar store
+        # (caller falls back to the explicit arg or the default)
+        return None
+
+
+def _write_store_meta(spark: SparkSession, path: str, meta: dict) -> None:
+    import json
+
+    fs, p = _meta_fs_path(spark, path)
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(json.dumps(meta).encode("utf-8")))
+    finally:
+        out.close()
+
 
 def rrf_fuse(
     ranked_lists: list[DataFrame], id_col: str = "chunk_id", k: int = RRF_K
@@ -172,10 +216,33 @@ class KnowledgeStore:
     matching postings (partition pruning by term at scale).
     """
 
-    def __init__(self, spark: SparkSession, path: str, ngram_dim: int = 2048):
+    def __init__(
+        self, spark: SparkSession, path: str, ngram_dim: int | None = None
+    ):
         self.spark = spark
         self.path = path
-        self.ngram_dim = ngram_dim
+        # The dense index's bucket ids are ``hash(ngram) % ngram_dim`` —
+        # a store ingested at one dim and REOPENED at another silently
+        # mis-hashes every query (near-zero posting overlap, no error).
+        # Ingest therefore persists the dim in a meta sidecar, and the
+        # constructor resolves it from there so pipeline-surface reopens
+        # (with_knowledge_base → KnowledgeStore(spark, path)) inherit the
+        # ingest-time dim instead of the default. An explicit arg that
+        # CONFLICTS with the sidecar is a loud error, not a quiet wrong
+        # answer.
+        meta = _read_store_meta(spark, path)
+        meta_dim = meta.get("ngram_dim") if meta else None
+        if ngram_dim is None:
+            self.ngram_dim = meta_dim if meta_dim is not None else 2048
+        else:
+            if meta_dim is not None and meta_dim != ngram_dim:
+                raise ValueError(
+                    f"KnowledgeStore at {path} was ingested with "
+                    f"ngram_dim={meta_dim} but opened with "
+                    f"ngram_dim={ngram_dim}; omit the argument to use the "
+                    "stored value, or re-ingest"
+                )
+            self.ngram_dim = ngram_dim
         self._chunks = None
         self._terms = None
         self._buckets = None
@@ -247,6 +314,9 @@ class KnowledgeStore:
             .agg(F.count(F.lit(1)).alias("tf"))
         )
         buckets.write.mode(mode).parquet(os.path.join(self.path, "buckets"))
+        _write_store_meta(
+            self.spark, self.path, {"ngram_dim": self.ngram_dim, "version": 1}
+        )
         self._terms = self._buckets = None
         return chunks
 
@@ -397,10 +467,21 @@ class KnowledgeStore:
         fetch = top_k * 3
         per_variant = []
         for v in variants:
+            # top-fetch via FILTER on the window rank, not .limit(): when a
+            # mode doesn't consume `rank` downstream (dense/keyword-only),
+            # Catalyst's column pruning deletes the unused window AND its
+            # sort, and limit() then keeps `fetch` arbitrary rows — the
+            # true top-1 was dropped ~30% of the time at top_k=1 (caught
+            # by an end-to-end drive, round 8). Filtering on rank makes
+            # the window load-bearing in every mode.
             if mode in ("hybrid", "dense"):
-                dense = _with_rank(self.dense_scores(v), "score").limit(fetch)
+                dense = _with_rank(self.dense_scores(v), "score").filter(
+                    F.col("rank") <= fetch
+                )
             if mode in ("hybrid", "keyword"):
-                kw = _with_rank(self.keyword_scores(v), "score").limit(fetch)
+                kw = _with_rank(self.keyword_scores(v), "score").filter(
+                    F.col("rank") <= fetch
+                )
             if mode == "hybrid":
                 # RRF ranks are coarse (ties are common on small candidate
                 # sets) — carry the dense cosine as a deterministic tiebreak

@@ -270,3 +270,85 @@ def test_redis_bucket_import_guard():
     if not has_redis:
         with _pytest.raises(ImportError, match="redis"):
             RedisTokenBucket("redis://localhost", "m", 60)
+
+
+def test_store_meta_persists_ngram_dim(spark, docs_df, tmp_path_factory):
+    """The dense index's bucket ids are hash % ngram_dim, so a store
+    ingested at one dim and reopened at another mis-hashes every query
+    with no error. Ingest persists the dim in store_meta.json; a bare
+    reopen (the pipeline surface's KnowledgeStore(spark, path)) must
+    inherit it, and a conflicting explicit arg must raise."""
+    path = str(tmp_path_factory.mktemp("kb_meta"))
+    st = KnowledgeStore(spark, path, ngram_dim=8192)
+    st.ingest(docs_df, "doc_id", "text", max_tokens=12)
+
+    reopened = KnowledgeStore(spark, path)  # no arg — pipeline-surface shape
+    assert reopened.ngram_dim == 8192
+    # retrieval through the reopened store matches the original: same
+    # top-1 chunk + identical dense score for the same query
+    q = "unique purple elephants"
+    a = st.search(q, top_k=1, mode="dense").collect()
+    b = reopened.search(q, top_k=1, mode="dense").collect()
+    assert [(r["chunk_id"], round(r["score"], 9)) for r in a] == [
+        (r["chunk_id"], round(r["score"], 9)) for r in b
+    ]
+
+    # matching explicit arg is fine; conflicting one is loud
+    assert KnowledgeStore(spark, path, ngram_dim=8192).ngram_dim == 8192
+    with pytest.raises(ValueError, match="ingested with ngram_dim=8192"):
+        KnowledgeStore(spark, path, ngram_dim=2048)
+
+
+def test_store_without_meta_defaults(spark, docs_df, tmp_path_factory):
+    """Pre-sidecar stores (no store_meta.json) keep the old contract:
+    constructor arg wins, default is 2048."""
+    import os as _os
+
+    path = str(tmp_path_factory.mktemp("kb_nometa"))
+    KnowledgeStore(spark, path, ngram_dim=4096).ingest(
+        docs_df, "doc_id", "text", max_tokens=12
+    )
+    _os.remove(_os.path.join(path, "store_meta.json"))
+    assert KnowledgeStore(spark, path).ngram_dim == 2048
+    assert KnowledgeStore(spark, path, ngram_dim=4096).ngram_dim == 4096
+
+
+def test_search_single_mode_topk_is_true_topk(spark, tmp_path_factory):
+    """Regression (round 8): in dense-/keyword-only modes nothing consumed
+    the `rank` column, so Catalyst pruned the ranking window (and its
+    sort) and `.limit(fetch)` kept arbitrary rows — search(top_k=1)
+    dropped the true best chunk ~30% of the time once candidates exceeded
+    fetch. Pin: top-1 score equals the max over the full score frame."""
+    import random as _random
+    import string as _string
+
+    rng = _random.Random(13)
+    shared = "commontoken"
+    docs = [
+        (
+            i,
+            shared
+            + " "
+            + " ".join(
+                "".join(rng.choice(_string.ascii_lowercase) for _ in range(6))
+                for _ in range(6)
+            ),
+        )
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    st = KnowledgeStore(spark, str(tmp_path_factory.mktemp("kb_topk")))
+    st.ingest(df, "doc_id", "text", max_tokens=32)
+
+    for i in (3, 17, 29):
+        q = " ".join(docs[i][1].split()[:4])  # shared token → 40 candidates
+        for mode, scores in (
+            ("dense", st.dense_scores(q)),
+            ("keyword", st.keyword_scores(q)),
+        ):
+            best = scores.agg(F.max("score")).collect()[0][0]
+            top1 = st.search(q, top_k=1, mode=mode).collect()
+            assert top1 and abs(top1[0]["score"] - best) < 1e-12, (
+                f"{mode} top-1 {top1[0]['score'] if top1 else None} != "
+                f"max {best} for doc {i}"
+            )

@@ -125,10 +125,10 @@ def retrieve_topk_lsh(
     top_k: int = 3,
     min_score: float = 0.0,
     n_planes: int | None = None,
-    n_bands: int = 8,
+    n_bands: int = 32,
     max_bucket: int = 2000,
     broadcast_queries: bool = True,
-    min_band_matches: int = 1,
+    min_band_matches: int = 2,
     _candidates_only: bool = False,
 ) -> DataFrame:
     """Same contract as :func:`retrieve_topk` (row → top-k chunks with
@@ -162,10 +162,23 @@ def retrieve_topk_lsh(
     explicit smaller ``n_planes`` only to chase lower-similarity
     neighbors on corpora small enough to afford the fatter buckets.
 
-    ``min_band_matches`` (default 1) requires a candidate to collide in
+    ``min_band_matches`` (default 2) requires a candidate to collide in
     that many bands before it is rescored — near-dup pairs collide on
-    ~all bands, random collisions on ~one, so 2 cuts the rescore volume
-    ~an order of magnitude at web scale while keeping near-copy recall.
+    many bands, random collisions on ~one, so 2 kills random collisions
+    (~300x candidate-volume cut in the sweep) while keeping near-copy
+    recall.
+
+    **Defaults are the measured operating point** (SCALE.md round-8
+    table, benchmarks/KB_LSH_SWEEP.json: 32 bands x auto-width keys x
+    min_band_matches=2 → 2.4 candidates/row, 99.4% sampled top-1).
+    Band COUNT is what buys recall at moderate similarity: a cos≈0.93
+    pair agrees per plane w.p. ~0.885, so a 14-bit band collides w.p.
+    ~0.18 — with only 8 bands P(≥1 collision) ≈ 0.80 (measured 83.5%
+    top-1 agreement through the pipeline surface before this default
+    was fixed, round 8), while 32 bands at min_band_matches=2 gives
+    ~0.95+ and the sweep's 99.4%. The extra bands cost one wider
+    signature groupBy, not more shuffle volume — mbm=2 keeps the
+    candidate join smaller than 8 bands at mbm=1 ever was.
 
     ``broadcast_queries=True`` (default) broadcasts the per-row
     query-map table into the rescore join — one ~300 B row per input

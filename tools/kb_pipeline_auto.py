@@ -127,33 +127,63 @@ def main() -> None:
     print(f"# ingest {out['ingest_sec']}s, {out['n_chunks']} chunks",
           file=sys.stderr, flush=True)
 
-    # ---- phases 2+3: the same pipeline under both methods
-    for method in ("exact", "auto"):
-        spark = session()
-        p = _pipeline(spark, store_path, method)
-        frame = p.result_frame().select("uid", "answer", "_kb_count")
-        t0 = time.monotonic()
-        n = frame.count()
-        wall = round(time.monotonic() - t0, 1)
-        from pyspark.sql import functions as F
-
-        hits = frame.filter(F.col("_kb_count") > 0).count()
-        plan = frame._jdf.queryExecution().executedPlan().toString()
-        out[method] = {
-            "wall_sec": wall,
-            "rows": n,
-            "rows_with_context": hits,
-            "map_in_pandas_ops": plan.count("MapInPandas"),
-        }
-        spark.stop()
-        print(f"# {method}: {wall}s, {hits}/{n} rows with context",
-              file=sys.stderr, flush=True)
-
-    # routing evidence: auto == exact + 1 MapInPandas (the Arrow rescore)
-    out["auto_routed_to_lsh"] = (
-        out["auto"]["map_in_pandas_ops"]
-        == out["exact"]["map_in_pandas_ops"] + 1
+    # ---- phases 2+3: the same pipeline under both methods. The exact
+    # arm is EXPECTED to die above the auto threshold (first run at
+    # 20K rows x 200K chunks: the posting join + per-pair aggregation
+    # spilled >70 GB and hit ENOSPC on a 76-GB-free disk) — record the
+    # failure as the measurement instead of crashing the tool.
+    arms = tuple(
+        a for a in os.environ.get("KB_PIPE_ARMS", "exact,auto").split(",")
+        if a
     )
+    for method in arms:
+        spark = session()
+        try:
+            # wall covers BUILD + count: result_frame construction runs
+            # eager jobs (input persist, global index, chunk_count), so
+            # timing only the count undercounts the user's experience
+            t0 = time.monotonic()
+            p = _pipeline(spark, store_path, method)
+            frame = p.result_frame().select("uid", "answer", "_kb_count")
+            n = frame.count()
+            wall = round(time.monotonic() - t0, 1)
+            from pyspark.sql import functions as F
+
+            hits = frame.filter(F.col("_kb_count") > 0).count()
+            plan = frame._jdf.queryExecution().executedPlan().toString()
+            out[method] = {
+                "wall_sec": wall,
+                "rows": n,
+                "rows_with_context": hits,
+                "map_in_pandas_ops": plan.count("MapInPandas"),
+            }
+            print(f"# {method}: {wall}s, {hits}/{n} rows with context",
+                  file=sys.stderr, flush=True)
+        except Exception as e:  # noqa: BLE001 — arm result, not tool bug
+            out[method] = {"error": f"{type(e).__name__}: {e}"[:300]}
+            print(f"# {method}: FAILED {out[method]['error'][:120]}",
+                  file=sys.stderr, flush=True)
+        finally:
+            spark.stop()
+
+    # routing evidence: auto == exact + 1 MapInPandas (the Arrow rescore).
+    # When the exact arm died mid-join its plan still had the same shape
+    # (0 extra kernels), so fall back to the smoke-scale invariant: the
+    # auto plan must carry >=1 MapInPandas beyond the LLM client's.
+    if (
+        "exact" in out
+        and "auto" in out
+        and "error" not in out["exact"]
+        and "error" not in out["auto"]
+    ):
+        out["auto_routed_to_lsh"] = (
+            out["auto"]["map_in_pandas_ops"]
+            == out["exact"]["map_in_pandas_ops"] + 1
+        )
+    else:
+        out["auto_routed_to_lsh"] = (
+            out.get("auto", {}).get("map_in_pandas_ops", 0) >= 2
+        )
 
     # ---- phase 4: contract agreement on a sample
     spark = session()

@@ -495,22 +495,35 @@ class Pipeline:
         # run's api_calls — reset at run start, on the driver
         if self._call_counter is not None:
             self._call_counter.value = 0
+        # The result feeds several actions (durable cache write, quality/cost
+        # aggregates, the user's own consumption) — without pinning it each
+        # action would re-invoke the LLM. Built BEFORE the batch-size
+        # validation so the validation sample can read the spine's
+        # persisted base (fully cached by the global-index count pass that
+        # runs during construction) instead of rebuilding the source
+        # lineage — a measured ~0.3-0.5 s separate job at 100K rows.
+        # LLM invocation stays lazy through construction (the invoke is a
+        # mapInPandas transformation), so the pre-spend ordering holds:
+        # validation still runs before any action that could call the LLM.
+        result = self.result_frame()
         if spec.prompt.batch_size > 1:
             # §4: context-window validation of the mega-batch size — a
             # driver-side sample check before any LLM spend
             from ondine_spark.functions.templates import prompt_column
             from ondine_spark.llm.context_limits import validate_batch_size
 
-            sample = self.input_frame().limit(200).withColumn(
-                "prompt",
-                prompt_column(spec.prompt.template, spec.prompt.use_jinja2,
-                              spec.prompt.few_shot_examples),
-            )
+            base = self._persisted[-1] if self._persisted else self.input_frame()
+            sample = base.limit(200)
+            if "prompt" not in sample.columns:
+                sample = sample.withColumn(
+                    "prompt",
+                    prompt_column(
+                        spec.prompt.template, spec.prompt.use_jinja2,
+                        spec.prompt.few_shot_examples,
+                        available_columns=base.columns,
+                    ),
+                )
             validate_batch_size(sample, spec.prompt.batch_size, spec.llm.model)
-        # The result feeds several actions (durable cache write, quality/cost
-        # aggregates, the user's own consumption) — without pinning it each
-        # action would re-invoke the LLM.
-        result = self.result_frame()
         if spec.processing.session_id and spec.processing.checkpoint_dir:
             # localCheckpoint, not persist: with resume active the lineage
             # reads the cache parquet dir, and write_responses appends to that

@@ -352,11 +352,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.lit(" call 0123-456-7890 now"),
         )
         counts = ta.pii_counts(piitext)
-        return _docs(spark, sf_dir).select(
+        red = _docs(spark, sf_dir).select(
             "doc_id",
             ta.redact_pii(piitext).alias("redacted"),
             *[c.alias(f"n_{k}") for k, c in counts.items()],
         )
+        # consolidated with the boilerplate-strip gate (same per-doc
+        # grain) to stay under the driver's 50-gate cap when the
+        # kb_row_topk gate was added (round 8)
+        from ondine_spark.operators.curation import remove_boilerplate_lines
+
+        page = _docs(spark, sf_dir).select(
+            "doc_id",
+            F.concat(
+                F.lit("Cookie Notice: We Use Cookies\n"),
+                F.col("text"),
+                F.lit("\nCopyright 2026 Example Corp"),
+            ).alias("page"),
+        )
+        stripped = remove_boilerplate_lines(
+            page, "doc_id", "page", max_docs=50
+        ).select("doc_id", F.col("page").alias("cleaned"))
+        return red.join(stripped, on="doc_id")
 
     def q_lang_fingerprints(spark, sf_dir):
         """Language-ID + exact/rolling document fingerprints in one
@@ -904,24 +921,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "export_shard", "export_pos",
         )
 
-    def q_strip_boilerplate(spark, sf_dir):
-        from ondine_spark.operators.curation import remove_boilerplate_lines
-
-        # synthetic docs are single-line, so wrap each in shared template
-        # chrome (same construction in the oracle): the operator must
-        # strip exactly the chrome and return the body untouched
-        page = _docs(spark, sf_dir).select(
-            "doc_id",
-            F.concat(
-                F.lit("Cookie Notice: We Use Cookies\n"),
-                F.col("text"),
-                F.lit("\nCopyright 2026 Example Corp"),
-            ).alias("page"),
-        )
-        return remove_boilerplate_lines(
-            page, "doc_id", "page", max_docs=50
-        ).select("doc_id", F.col("page").alias("cleaned"))
-
     def q_dedup_paragraphs(spark, sf_dir):
         """Two corpus-wide exact-dedup text cleaners in one gate (same
         (doc_id, cleaned-text) grain):
@@ -1066,6 +1065,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             fused.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= 20)
             .select("doc_id", F.round("rrf_score", 9).alias("rrf_r"), "rank")
+        )
+
+    def q_kb_row_topk(spark, sf_dir):
+        """R1 ingest + R3 per-row exact retrieval in one gate: a real
+        KnowledgeStore is ingested from a corpus subset (doc_id % 10 = 0,
+        one chunk per doc), then retrieve_topk — the engine behind
+        attach_context / with_knowledge_base(method="exact") — scores
+        EVERY document as a query row against it. top_k is set above any
+        possible candidate count and min_score to 0, so the compared
+        result is the full scored pair set — no dependence on the rank
+        window's chunk_id tiebreak, which the oracle cannot reproduce
+        (chunk ids are engine-internal). Scores are the md5-portable
+        hashed-3gram TF cosine the oracle recomputes bit-for-bit
+        (reference: knowledge_retrieval_stage.py:65-96 — top-k chunks per
+        row; store.rs:524-702 — dense scoring)."""
+        import tempfile
+
+        from ondine_spark.knowledge.retrieval import retrieve_topk
+        from ondine_spark.knowledge.store import KnowledgeStore
+
+        docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+        corpus = docs.filter(F.col("doc_id") % 10 == 0)
+        store = KnowledgeStore(
+            spark, tempfile.mkdtemp(prefix="kb_gate_"), ngram_dim=2048
+        )
+        store.ingest(corpus, max_tokens=1_000_000)  # one chunk per doc
+        queries = docs.select(
+            F.col("doc_id").cast("string").alias("_row_id"),
+            F.col("text").alias("q"),
+        )
+        pairs = retrieve_topk(queries, store, ["q"], top_k=10**6,
+                              min_score=0.0)
+        return pairs.select(
+            F.col("_row_id").cast("bigint").alias("q_doc"),
+            # source carries the ingested doc id (source_col=None)
+            F.col("source").cast("bigint").alias("c_doc"),
+            F.round("score", 6).alias("score_r"),
         )
 
     def q_chunks(spark, sf_dir):
@@ -1231,8 +1267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ("decontaminate", q_decontaminate),
             ("sample_mix", q_sample_mix),
             ("pack_sequences", q_pack_sequences),
-            ("strip_boilerplate", q_strip_boilerplate),
-            ("dedup_paragraphs", q_dedup_paragraphs),
+                        ("dedup_paragraphs", q_dedup_paragraphs),
             ("asof_purchases", q_asof_purchases),
             ("range_join_sessions", q_range_join_sessions),
             ("revenue_by_nation", q_revenue_by_nation),
@@ -1240,6 +1275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         [  # knowledge / context
             ("kb_scores", q_kb_scores),
             ("kb_hybrid_rrf", q_kb_hybrid_rrf),
+            ("kb_row_topk", q_kb_row_topk),
             ("chunks", q_chunks),
             ("grounding_tfidf", q_grounding_tfidf),
             ("confidence_blend", q_confidence_blend),
@@ -1657,36 +1693,6 @@ def oracle_sql() -> dict[str, str]:
                    (c.start % 2048)::INT AS "offset",
                    ep.export_shard, ep.export_pos
             FROM c JOIN ep ON ep.doc_id = c.doc_id
-        """,
-        "strip_boilerplate": f"""
-            WITH t AS (
-              SELECT doc_id,
-                     'Cookie Notice: We Use Cookies' || chr(10) || text
-                       || chr(10) || 'Copyright 2026 Example Corp' AS page
-              FROM documents
-            ), s AS (
-              SELECT doc_id, string_split(page, chr(10)) AS l FROM t
-            ), ps AS (
-              SELECT doc_id, l,
-                     unnest(generate_series(1, len(l))) AS pos
-              FROM s
-            ), lines AS (
-              SELECT doc_id, pos, l[pos] AS line,
-                     {_MD5L.format(x="trim(lower(l[pos]))")} AS k
-              FROM ps
-            ), freq AS (
-              SELECT k FROM (
-                SELECT k, count(DISTINCT doc_id) AS c FROM lines GROUP BY k
-              ) WHERE c > 50
-            ), kept AS (
-              SELECT doc_id, pos, line FROM lines
-              WHERE k NOT IN (SELECT k FROM freq)
-            ), rebuilt AS (
-              SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS cleaned
-              FROM kept GROUP BY doc_id
-            )
-            SELECT d.doc_id, coalesce(r.cleaned, '') AS cleaned
-            FROM documents d LEFT JOIN rebuilt r ON r.doc_id = d.doc_id
         """,
         "lang_fingerprints": f"""
             SELECT l.doc_id, l.lang_pred, f.fp_exact, f.fp_roll
@@ -2190,6 +2196,46 @@ def oracle_sql() -> dict[str, str]:
             FROM bm25 b FULL JOIN ncos n ON b.doc_id = n.doc_id
         """,
         "kb_hybrid_rrf": _hybrid_rrf_sql("spark window query join", 2048),
+        # per-row exact retrieval: every doc as a query vs the %10 corpus
+        # subset; full scored pair set (no rank — chunk-id tiebreaks are
+        # engine-internal), hashed-3gram TF cosine recomputed from text
+        "kb_row_topk": f"""
+            WITH lowered AS (
+              SELECT doc_id, lower(text) AS s FROM documents
+              WHERE text IS NOT NULL
+            ), gi AS (
+              SELECT doc_id, s,
+                     unnest(generate_series(1, greatest(length(s) - 2, 0)))
+                       AS i
+              FROM lowered
+            ), grams AS (
+              SELECT doc_id,
+                     {_MD5L.format(x="substr(s, i::INT, 3)")} % 2048
+                       AS bucket
+              FROM gi
+            ), tf AS (
+              SELECT doc_id, bucket, count(*) AS tf
+              FROM grams GROUP BY doc_id, bucket
+            ), corp AS (
+              SELECT * FROM tf WHERE doc_id % 10 = 0
+            ), cnorm AS (
+              SELECT doc_id, sqrt(sum(tf * tf)) AS cn
+              FROM corp GROUP BY doc_id
+            ), qnorm AS (
+              SELECT doc_id, sqrt(sum(tf * tf)) AS qn
+              FROM tf GROUP BY doc_id
+            ), dots AS (
+              SELECT q.doc_id AS q_doc, c.doc_id AS c_doc,
+                     sum(q.tf * c.tf) AS dot
+              FROM tf q JOIN corp c USING (bucket)
+              GROUP BY q.doc_id, c.doc_id
+            )
+            SELECT d.q_doc, d.c_doc,
+                   round(d.dot / (qn.qn * cn.cn), 6) AS score_r
+            FROM dots d
+            JOIN qnorm qn ON qn.doc_id = d.q_doc
+            JOIN cnorm cn ON cn.doc_id = d.c_doc
+        """,
         "chunks": f"""
             SELECT coalesce(fx.doc_id, sm.doc_id) AS doc_id,
                    coalesce(fx.chunk_idx, sm.chunk_idx)::BIGINT AS chunk_idx,
@@ -2957,7 +3003,41 @@ def _redact_sql() -> str:
         f"len(regexp_extract_all({x}, '{pat}'))::INT AS n_{name}"
         for name, pat, _ in REDACT_PATTERNS
     )
-    return f"SELECT doc_id, {red} AS redacted, {counts} FROM documents"
+    strip = f"""
+        WITH t AS (
+          SELECT doc_id,
+                 'Cookie Notice: We Use Cookies' || chr(10) || text
+                   || chr(10) || 'Copyright 2026 Example Corp' AS page
+          FROM documents
+        ), s AS (
+          SELECT doc_id, string_split(page, chr(10)) AS l FROM t
+        ), ps AS (
+          SELECT doc_id, l,
+                 unnest(generate_series(1, len(l))) AS pos
+          FROM s
+        ), lines AS (
+          SELECT doc_id, pos, l[pos] AS line,
+                 {_MD5L.format(x="trim(lower(l[pos]))")} AS k
+          FROM ps
+        ), freq AS (
+          SELECT k FROM (
+            SELECT k, count(DISTINCT doc_id) AS c FROM lines GROUP BY k
+          ) WHERE c > 50
+        ), kept AS (
+          SELECT doc_id, pos, line FROM lines
+          WHERE k NOT IN (SELECT k FROM freq)
+        ), rebuilt AS (
+          SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS cleaned
+          FROM kept GROUP BY doc_id
+        )
+        SELECT d.doc_id, coalesce(r.cleaned, '') AS cleaned
+        FROM documents d LEFT JOIN rebuilt r ON r.doc_id = d.doc_id
+    """
+    return (
+        f"SELECT r.doc_id, r.redacted, {', '.join('r.n_' + n for n, _, _ in REDACT_PATTERNS)}, s.cleaned"
+        f" FROM (SELECT doc_id, {red} AS redacted, {counts} FROM documents) r"
+        f" JOIN ({strip}) s ON r.doc_id = s.doc_id"
+    )
 
 
 def _lang_id_sql() -> str:

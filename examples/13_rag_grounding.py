@@ -37,7 +37,11 @@ questions = spark.createDataFrame(
 result = (
     PipelineBuilder(spark)
     .from_dataframe(questions, ["question"], id_column="id")
-    .with_knowledge_base(kb_dir, ["question"], top_k=2)
+    # method="auto" (the default) routes retrieval to the banded-LSH
+    # candidate path above 100K chunks; tiny corpora like this one use
+    # the exact inverted-index join. Force either with method="exact" /
+    # method="lsh".
+    .with_knowledge_base(kb_dir, ["question"], top_k=2, method="auto")
     .with_prompt("Answer from the context only: {question}", ["answer"])
     .with_grounding(threshold=0.05, on_fail="flag")
     .with_custom_llm_client(mock_client_factory())

@@ -43,7 +43,14 @@ class StateManager:
 
     def save(self, memento: RunMemento) -> None:
         memento.updated_at = time.time()
-        tmp = self.path + ".tmp"
+        # per-writer tmp name: multiple PROCESSES save the same session's
+        # memento concurrently (multiprocess chunk workers share one
+        # checkpoint dir), and a shared "<path>.tmp" races — writer A's
+        # os.replace moves the file away while writer B is between write
+        # and replace, so B's replace dies FileNotFoundError (seen live
+        # in the 3-worker shared-budget test, round 8). Unique tmp +
+        # atomic replace = last-writer-wins, no cross-writer interference.
+        tmp = f"{self.path}.{os.getpid()}.{time.monotonic_ns()}.tmp"
         with gzip.open(tmp, "wt") as f:
             json.dump(asdict(memento), f)
         os.replace(tmp, self.path)  # atomic on POSIX

@@ -94,3 +94,44 @@ def test_cost_decimal_exactness(tin, tout, cin, cout):
     assert total == one * 7
     # string roundtrip (the cache stores costs as strings)
     assert Decimal(str(one)) == one
+
+
+def test_memento_concurrent_save_across_processes(tmp_path_factory):
+    """Regression (round 8): concurrent same-session savers raced on a
+    shared '<path>.tmp' — writer A's os.replace moved the file away
+    between writer B's write and replace, killing B with
+    FileNotFoundError (seen live in the 3-worker shared-budget test).
+    Hammer save() from 4 processes; every process must survive and the
+    final memento must be one of the writers' payloads."""
+    import subprocess
+    import sys
+
+    d = str(tmp_path_factory.mktemp("st"))
+    code = (
+        "import sys; sys.path.insert(0, %r)\n"
+        "from ondine_spark.orchestration.state import RunMemento, StateManager\n"
+        "sm = StateManager(%r, 'shared')\n"
+        "w = int(sys.argv[1])\n"
+        "for i in range(200):\n"
+        "    sm.save(RunMemento(session_id='shared', chunks_committed=w * 1000 + i))\n"
+    ) % (
+        __import__("os").path.dirname(
+            __import__("os").path.dirname(__import__("os").path.abspath(__file__))
+        ),
+        d,
+    )
+    procs = [
+        subprocess.Popen([sys.executable, "-c", code, str(w)],
+                         stderr=subprocess.PIPE)
+        for w in range(4)
+    ]
+    errs = []
+    for p in procs:
+        _, err = p.communicate(timeout=120)
+        if p.returncode != 0:
+            errs.append(err.decode()[-500:])
+    assert not errs, errs
+    got = StateManager(d, "shared").load()
+    assert got is not None
+    w, i = divmod(got.chunks_committed, 1000)
+    assert 0 <= w < 4 and i == 199  # last save of SOME worker wins

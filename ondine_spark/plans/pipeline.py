@@ -208,6 +208,19 @@ class Pipeline:
             df = df.withColumn("prompt", p)
             df = self._apply_stages(df, "after_prompt")
             input_cols = set(df.columns)
+            if seq_col is None:
+                # The per-row invoke inherits the INPUT's partitioning —
+                # a single-file source (or a broadcast-join output) feeds
+                # the whole Python invocation stage to ONE worker while
+                # every other core idles (measured 6.3 s vs 1.4 s for
+                # 100K mock calls at local[32]). One cheap shuffle of the
+                # prompt rows buys full parallelism for the stage that
+                # dominates this path. Chunked callers (seq_col set) are
+                # exempt: their input is a pruned per-chunk scan and the
+                # per-chunk fixed cost budget excludes extra exchanges.
+                from ondine_spark.core.partitioning import spread_small
+
+                df = spread_small(df)
             out = self._invoke(df).drop("prompt")
             if rows_only:
                 # Same contract as the batched branches: _row_id + the

@@ -316,6 +316,60 @@ def _cw_hash_expr(hh, hl, i: int):
     return (s + F.lit(b)) % F.lit(MINHASH_PRIME)
 
 
+def _minhash_sig_kernel(num_hashes: int):
+    """Arrow-batch kernel: per row, ``sig[i] = min over base hashes of
+    (a_i·h + b_i) mod (2⁶¹−1)`` — the exact int64 limb arithmetic of
+    :func:`_cw_hash_expr`, vectorized over the batch's flattened hash
+    values with one ``np.minimum.reduceat`` per permutation. Rows with a
+    null/empty hash array are dropped (same contract as the expression
+    form's ``sig[0] IS NOT NULL`` filter)."""
+    coeffs = [minhash_coeffs(i) for i in range(num_hashes)]
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            arrs, keep = [], []
+            for idx, a in enumerate(pdf["_hs"].values):
+                if a is None:
+                    continue
+                arr = np.asarray(a, dtype=np.int64)
+                if arr.size:
+                    arrs.append(arr)
+                    keep.append(idx)
+            if not arrs:
+                yield pd.DataFrame(
+                    {"_id": pdf["_id"].iloc[:0],
+                     "sig": pd.Series([], dtype=object)}
+                )
+                continue
+            lens = np.array([len(a) for a in arrs])
+            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            v = np.concatenate(arrs)
+            hh = v >> 31
+            hl = v & _MASK31
+            sigs = np.empty((num_hashes, len(arrs)), dtype=np.int64)
+            for i, (a, b) in enumerate(coeffs):
+                a_hi, a_lo = a >> 31, a & _MASK31
+                cross = a_hi * hl + a_lo * hh
+                s = (
+                    2 * a_hi * hh
+                    + (cross >> 30)
+                    + ((cross & _MASK30) << 31)
+                    + a_lo * hl
+                ) % MINHASH_PRIME
+                sigs[i] = np.minimum.reduceat((s + b) % MINHASH_PRIME, starts)
+            yield pd.DataFrame(
+                {
+                    "_id": pdf["_id"].iloc[keep].reset_index(drop=True),
+                    "sig": [sigs[:, j].tolist() for j in range(len(arrs))],
+                }
+            )
+
+    return gen
+
+
 def minhash_signature(
     df: DataFrame, id_col: str, text_col: str, num_hashes: int = 32, ngram: int = 3
 ) -> DataFrame:
@@ -325,55 +379,33 @@ def minhash_signature(
     coefficients — independent permutations across i (a correlated
     variant sharing per-shingle randomness across i was measured to
     inflate est_jaccard badly: 86% of emitted pairs below true
-    jaccard 0.05). The previous per-seed form paid num_hashes md5s per
-    shingle; this pays ONE md5 + num_hashes modmuls (~2x the sf0.1
-    signature pass at 8 hashes). The DuckDB oracle replays h(s) from the
-    same md5 substring and the affine map with HUGEINT.
+    jaccard 0.05). The DuckDB oracle replays h(s) from the same md5
+    substring and the affine map with HUGEINT.
 
-    ZERO algorithmic shuffles: sig[i] is an ``array_min`` over the row's
-    own shingle array — pure map work inside whole-stage codegen. The
-    shingle array and the base-hash limbs are let-bound so they evaluate
-    once per row/shingle, not once per hash function (no CSE across
-    higher-order lambdas). Output: id, sig array<bigint>; docs with no
-    shingles are excluded.
+    Split across the JVM/Arrow boundary by what each side is good at
+    (r8): shingling and the per-shingle md5 stay JVM expressions
+    (measured ~0.33 s at sf0.1 — string work inside codegen), while the
+    ``num_hashes`` affine maps + mins run as ONE vectorized Arrow kernel
+    over the flattened base-hash arrays (:func:`_minhash_sig_kernel`,
+    bit-identical int64 limb math). The previous all-expression form
+    paid ~15 interpreted Catalyst nodes × num_hashes per shingle inside
+    nested higher-order lambdas — 2.68 s at sf0.1 vs 0.33 s for
+    everything up to the base hashes; the kernel does the same
+    arithmetic at numpy speed. Only (_id, array<bigint>) crosses the
+    boundary — the text and shingle strings never leave the JVM.
+
+    ZERO algorithmic shuffles either way. Output: id, sig
+    array<bigint>; docs with no shingles are excluded.
     """
-    from ondine_spark.functions.similarity import let_bind
-
     grams = word_ngrams(F.col(text_col), ngram)  # already distinct
-
-    def build(gs):
-        limbs = F.transform(
-            gs,
-            lambda s: F.element_at(
-                F.transform(
-                    F.array(md5_long(s)),
-                    lambda h: F.struct(
-                        F.shiftright(h, 31).alias("hh"),
-                        h.bitwiseAND(F.lit(_MASK31)).alias("hl"),
-                    ),
-                ),
-                1,
-            ),
-        )
-
-        def with_limbs(ps):
-            return F.array(*[
-                F.array_min(
-                    F.transform(
-                        ps, lambda p: _cw_hash_expr(p["hh"], p["hl"], i)
-                    )
-                )
-                for i in range(num_hashes)
-            ])
-
-        return let_bind(limbs, with_limbs)
-
-    return (
-        spread_small(df)
-        .select(
-            F.col(id_col).alias("_id"), let_bind(grams, build).alias("sig")
-        )
-        .filter(F.col("sig")[0].isNotNull())
+    id_type = dict(df.dtypes)[id_col]
+    base = spread_small(df).select(
+        F.col(id_col).alias("_id"),
+        F.transform(grams, lambda s: md5_long(s)).alias("_hs"),
+    )
+    return base.mapInPandas(
+        _minhash_sig_kernel(num_hashes),
+        f"_id {id_type}, sig array<bigint>",
     )
 
 

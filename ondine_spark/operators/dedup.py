@@ -702,6 +702,10 @@ def winnow_fingerprint_rows(
     but only add noise pairs that the ``min_shared`` co-occurrence floor
     filters out.
     """
+    # single-file local inputs arrive as ONE partition, serializing the
+    # CPU-heavy fingerprint stage (kernel or md5 expressions) on one
+    # core; spread_small is a no-op on many-split cluster scans
+    df = spread_small(df)
     if impl == "arrow":
         id_type = dict(df.dtypes)[id_col]
         return df.select(

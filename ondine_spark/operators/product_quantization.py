@@ -150,6 +150,10 @@ def pq_encode(
             pdf[out_col] = list(codes)
             yield pdf
 
+    # NOT spread_small here (r8): the numpy encode kernel is ~µs/row, so
+    # at local fixture scale 32 task dispatches cost more than the whole
+    # single-task encode (measured pq_codes_adc 1.98 s -> 3.11 s when
+    # spread); cluster scans arrive multi-split on their own
     return df.mapInPandas(encode, schema=out_schema)
 
 

@@ -19,6 +19,7 @@ import hashlib
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ondine_spark.core.partitioning import spread_small
 from ondine_spark.functions.similarity import cosine, finite_vector
 
 
@@ -56,8 +57,12 @@ def brute_force_topk(
         queries.filter(finite_vector(F.col(query_vec)))
         .select(F.col(query_id).alias("_qid"), F.col(query_vec).alias("_qv"))
     )
-    scored = corpus.filter(finite_vector(F.col(corpus_vec))).select(
-        F.col(corpus_id).alias("_cid"), F.col(corpus_vec).alias("_cv")
+    # single-file local corpora arrive as one partition, serializing the
+    # per-row cosine scoring on one core (no-op on many-split scans)
+    scored = spread_small(
+        corpus.filter(finite_vector(F.col(corpus_vec))).select(
+            F.col(corpus_id).alias("_cid"), F.col(corpus_vec).alias("_cv")
+        )
     ).crossJoin(q)
     sim = cosine(F.col("_cv"), F.col("_qv"))
     scored = scored.select("_qid", "_cid", sim.alias("cos_sim"))
@@ -275,10 +280,17 @@ def kmeans_numpy(x, k: int, max_iter: int = 10, seed: int = 42,
             assign = (-2.0 * x @ c.T + (c * c).sum(axis=1)).argmin(axis=1)
             # vectorized mean update (a per-cell boolean-mask loop is
             # O(k·n) PER ITERATION — measured ~8 s across the PQ
-            # sub-quantizers at k=256; bincount + add.at is O(n))
+            # sub-quantizers at k=256). Per-dim bincount(weights=·), NOT
+            # np.add.at: add.at is an unbuffered ufunc (~1 µs/element),
+            # ~50 ms/iter at n=2000×8 where d bincounts cost ~2 ms —
+            # both accumulate in input order, so the float sums are
+            # bit-identical (asserted in test_pq_kmeans_update_identity)
             counts = np.bincount(assign, minlength=k)
-            sums = np.zeros_like(c)
-            np.add.at(sums, assign, x)
+            sums = np.empty_like(c)
+            for _dd in range(c.shape[1]):
+                sums[:, _dd] = np.bincount(
+                    assign, weights=x[:, _dd], minlength=k
+                )
             new_c = np.where(
                 counts[:, None] > 0,
                 sums / np.maximum(counts, 1)[:, None],
@@ -378,8 +390,12 @@ def ivf_topk(
         return corpus.sparkSession.createDataFrame(
             [], f"{query_id} {qt}, {corpus_id} {ct}, cos_sim double, rank int"
         )
-    assigned = corpus.filter(finite_vector(F.col(corpus_vec))).select(
-        F.col(corpus_id).alias("_cid"), F.col(corpus_vec).alias("_cv")
+    # spread before assignment + scoring: cell assignment and the cosine
+    # both run per row and serialize on a one-partition local scan
+    assigned = spread_small(
+        corpus.filter(finite_vector(F.col(corpus_vec))).select(
+            F.col(corpus_id).alias("_cid"), F.col(corpus_vec).alias("_cv")
+        )
     ).withColumn(
         "_cell", _nearest_centroids_expr("_cv", centroids, 1)[0]
     )

@@ -156,3 +156,21 @@ def test_empty_corpus_raises_descriptive(spark):
 def test_empty_codebooks_rejected(spark, emb):
     with pytest.raises(ValueError, match="codebooks is empty"):
         pq_encode(emb, "embedding", [])
+
+
+def test_pq_kmeans_update_identity():
+    """The per-dim bincount(weights) mean-update accumulates in input
+    order exactly like the np.add.at it replaced — float sums must be
+    BIT-identical or trained codebooks (and the pq_codes_adc gate) would
+    drift with the numpy scatter-add implementation."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    x = rng.randn(5000, 8)
+    assign = rng.randint(0, 256, size=5000)
+    ref = np.zeros((256, 8))
+    np.add.at(ref, assign, x)
+    alt = np.empty_like(ref)
+    for dd in range(8):
+        alt[:, dd] = np.bincount(assign, weights=x[:, dd], minlength=256)
+    assert np.array_equal(ref, alt)

@@ -45,6 +45,8 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ondine_spark.core.partitioning import spread_small
+
 
 def _tokens(text_col: str) -> Column:
     """lower + ``\\W+`` split, empties dropped — identical token stream
@@ -77,6 +79,30 @@ def _bucket(w: Column, num_features: int) -> Column:
     return F.pmod(F.hash(w), F.lit(num_features))
 
 
+def _bucket_instances(
+    text_col: str, num_features: int, use_bigrams: bool
+) -> Column:
+    """Per-row array of LLR-table indices: unigram buckets, then (with
+    bigrams) bigram buckets offset by ``num_features``. The token array
+    is let-bound so the lower+split regex runs ONCE per row — the naive
+    unigram-select ∪ bigram-select shape tokenizes each row twice (and
+    the bigram zip_with's two slices a third/fourth time). Bucket
+    arithmetic is unchanged, so downstream counts/sums are identical."""
+    from ondine_spark.functions.similarity import let_bind
+
+    def body(t: Column) -> Column:
+        uni = F.transform(t, lambda w: _bucket(w, num_features))
+        if not use_bigrams:
+            return uni
+        big = F.transform(
+            _bigrams(t),
+            lambda w: _bucket(w, num_features) + F.lit(num_features),
+        )
+        return F.concat(uni, big)
+
+    return let_bind(_tokens(text_col), body)
+
+
 def dsir_llr_table(
     raw: DataFrame,
     target: DataFrame,
@@ -102,25 +128,36 @@ def dsir_llr_table(
     """
     b_total = num_features * (2 if use_bigrams else 1)
 
-    def counts(df: DataFrame) -> list[int]:
-        inst = df.select(F.explode(_tokens(text_col)).alias("w")).select(
-            _bucket(F.col("w"), num_features).alias("bkt")
-        )
-        if use_bigrams:
-            big = df.select(
-                F.explode(_bigrams(_tokens(text_col))).alias("w")
-            ).select(
-                (_bucket(F.col("w"), num_features)
-                 + F.lit(num_features)).alias("bkt")
+    # ONE tagged pass for both distributions (r8, guide §2.3/§2.4): the
+    # two-job shape tokenized raw and target separately (and each job
+    # tokenized its rows once for unigrams and again for bigrams — four
+    # regex-split passes total) and paid two shuffles + two collects.
+    # Now each row is tokenized once (_bucket_instances let-binds the
+    # token array), the raw/target streams are unioned with 0/1 tag
+    # columns, and one groupBy(bkt) sums each side conditionally.
+    # Counting is order-independent exact-integer arithmetic, so both
+    # count vectors are identical to the two-job shape. spread_small
+    # parallelizes single-file local scans (no-op on cluster inputs).
+    bkts = _bucket_instances(text_col, num_features, use_bigrams)
+    tagged = spread_small(
+        raw.select(bkts.alias("_b"), F.lit(1).alias("_r"), F.lit(0).alias("_t"))
+    ).unionAll(
+        spread_small(
+            target.select(
+                bkts.alias("_b"), F.lit(0).alias("_r"), F.lit(1).alias("_t")
             )
-            inst = inst.unionAll(big)
-        out = [0] * b_total
-        for r in inst.groupBy("bkt").agg(F.count(F.lit(1)).alias("c")).collect():
-            out[r["bkt"]] = r["c"]
-        return out
-
-    c_raw = counts(raw)
-    c_tgt = counts(target)
+        )
+    )
+    inst = tagged.select(F.explode("_b").alias("bkt"), "_r", "_t")
+    c_raw = [0] * b_total
+    c_tgt = [0] * b_total
+    for r in (
+        inst.groupBy("bkt")
+        .agg(F.sum("_r").alias("cr"), F.sum("_t").alias("ct"))
+        .collect()
+    ):
+        c_raw[r["bkt"]] = r["cr"]
+        c_tgt[r["bkt"]] = r["ct"]
     n_raw = sum(c_raw)
     n_tgt = sum(c_tgt)
     denom_r = math.log(n_raw + alpha * b_total)
@@ -233,18 +270,14 @@ def dsir_weights(
             ).select(
                 F.col("_bkt").cast("int"), F.col("_llr").cast("long")
             )
-        inst = df.select(
-            id_col, F.explode(toks).alias("_w")
-        ).select(id_col, _bucket(F.col("_w"), num_features).alias("_bkt"))
-        if use_bigrams:
-            big = df.select(
-                id_col, F.explode(_bigrams(_tokens(text_col))).alias("_w")
-            ).select(
-                id_col,
-                (_bucket(F.col("_w"), num_features)
-                 + F.lit(num_features)).alias("_bkt"),
-            )
-            inst = inst.unionAll(big)
+        # one let-bound tokenization per row (vs separate unigram and
+        # bigram explodes re-running the split); identical bucket ids
+        inst = spread_small(df).select(
+            id_col,
+            F.explode(
+                _bucket_instances(text_col, num_features, use_bigrams)
+            ).alias("_bkt"),
+        )
         sums = (
             inst.join(F.broadcast(lut_df), on="_bkt")
             .groupBy(id_col)
@@ -259,19 +292,35 @@ def dsir_weights(
         "array(" + ",".join(f"{int(v)}L" for v in llr_q) + ")"
     )
 
-    def fold(arr: Column, offset: int) -> Column:
+    def fold(arr: Column, offset: int, lut_ref: Column) -> Column:
         return F.aggregate(
             arr,
             F.lit(0).cast("long"),
             lambda acc, w: acc + F.element_at(
-                lut, _bucket(w, num_features) + F.lit(offset + 1)
+                lut_ref, _bucket(w, num_features) + F.lit(offset + 1)
             ),
         )
 
-    w = fold(toks, 0)
-    if use_bigrams:
-        w = w + fold(_bigrams(toks), num_features)
-    return df.withColumn(out_col, w)
+    # Both the token array AND the lut literal are let-bound (r8): the
+    # constant array referenced inside the aggregate lambda is
+    # re-materialized per element (measured cost ∝ tokens × B), and the
+    # unbound token expression re-ran the regex split for the unigram
+    # fold and both bigram slices. Binding makes each a per-row single
+    # evaluation; the folded arithmetic is unchanged, so weights are
+    # bit-identical (same adds in the same order). Measured together
+    # with spread_small: 1.37 s → 0.77 s at sf0.1/B=2¹⁴.
+    from ondine_spark.functions.similarity import let_bind
+
+    def body(t: Column) -> Column:
+        def with_lut(L: Column) -> Column:
+            w = fold(t, 0, L)
+            if use_bigrams:
+                w = w + fold(_bigrams(t), num_features, L)
+            return w
+
+        return let_bind(lut, with_lut)
+
+    return spread_small(df).withColumn(out_col, let_bind(toks, body))
 
 
 def dsir_resample(

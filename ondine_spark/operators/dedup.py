@@ -189,18 +189,23 @@ def _jaccard_by_counting(
     interpreted per element, which a capped 1,000-doc stop-shingle turns
     into 500K interpreted pair expansions). Groups spanning Arrow
     batches are carried over inside the partition iterator.
+
+    The ``max_shingle_freq`` cap is enforced INSIDE the kernel (r8): a
+    group's size within the shingle-sorted partition IS the shingle's
+    document frequency, so capped groups are skipped with one length
+    check. The previous pre-filter (``groupBy(_shingle).count`` + join
+    back) re-evaluated the shingle explode — the expensive CPU stage —
+    a second time and added two exchanges for the same result set. At
+    cluster scale a stop-shingle's postings now cross the one shuffle
+    before being dropped (they used to be dropped map-side after the
+    freq join), but they crossed that join's own shuffle anyway unless
+    the keep-list broadcast; the capped group is skipped after a local
+    sort, never expanded to pairs.
     """
     import numpy as np
     import pandas as pd
 
-    if max_shingle_freq is not None:
-        keep = (
-            posting.groupBy("_shingle")
-            .count()
-            .filter(F.col("count") <= max_shingle_freq)
-            .select("_shingle")
-        )
-        posting = posting.join(keep, on="_shingle")
+    max_df = max_shingle_freq if max_shingle_freq is not None else (1 << 62)
     id_dtype = dict(posting.dtypes)["_id"]
     thr = float(threshold)
 
@@ -215,7 +220,7 @@ def _jaccard_by_counting(
             outs_a, outs_b, outs_ss = [], [], []
             for s, e in zip(starts, ends):
                 n = e - s
-                if n < 2:
+                if n < 2 or n > max_df:
                     continue
                 gid, gsz = ids[s:e], sz[s:e]
                 # sorted by (_shingle, _size): position i<j => size i<=j,
@@ -778,19 +783,58 @@ def winnow_overlap_pairs(
 
 # ------------------------------------------------------------- SimHash (D4)
 
+def _simhash_kernel():
+    """Arrow-batch kernel for the 60 majority votes: per row, bit ``j`` of
+    the signature is set iff ``2·|{h : bit_j(h)=1}| > |hashes|``. Exact
+    integer counting — bit-identical to the previous per-bit expression
+    form. One ``np.add.reduceat`` per bit over the batch's flattened hash
+    values. Empty hash arrays keep sig 0 (two empty documents are
+    identical content); null text never reaches the kernel."""
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            vals = pdf["_hs"].values
+            nrows = len(vals)
+            sig = np.zeros(nrows, dtype=np.int64)
+            arrs = [np.asarray(a, dtype=np.int64) for a in vals]
+            lens = np.array([a.size for a in arrs], dtype=np.int64)
+            nz = np.flatnonzero(lens)
+            if nz.size:
+                # reduceat cannot represent empty segments — run it over
+                # the non-empty docs only (empty docs keep sig 0)
+                kept = [arrs[i] for i in nz]
+                klens = lens[nz]
+                starts = np.concatenate(([0], np.cumsum(klens)[:-1]))
+                v = np.concatenate(kept)
+                ksig = np.zeros(nz.size, dtype=np.int64)
+                for j in range(60):
+                    ones = np.add.reduceat((v >> j) & 1, starts)
+                    ksig += (ones * 2 > klens).astype(np.int64) << j
+                sig[nz] = ksig
+            yield pd.DataFrame({
+                "_id": pdf["_id"].reset_index(drop=True),
+                "simhash": sig,
+            })
+
+    return gen
+
+
 def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """64-bit SimHash over word tokens: bit j of the signature is the sign
     of sum over tokens of (bit j of md5_long(token) ? +1 : -1).
 
-    Computed entirely per-row (zero algorithmic shuffles; only
-    ``spread_small``'s input widening appears in local mode): the distinct token hashes
-    are let-bound once, then each bit's majority vote is an array count —
-    ``vote_j > 0  ⟺  2·|{h : bit_j(h)=1}| > |hashes|``. Replaces the
-    previous explode + 60-wide-aggregate plan (one exchange per run and a
-    wide codegen stage) with pure whole-stage-codegen map work.
+    Zero algorithmic shuffles (only ``spread_small``'s input widening
+    appears in local mode). Split across the JVM/Arrow boundary like
+    :func:`minhash_signature` (r8): tokenization + per-token md5 stay JVM
+    expressions, while the 60 per-bit majority votes run as ONE vectorized
+    Arrow kernel (:func:`_simhash_kernel` — exact integer counting, so
+    signatures are bit-identical to the expression form). The previous
+    per-bit ``F.filter`` chain paid 60 interpreted higher-order lambdas
+    per row; only ``(_id, array<bigint>)`` crosses the Python boundary.
     Output: id, simhash (bigint; bit 63 unused to stay non-negative)."""
-    from ondine_spark.functions.similarity import let_bind
-
     toks = F.array_distinct(
         F.filter(
             F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
@@ -798,28 +842,15 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         )
     )
     hashes = F.transform(toks, lambda t: md5_long(t))
+    id_type = dict(df.dtypes)[id_col]
 
-    def build(hs):
-        n = F.size(hs)
-        sig = F.lit(0).cast("bigint")
-        for j in range(60):
-            ones = F.size(
-                F.filter(
-                    hs,
-                    lambda h: F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1,
-                )
-            )
-            sig = sig + F.when(
-                ones * 2 > n, F.lit(2**j).cast("bigint")
-            ).otherwise(F.lit(0).cast("bigint"))
-        return sig
-
-    # null text has NO signature: the bit-vote lambda folds a null token
-    # array to sig 0, which silently made every null-text doc a
-    # "duplicate" of every other (and of genuinely empty docs). Empty
-    # TEXT keeps sig 0 — two empty documents are identical content.
-    return spread_small(df.filter(F.col(text_col).isNotNull())).select(
-        F.col(id_col).alias("_id"), let_bind(hashes, build).alias("simhash")
+    # null text has NO signature: a null token array would fold to sig 0,
+    # which silently made every null-text doc a "duplicate" of every
+    # other (and of genuinely empty docs). Empty TEXT keeps sig 0.
+    return (
+        spread_small(df.filter(F.col(text_col).isNotNull()))
+        .select(F.col(id_col).alias("_id"), hashes.alias("_hs"))
+        .mapInPandas(_simhash_kernel(), f"_id {id_type}, simhash bigint")
     )
 
 

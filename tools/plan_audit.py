@@ -210,9 +210,14 @@ def main() -> int:
     )
     plan = plan_of(ivf_topk(emb, queries, k=3, centroids=cents, nprobe=4))
     n_exchange = len(re.findall(r"\(\d+\) Exchange\b", plan))
+    # r8: spread_small adds ONE RoundRobin input-widening exchange before
+    # the per-row scoring stage (local single-file inputs would otherwise
+    # score on one core); the corpus must still never be KEY-shuffled —
+    # the only keyed exchange allowed is the per-query rank window's
+    n_keyed = len(re.findall(r"(hashpartitioning|rangepartitioning)", plan))
     check("ann.ivf_probe.broadcast_no_repartition",
-          "BroadcastHashJoin" in plan and n_exchange <= 1,
-          f"{n_exchange} exchanges")
+          "BroadcastHashJoin" in plan and n_exchange <= 2 and n_keyed <= 1,
+          f"{n_exchange} exchanges, {n_keyed} keyed")
 
     # 6. timestamp hygiene: the validity-window quarantine is a plain
     # range predicate, so it must reach the parquet scan as PushedFilters
@@ -285,8 +290,13 @@ def main() -> int:
         num_features=256, use_bigrams=False,
     )
     plan = plan_of(w)
+    # r8: the weight projection stays pure JVM with ZERO keyed shuffles;
+    # spread_small may add one RoundRobin input-widening exchange (local
+    # single-file scans would otherwise fold every row on one core)
+    n_keyed = len(re.findall(r"(hashpartitioning|rangepartitioning)", plan))
     n_exchange = len(re.findall(r"\(\d+\) Exchange\b", plan))
-    check("dsir.weights.zero_shuffle", n_exchange == 0, f"{n_exchange} exchanges")
+    check("dsir.weights.zero_shuffle", n_keyed == 0 and n_exchange <= 1,
+          f"{n_exchange} exchanges, {n_keyed} keyed")
     check("dsir.weights.jvm_only",
           "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
           and "MapInPandas" not in plan)

@@ -571,7 +571,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             train_ivf_centroids,
         )
 
-        emb = _emb(spark, sf_dir)
+        # persisted: the cast corpus feeds THREE consumers (brute scoring,
+        # centroid training's sample collect, IVF probe scoring) — without
+        # the pin each re-runs the scan + per-element double cast (r8)
+        emb = _emb(spark, sf_dir).persist()
         queries_df = emb.filter(F.col("vec_id") < 10).select(
             F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
         )
@@ -585,7 +588,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("vec_id").alias("vec_id_ivf"),
             F.round("cos_sim", 6).alias("cos_sim_ivf_r"),
         )
-        return brute.join(ivf, on=["query_id", "rank"])
+        # ivf is ≤ k rows per query after its rank filter — broadcast it
+        # (r8): the planner has no size estimate post-window and fell
+        # back to a sort-merge join (2 extra exchanges + sorts)
+        return brute.join(F.broadcast(ivf), on=["query_id", "rank"])
 
     def q_pq_codes_adc(spark, sf_dir):
         """Product quantization, fully oracle-checked with LITERAL
@@ -607,13 +613,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             pq_encode,
             pq_topk,
         )
-        from ondine_spark.operators.similarity_search import (
-            _nearest_centroids_expr,
-        )
-
         books = _fixed_pq_codebooks()
+        cents = _fixed_ivf_centroids()
         emb = _emb(spark, sf_dir).filter(finite_vector(F.col("embedding")))
-        coded = pq_encode(emb, "embedding", books)
+        # persisted: the coded frame feeds THREE branches (ADC scoring,
+        # the c0..c3 code columns, IVFPQ scoring) — without the pin each
+        # branch re-runs the Arrow encode pass over the corpus (r8);
+        # the IVF cell assignment rides in the same kernel pass
+        coded = pq_encode(
+            emb, "embedding", books, cell_centroids=cents
+        ).persist()
         queries_df = emb.filter(F.col("vec_id") < 3).select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("query_vec"),
@@ -629,11 +638,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "vec_id",
             *[F.col("pq_code")[j].cast("int").alias(f"c{j}") for j in range(4)],
         )
-        cents = _fixed_ivf_centroids()
         ivf = ivfpq_topk(
-            coded.withColumn(
-                "ivf_cell", _nearest_centroids_expr("embedding", cents, 1)[0]
-            ),
+            coded,
             queries_df,
             k=1 << 30,
             codebooks=books,

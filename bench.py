@@ -112,23 +112,27 @@ def _q_ivfpq_topk(spark, sf_dir):
         train_pq_codebooks,
     )
     from ondine_spark.operators.similarity_search import (
-        _nearest_centroids_expr,
         train_ivf_centroids,
     )
 
+    # persisted (r8): the cast corpus feeds FOUR consumers (PQ codebook
+    # training collect, IVF centroid training collect, the encode pass,
+    # the query-side filter) — without the pin each re-runs the scan +
+    # per-element double cast. Results identical; dropped by the bench's
+    # per-rep clearCache.
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
-    )
+    ).persist()
     # 25K training rows ≈ 100 points/centroid (FAISS's guideline is ~39
     # minimum): at sf10 the default 100K cap made driver-side Lloyd's the
     # dominant cost of the whole query (~2 min) for no recall gain
     books = train_pq_codebooks(emb, "embedding", m=8, nbits=8,
                                max_train_rows=25_000)
     cents = train_ivf_centroids(emb, nlist=8, max_train_rows=25_000)
-    coded = pq_encode(emb, "embedding", books).withColumn(
-        "ivf_cell", _nearest_centroids_expr("embedding", cents, 1)[0]
-    )
+    # cell assignment fused into the encode kernel (r8): one Arrow pass
+    # instead of encode + a per-row nearest-centroid expression stage
+    coded = pq_encode(emb, "embedding", books, cell_centroids=cents)
     queries_df = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )

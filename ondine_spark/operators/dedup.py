@@ -739,41 +739,74 @@ def winnow_overlap_pairs(
     contributes — the signal suffix-array dedup pipelines use, without the
     suffix array).
 
-    Scale shape: explode → one shuffle to count document frequency per
-    fingerprint → drop "stop-grams" seen in more than ``max_df`` documents
-    (these are boilerplate/common phrases; without the cap a fingerprint in
-    f docs emits C(f,2) candidate pairs and one hot gram can dominate the
-    whole job) → self-join on fp → count per pair. All keys are bigints;
-    both shuffles hash-partition on ``fp``.
+    Scale shape: fingerprint rows → ONE hash shuffle on ``fp`` + local
+    sort → streaming numpy pair kernel (df cap enforced by group length)
+    → groupBy(a, b) count. All keys are bigints.
 
     Output: ``a``, ``b``, ``shared`` (number of co-occurring fingerprints).
     """
+    import numpy as np
+    import pandas as pd
+
     rows = winnow_fingerprint_rows(df, id_col, text_col, k, w, impl=impl)
-    fdf = rows.groupBy("fp").agg(
-        F.count("*").alias("_df"), F.collect_list("_id").alias("_ids")
-    )
-    # posting lists are already grouped per fingerprint — emit pairs from
-    # each (capped) list instead of self-joining the exploded rows, which
-    # would shuffle the corpus-sized row set twice
-    kept = fdf.filter(F.col("_df") <= max_df)
-    pairs = kept.select(
-        F.explode(
-            F.filter(
-                F.flatten(
-                    F.transform(
-                        F.col("_ids"),
-                        lambda x: F.transform(
-                            F.col("_ids"),
-                            lambda y: F.struct(
-                                x.alias("a"), y.alias("b")
-                            ),
-                        ),
-                    )
-                ),
-                lambda s: s["a"] < s["b"],
+    id_dtype = dict(rows.dtypes)["_id"]
+
+    # Pair generation is ONE shuffle (repartition on the fingerprint) +
+    # one streaming numpy pass over fp-sorted partitions — the same shape
+    # as ``_jaccard_by_counting`` (r8). A group's length within the
+    # sorted partition IS the fingerprint's document frequency, so
+    # "stop-grams" seen in more than ``max_df`` documents (boilerplate —
+    # without the cap a fingerprint in f docs emits C(f,2) pairs) are
+    # skipped with one length check. The previous
+    # ``groupBy(fp).agg(collect_list)`` + nested ``F.transform`` pair
+    # expansion materialized n² interpreted structs per fingerprint;
+    # per-doc fingerprints are distinct by construction and ids within a
+    # group are sorted ascending, so ``np.triu_indices`` emits exactly
+    # the a < b pairs the expression form produced.
+    def gen_pairs(batches):
+        def flush(pdf: pd.DataFrame):
+            ids = pdf["_id"].to_numpy()
+            fp = pdf["fp"].to_numpy()
+            starts = np.flatnonzero(np.r_[True, fp[1:] != fp[:-1]])
+            ends = np.r_[starts[1:], len(fp)]
+            outs_a, outs_b = [], []
+            for s, e in zip(starts, ends):
+                n = e - s
+                if n < 2 or n > max_df:
+                    continue
+                ii, jj = np.triu_indices(n, 1)
+                gid = ids[s:e]
+                outs_a.append(gid[ii])
+                outs_b.append(gid[jj])
+            if not outs_a:
+                return None
+            return pd.DataFrame(
+                {"a": np.concatenate(outs_a), "b": np.concatenate(outs_b)}
             )
-        ).alias("p")
-    ).select("p.a", "p.b")
+
+        carry = None
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if not len(pdf):
+                continue
+            last = pdf["fp"].iloc[-1]
+            is_last = (pdf["fp"] == last).to_numpy()
+            carry = pdf[is_last]
+            body = pdf[~is_last]
+            out = flush(body) if len(body) else None
+            if out is not None:
+                yield out
+        if carry is not None and len(carry):
+            out = flush(carry)
+            if out is not None:
+                yield out
+
+    pairs = (
+        rows.repartition("fp")
+        .sortWithinPartitions("fp", "_id")
+        .mapInPandas(gen_pairs, schema=f"a {id_dtype}, b {id_dtype}")
+    )
     return (
         pairs.groupBy("a", "b")
         .agg(F.count("*").alias("shared"))

@@ -49,6 +49,19 @@ def _normalize(x):
     return x / np.where(n == 0, 1.0, n)
 
 
+def _train_subspace(args):
+    """One sub-quantizer k-means — module-level so a worker-pool map can
+    pickle it by reference (see train_pq_codebooks)."""
+    from ondine_spark.operators.similarity_search import kmeans_numpy
+
+    sub, kk, max_iter, seed, n_init = args
+    return [
+        list(map(float, row))
+        for row in kmeans_numpy(sub, kk, max_iter=max_iter, seed=seed,
+                                n_init=n_init)
+    ]
+
+
 def train_pq_codebooks(
     corpus: DataFrame,
     vec_col: str = "embedding",
@@ -96,16 +109,28 @@ def train_pq_codebooks(
         raise ValueError(f"dim {dim} not divisible by m={m}")
     x = _normalize(x)
     dsub = dim // m
-    books = []
-    for j in range(m):
-        sub = x[:, j * dsub : (j + 1) * dsub]
-        kk = min(k, len(sub))
-        books.append(
-            [list(map(float, row)) for row in
-             kmeans_numpy(sub, kk, max_iter=max_iter, seed=seed + 101 * j,
-                          n_init=n_init)]
-        )
-    return books
+    # the m sub-quantizers are independent (own slice, own seed), so they
+    # can train in parallel with bit-identical output. Threads don't help
+    # — at sub-quantizer sizes the numpy dispatch overhead holds the GIL
+    # most of the time (measured: 8 threads 1.63 s vs sequential 1.42 s
+    # at n=2000) — but a short-lived fork pool gives near-linear speedup
+    # (0.37 s, books compare equal). Forked children only run numpy and
+    # never touch the JVM gateway. Sequential fallback for tiny samples
+    # (pool spawn ~0.1 s dwarfs the work) and non-fork platforms.
+    tasks = [
+        (x[:, j * dsub : (j + 1) * dsub], min(k, len(x)), max_iter,
+         seed + 101 * j, n_init)
+        for j in range(m)
+    ]
+    if m > 1 and len(x) >= 1000:
+        try:
+            import multiprocessing as mp
+
+            with mp.get_context("fork").Pool(min(m, 8)) as pool:
+                return pool.map(_train_subspace, tasks)
+        except (ValueError, OSError):  # no fork on this platform
+            pass
+    return [_train_subspace(t) for t in tasks]
 
 
 def pq_encode(
@@ -113,20 +138,31 @@ def pq_encode(
     vec_col: str,
     codebooks,
     out_col: str = "pq_code",
+    cell_centroids=None,
+    cell_col: str = "ivf_cell",
 ) -> DataFrame:
     """Append the m-byte PQ code (``array<smallint>``) to every row. One
     Arrow-batched pass, zero shuffle; vectors are normalized before
     encoding (cosine contract). Persist the coded frame — it is the
-    64x-smaller stand-in for the embedding column at query time."""
+    64x-smaller stand-in for the embedding column at query time.
+
+    ``cell_centroids`` (r8): optionally emit the IVF coarse-cell id in
+    the SAME Arrow pass (``cell_col``) instead of a second
+    per-row-expression stage — same cosine/tie contract as
+    ``similarity_search.assign_cells_arrow`` (ties → higher id,
+    zero norms score 0.0)."""
     if not codebooks:
         raise ValueError("codebooks is empty — train_pq_codebooks first")
     books = [
         [[float(v) for v in row] for row in b] for b in codebooks
     ]
     fields = df.schema.fields
-    out_schema = T.StructType(
-        list(fields) + [T.StructField(out_col, T.ArrayType(T.ShortType()))]
-    )
+    out_fields = list(fields) + [
+        T.StructField(out_col, T.ArrayType(T.ShortType()))
+    ]
+    if cell_centroids is not None:
+        out_fields.append(T.StructField(cell_col, T.IntegerType()))
+    out_schema = T.StructType(out_fields)
 
     def encode(batches: Iterator) -> Iterator:
         import numpy as np
@@ -134,10 +170,17 @@ def pq_encode(
         cents = [np.asarray(b) for b in books]
         m = len(cents)
         dsub = cents[0].shape[1]
+        if cell_centroids is not None:
+            cc = np.asarray(cell_centroids, dtype="float64")
+            ccn = np.linalg.norm(cc, axis=1)
+            zero_c = ccn == 0
+            ccn = np.where(zero_c, 1.0, ccn)
+            nlist = cc.shape[0]
         for pdf in batches:
             if not len(pdf):
                 continue
-            x = _normalize(np.array(pdf[vec_col].tolist(), dtype="float64"))
+            raw = np.array(pdf[vec_col].tolist(), dtype="float64")
+            x = _normalize(raw)
             codes = np.empty((len(x), m), dtype="int16")
             for j in range(m):
                 sub = x[:, j * dsub : (j + 1) * dsub]
@@ -148,6 +191,15 @@ def pq_encode(
                 ).argmin(axis=1)
             pdf = pdf.copy()
             pdf[out_col] = list(codes)
+            if cell_centroids is not None:
+                xn = np.linalg.norm(raw, axis=1)
+                sims = (raw @ cc.T) / (
+                    np.where(xn == 0, 1.0, xn)[:, None] * ccn
+                )
+                sims[xn == 0, :] = 0.0
+                sims[:, zero_c] = 0.0
+                cell = (nlist - 1) - np.argmax(sims[:, ::-1], axis=1)
+                pdf[cell_col] = cell.astype("int32")
             yield pdf
 
     # NOT spread_small here (r8): the numpy encode kernel is ~µs/row, so

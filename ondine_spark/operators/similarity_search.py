@@ -360,6 +360,58 @@ def _nearest_centroids_expr(vec_col, centroids: list[list[float]], n: int):
     return F.transform(top, lambda x: x["c"])
 
 
+def assign_cells_arrow(
+    df: DataFrame,
+    vec_col: str,
+    centroids: list[list[float]],
+    out_col: str = "_cell",
+) -> DataFrame:
+    """Nearest-centroid cell id per row, vectorized in numpy over Arrow
+    batches — the assignment arm of :func:`_nearest_centroids_expr` for
+    HIGH-VOLUME corpus sides (the expression form is interpreted per
+    element: measured 0.47 s for 2000 rows × 8 centroids × 64 dims at
+    sf0.1, vs one batched matmul here).
+
+    Same contract as ``_nearest_centroids_expr(vec, cents, 1)[0]``:
+    cosine similarity, zero-norm rows and zero-norm centroids score 0.0,
+    ties pick the HIGHER centroid id. Values agree with the JVM
+    expression to ~1 ulp (both IEEE float64, different summation order);
+    an assignment can differ only when two centroids tie within that ulp
+    — callers that need bit-identical assignments (the oracle-replayed
+    semantic-dedup gates) keep the expression form."""
+    import numpy as np
+
+    c = np.asarray(centroids, dtype="float64")
+    cn = np.linalg.norm(c, axis=1)
+    zero_c = cn == 0
+    cn = np.where(zero_c, 1.0, cn)
+    nlist = c.shape[0]
+    fields = df.schema.fields
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        list(fields) + [T.StructField(out_col, T.IntegerType())]
+    )
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.array(pdf[vec_col].tolist(), dtype="float64")
+            xn = np.linalg.norm(x, axis=1)
+            sims = (x @ c.T) / (np.where(xn == 0, 1.0, xn)[:, None] * cn)
+            sims[xn == 0, :] = 0.0
+            sims[:, zero_c] = 0.0
+            # argmax returns the FIRST max; scanning the columns in
+            # reverse makes that the highest centroid id (tie contract)
+            cell = (nlist - 1) - np.argmax(sims[:, ::-1], axis=1)
+            pdf = pdf.copy()
+            pdf[out_col] = cell.astype("int32")
+            yield pdf
+
+    return df.mapInPandas(assign, schema=out_schema)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -391,13 +443,19 @@ def ivf_topk(
             [], f"{query_id} {qt}, {corpus_id} {ct}, cos_sim double, rank int"
         )
     # spread before assignment + scoring: cell assignment and the cosine
-    # both run per row and serialize on a one-partition local scan
-    assigned = spread_small(
-        corpus.filter(finite_vector(F.col(corpus_vec))).select(
-            F.col(corpus_id).alias("_cid"), F.col(corpus_vec).alias("_cv")
-        )
-    ).withColumn(
-        "_cell", _nearest_centroids_expr("_cv", centroids, 1)[0]
+    # both run per row and serialize on a one-partition local scan.
+    # Assignment is the Arrow matmul kernel (r8) — the corpus is the
+    # high-volume side; the probe side below stays the JVM expression
+    # (a handful of query rows).
+    assigned = assign_cells_arrow(
+        spread_small(
+            corpus.filter(finite_vector(F.col(corpus_vec))).select(
+                F.col(corpus_id).alias("_cid"), F.col(corpus_vec).alias("_cv")
+            )
+        ),
+        "_cv",
+        centroids,
+        "_cell",
     )
     probes = queries.filter(finite_vector(F.col(query_vec))).select(
         F.col(query_id).alias("_qid"), F.col(query_vec).alias("_qv")

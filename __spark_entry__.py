@@ -868,9 +868,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _docs(spark, sf_dir).withColumn(
             "n_tokens", ta.token_count_ws(F.trim(F.col("text")))
         )
+        # target_predicate (r8): one scan fits both distributions —
+        # identical table to passing docs.where(...) as the target
         llr_q = dsir_llr_table(
-            docs, docs.where(F.col("lang") == "en"), "text",
+            docs, None, "text",
             num_features=256, use_bigrams=False,
+            target_predicate=F.col("lang") == "en",
         )
         dsir = dsir_weights(
             docs.select("doc_id", "text"), llr_q, "text",

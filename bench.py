@@ -78,9 +78,13 @@ def _q_dsir_select(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     n = docs.count()
     # 2^13 buckets ≈ the DSIR paper's 10^4 hashed-ngram dimensionality
+    # target_predicate (r8): the target is a filtered subset of docs, so
+    # both distributions fit from ONE scan — table identical to passing
+    # docs.where(...) as the target frame
     llr = dsir_llr_table(
-        docs, docs.where(F.col("lang") == "en"), "text",
+        docs, None, "text",
         num_features=1 << 13, use_bigrams=True,
+        target_predicate=F.col("lang") == "en",
     )
     w = dsir_weights(docs.select("doc_id", "text"), llr, "text",
                      num_features=1 << 13, use_bigrams=True)
@@ -165,7 +169,15 @@ def _total_busy_jiffies() -> int:
 
 
 def _tree_jiffies(root_pid: int) -> int:
-    """utime+stime summed over root_pid and all its descendants."""
+    """utime+stime summed over root_pid and all its descendants, PLUS
+    each process's cutime+cstime (reaped children). Without the c-fields
+    a short-lived child that exits inside the rep window (e.g. the PQ
+    trainer's fork pool) is invisible at the end sample and its CPU
+    would be misread as EXTERNAL load (r8: ivfpq flagged "ext=8 cores"
+    on an idle box). A child alive at one sample and reaped by the next
+    is not double counted: its own utime drops out of the sum exactly
+    when the parent's cutime picks the total up, so the delta stays the
+    child's in-window consumption."""
     procs: dict[int, tuple[int, int]] = {}
     for sd in os.listdir("/proc"):
         if not sd.isdigit():
@@ -177,7 +189,10 @@ def _tree_jiffies(root_pid: int) -> int:
             continue  # raced a process exit
         # comm (field 2) may hold spaces/parens; parse after the LAST ')'
         f = st[st.rindex(")") + 2 :].split()
-        procs[int(sd)] = (int(f[1]), int(f[11]) + int(f[12]))
+        procs[int(sd)] = (
+            int(f[1]),
+            int(f[11]) + int(f[12]) + int(f[13]) + int(f[14]),
+        )
     children: dict[int, list[int]] = {}
     for pid, (ppid, _) in procs.items():
         children.setdefault(ppid, []).append(pid)

@@ -103,14 +103,57 @@ def _bucket_instances(
     return let_bind(_tokens(text_col), body)
 
 
+def lut_fold_udf(lut: list[int]):
+    """Vectorized Arrow kernel for Σ lut[index] over a per-row index
+    array — the scoring primitive shared by ``dsir_weights`` (literal
+    mode) and the quality classifier's ``linear_margin``. Exact int64
+    adds (commutative), so the result is bit-identical to any
+    sequential fold over the same instances. The lut ships once per
+    task in the closure (8 B/entry)."""
+    import numpy as np
+    import pandas as pd
+
+    lut_np = np.asarray([int(v) for v in lut], dtype=np.int64)
+
+    def _fold_fn(batches):
+        for s in batches:
+            arrs = [np.asarray(a, dtype=np.int64) for a in s.values]
+            n = len(arrs)
+            lens = np.fromiter((a.size for a in arrs), dtype=np.int64,
+                               count=n)
+            out = np.zeros(n, dtype=np.int64)
+            nz = np.flatnonzero(lens)
+            if nz.size:
+                # reduceat cannot express empty segments — sum the
+                # non-empty docs only (empty docs keep the fold's init
+                # value, 0)
+                kept = [arrs[i] for i in nz]
+                starts = np.concatenate(
+                    ([0], np.cumsum(lens[nz])[:-1])
+                )
+                vals = lut_np[np.concatenate(kept)]
+                out[nz] = np.add.reduceat(vals, starts)
+            yield pd.Series(out)
+
+    from typing import Iterator as _It
+
+    # real typing objects (not strings): locally-imported pd would not
+    # resolve for string annotations — same note as cosine_arrow
+    _fold_fn.__annotations__ = {
+        "batches": _It[pd.Series], "return": _It[pd.Series],
+    }
+    return F.pandas_udf(_fold_fn, "long")
+
+
 def dsir_llr_table(
     raw: DataFrame,
-    target: DataFrame,
+    target: DataFrame | None,
     text_col: str = "text",
     num_features: int = 1 << 16,
     use_bigrams: bool = True,
     alpha: float = 0.5,
     quant: float = 1e6,
+    target_predicate: Column | None = None,
 ) -> list[int]:
     """Fit the two hashed-ngram models and return the quantized
     log-likelihood-ratio table ``llr_q`` (length ``num_features`` for
@@ -138,16 +181,42 @@ def dsir_llr_table(
     # Counting is order-independent exact-integer arithmetic, so both
     # count vectors are identical to the two-job shape. spread_small
     # parallelizes single-file local scans (no-op on cluster inputs).
+    # ``target_predicate`` (r8): when the target corpus is a filtered
+    # subset of ``raw`` (the common "domain = rows matching P" setup),
+    # passing the predicate instead of a second DataFrame fits both
+    # distributions from ONE scan — each raw row contributes
+    # (_r=1, _t=P(row)), which sums to exactly the counts the two-stream
+    # union produces for (raw, raw.filter(P)). Exact integers, so the
+    # returned table is identical.
     bkts = _bucket_instances(text_col, num_features, use_bigrams)
-    tagged = spread_small(
-        raw.select(bkts.alias("_b"), F.lit(1).alias("_r"), F.lit(0).alias("_t"))
-    ).unionAll(
-        spread_small(
-            target.select(
-                bkts.alias("_b"), F.lit(0).alias("_r"), F.lit(1).alias("_t")
+    if target_predicate is not None:
+        if target is not None:
+            raise ValueError(
+                "pass either target or target_predicate, not both"
+            )
+        tagged = spread_small(
+            raw.select(
+                bkts.alias("_b"),
+                F.lit(1).alias("_r"),
+                F.when(target_predicate, F.lit(1)).otherwise(
+                    F.lit(0)
+                ).alias("_t"),
             )
         )
-    )
+    elif target is None:
+        raise ValueError("either target or target_predicate is required")
+    else:
+        tagged = spread_small(
+            raw.select(
+                bkts.alias("_b"), F.lit(1).alias("_r"), F.lit(0).alias("_t")
+            )
+        ).unionAll(
+            spread_small(
+                target.select(
+                    bkts.alias("_b"), F.lit(0).alias("_r"), F.lit(1).alias("_t")
+                )
+            )
+        )
     inst = tagged.select(F.explode("_b").alias("bkt"), "_r", "_t")
     c_raw = [0] * b_total
     c_tgt = [0] * b_total
@@ -208,14 +277,14 @@ def dsir_weights(
     exact-integer adds, which commute; pinned by
     tests/test_importance.py::test_lut_modes_bit_identical):
 
-    - ``"literal"``: ONE constant-folded SQL array literal (a single
-      SQL parse — NOT B ``F.lit`` py4j round-trips, which take minutes
-      at B = 2¹⁷) folded per row with ``element_at``. Parse cost is
-      ~30 µs/entry, so plan BUILD blows up above ~2¹⁷ entries
-      (measured: 28-66 s at 2¹⁸ entries) — and array-literal access
-      also pays a per-row cost proportional to B (measured time ∝
-      rows × B: the array is materialized per evaluation), so this
-      path is for small tables.
+    - ``"literal"`` (historical name): the table ships ONCE PER TASK in
+      the scoring kernel's closure as a numpy int64 array; bucket ids
+      are computed by JVM expressions and the per-doc sum runs as one
+      vectorized ``np.add.reduceat`` (r8 — this replaced a let-bound
+      ``F.aggregate`` over a SQL array literal, which re-materialized
+      the B-entry constant per row and folded interpreted per token).
+      Closure bytes grow with B (8 B/entry), so this path is for small
+      tables.
     - ``"broadcast"``: the table travels as DATA — a B-row (bucket,
       llr) DataFrame built via Arrow, broadcast-hash-joined onto the
       EXPLODED token instances, re-aggregated per row. Requires
@@ -288,39 +357,20 @@ def dsir_weights(
             out_col, F.coalesce(F.col(out_col), F.lit(0).cast("long"))
         )
 
-    lut = F.expr(
-        "array(" + ",".join(f"{int(v)}L" for v in llr_q) + ")"
-    )
-
-    def fold(arr: Column, offset: int, lut_ref: Column) -> Column:
-        return F.aggregate(
-            arr,
-            F.lit(0).cast("long"),
-            lambda acc, w: acc + F.element_at(
-                lut_ref, _bucket(w, num_features) + F.lit(offset + 1)
-            ),
-        )
-
-    # Both the token array AND the lut literal are let-bound (r8): the
-    # constant array referenced inside the aggregate lambda is
-    # re-materialized per element (measured cost ∝ tokens × B), and the
-    # unbound token expression re-ran the regex split for the unigram
-    # fold and both bigram slices. Binding makes each a per-row single
-    # evaluation; the folded arithmetic is unchanged, so weights are
-    # bit-identical (same adds in the same order). Measured together
-    # with spread_small: 1.37 s → 0.77 s at sf0.1/B=2¹⁴.
-    from ondine_spark.functions.similarity import let_bind
-
-    def body(t: Column) -> Column:
-        def with_lut(L: Column) -> Column:
-            w = fold(t, 0, L)
-            if use_bigrams:
-                w = w + fold(_bigrams(t), num_features, L)
-            return w
-
-        return let_bind(lut, with_lut)
-
-    return spread_small(df).withColumn(out_col, let_bind(toks, body))
+    # Literal-table fold as ONE vectorized Arrow kernel (r8): the
+    # previous let-bound ``F.aggregate`` over the lut literal still
+    # materialized the B-entry constant array per row and folded
+    # interpreted per token (measured 0.98 s at sf0.1/B=2¹⁴). Now the
+    # murmur3 bucket ids stay a JVM expression (identical hashing) and
+    # the per-doc sum Σ lut[bucket] runs as one ``np.add.reduceat`` per
+    # batch — exact int64 adds commute, so weights are bit-identical to
+    # the fold (pinned together with the broadcast path by
+    # test_lut_modes_bit_identical). Only the bucket-id array crosses
+    # the Python boundary; the lut (B int64s) ships once per task in
+    # the closure.
+    fold_udf = lut_fold_udf(llr_q)
+    inst = _bucket_instances(text_col, num_features, use_bigrams)
+    return spread_small(df).withColumn(out_col, fold_udf(inst))
 
 
 def dsir_resample(

@@ -115,8 +115,18 @@ def linear_margin(
     fitted model with ``int(round(c * 1e6))`` per coefficient; sign and
     ranking agreement with the float margin is pytest-asserted.
 
-    Scale shape: pure JVM projection over the hashed counts — no
-    shuffle, no Python; identical scan cost to ``score_quality``."""
+    Scale shape (r8): featurization stays the ML transformer chain
+    (JVM — ``HashingTF`` hashes with ``hashUnsafeBytes2``, which SQL
+    ``F.hash`` does NOT reproduce, so the stages cannot be replaced by
+    plain expressions), but the dense per-dimension fold — a
+    ``vector_to_array`` + interpreted ``F.aggregate`` over 2B entries
+    per row, measured ~1.3 s of the 2.1 s gate query at sf0.1 — runs as
+    one vectorized Arrow int64 matvec. tf counts are exact in float64
+    (integers < 2⁵³) and int64 adds commute, so margins are
+    bit-identical — pinned by test_linear_margin_matches_model_raw_
+    margin, which scores through the fitted PipelineModel itself.
+    ``spread_small`` widens single-file local scans; one
+    ArrowEvalPython, zero keyed shuffles."""
     coefs = [int(c) for c in coefficients_q]
     expect = num_features * (2 if use_bigrams else 1)
     if len(coefs) != expect:
@@ -124,19 +134,36 @@ def linear_margin(
             f"coefficients_q has {len(coefs)} entries, expected {expect} "
             f"(num_features={num_features}, use_bigrams={use_bigrams})"
         )
+    import numpy as np
+    import pandas as pd
+
     from pyspark.ml.functions import vector_to_array
 
+    from ondine_spark.core.partitioning import spread_small
+
     stages, feat = _feature_stages(text_col, num_features, use_bigrams)
-    out = df
+    out = spread_small(df)
     for st in stages:
         out = st.transform(out)
-    arr = vector_to_array(F.col(feat))
-    coef_arr = F.array(*[F.lit(c).cast("long") for c in coefs])
-    margin = F.aggregate(
-        F.zip_with(arr, coef_arr, lambda v, c: v.cast("long") * c),
-        F.lit(int(intercept_q)).cast("long"),
-        lambda acc, x: acc + x,
-    )
+
+    coef_np = np.asarray(coefs, dtype=np.int64)
+    icept = int(intercept_q)
+
+    def _dot_fn(batches):
+        for s in batches:
+            if not len(s):
+                yield pd.Series([], dtype="int64")
+                continue
+            # fixed-width rows (2B tf counts, exact integers in float64)
+            x = np.asarray(s.tolist(), dtype=np.int64)
+            yield pd.Series(x @ coef_np + icept)
+
+    from typing import Iterator as _It
+
+    _dot_fn.__annotations__ = {
+        "batches": _It[pd.Series], "return": _It[pd.Series],
+    }
+    margin = F.pandas_udf(_dot_fn, "long")(vector_to_array(F.col(feat)))
     keep = list(df.columns)
     cols = keep + [margin.alias(out_col)]
     if tokens_col:

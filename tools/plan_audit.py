@@ -262,9 +262,11 @@ def main() -> int:
           or "HashAggregate" in plan)
     check("bpe.word_counts.text_only_scan", cols == {"text"}, str(cols))
 
-    # 9. quality classifier scoring (r4 gate quality_margin): the whole
-    # tokenize -> murmur3-hash -> integer-margin path must stay a pure
-    # JVM projection — zero exchanges, no Python workers in the plan
+    # 9. quality classifier scoring (r4 gate quality_margin): tokenize →
+    # murmur3-hash featurization stays JVM; the integer-margin fold is
+    # ONE vectorized Arrow kernel (r8 — the dense interpreted fold was
+    # ~1.3 s at sf0.1). No keyed shuffle; spread_small may add one
+    # RoundRobin input-widening exchange.
     from ondine_spark.operators.quality_classifier import linear_margin
 
     plan = plan_of(
@@ -274,10 +276,15 @@ def main() -> int:
         )
     )
     n_exchange = len(re.findall(r"\(\d+\) Exchange\b", plan))
-    check("quality.margin.zero_shuffle", n_exchange == 0, f"{n_exchange} exchanges")
-    check("quality.margin.jvm_only",
-          "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-          and "MapInPandas" not in plan)
+    n_keyed = len(re.findall(r"(hashpartitioning|rangepartitioning)", plan))
+    check("quality.margin.zero_shuffle",
+          n_keyed == 0 and n_exchange <= 1,
+          f"{n_exchange} exchanges, {n_keyed} keyed")
+    n_aep = len(re.findall(r"\(\d+\) ArrowEvalPython", plan))
+    check("quality.margin.one_arrow_kernel",
+          "BatchEvalPython" not in plan and "MapInPandas" not in plan
+          and n_aep == 1,
+          f"{n_aep} ArrowEvalPython")
 
     # 10. DSIR importance scoring (r5, gated inside sample_mix): like the
     # classifier margin, the weight projection must be zero-shuffle pure
@@ -297,9 +304,14 @@ def main() -> int:
     n_exchange = len(re.findall(r"\(\d+\) Exchange\b", plan))
     check("dsir.weights.zero_shuffle", n_keyed == 0 and n_exchange <= 1,
           f"{n_exchange} exchanges, {n_keyed} keyed")
-    check("dsir.weights.jvm_only",
-          "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-          and "MapInPandas" not in plan)
+    # r8: the literal-mode fold is ONE vectorized Arrow kernel over the
+    # JVM-computed bucket ids (was a per-token interpreted aggregate);
+    # no row-at-a-time Python, no MapInPandas cardinality change
+    n_aep = len(re.findall(r"\(\d+\) ArrowEvalPython", plan))
+    check("dsir.weights.one_arrow_kernel",
+          "BatchEvalPython" not in plan and "MapInPandas" not in plan
+          and n_aep == 1,
+          f"{n_aep} ArrowEvalPython")
     plan = plan_of(dsir_resample(w, "doc_id", "dsir_w_q", 10))
     check("dsir.resample.take_ordered", "TakeOrderedAndProject" in plan,
           "global sort instead of per-partition top-n")

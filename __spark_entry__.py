@@ -402,9 +402,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # explode(array(struct)) pins the expensive winnow to ONE evaluation:
         # extracting two struct fields in a plain select would re-inline the
         # whole tree per field after projection collapse
+        from ondine_spark.core.partitioning import spread_small
+
         s = let_bind(winnow_fingerprints(F.col("text"), 12, 8), summarize)
+        # spread (r8): the md5 winnow chain is the CPU stage and the
+        # single-file local scan otherwise runs it on one core —
+        # measured 4.9 s -> sub-second at sf0.1
         return (
-            _docs(spark, sf_dir)
+            spread_small(_docs(spark, sf_dir))
             .select("doc_id", F.explode(F.array(s)).alias("_s"))
             .select("doc_id", "_s.n_fps", "_s.fp_sum")
         )
@@ -773,13 +778,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def q_window_chunking(spark, sf_dir):
-        from pyspark.sql import Window
-
-        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-        w = Window.orderBy("l_orderkey", "l_linenumber")
-        chunked = li.withColumn(
-            "batch_id", F.floor((F.row_number().over(w) - 1) / 1000)
+        # Distributed global rank (r8, guide §2.4): the previous
+        # `Window.orderBy` with no partition key moved EVERY row through
+        # one SinglePartition exchange + sort — serial at any scale.
+        # Same batch ids now come from range partitioning on the sort
+        # key (globally ordered across partitions), per-partition row
+        # counts prefix-summed on the driver (one tiny job over the
+        # persisted partitions), and rank = partition offset + local
+        # index from monotonically_increasing_id (pid·2³³ + i with i
+        # sequential in partition order, which sortWithinPartitions
+        # pins). (l_orderkey, l_linenumber) is a unique key, so the
+        # global order — and every batch boundary — is identical to the
+        # single-partition window's.
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+            "l_orderkey", "l_linenumber", "l_quantity"
         )
+        n_parts = int(
+            spark.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+        parts = (
+            li.repartitionByRange(n_parts, "l_orderkey", "l_linenumber")
+            .sortWithinPartitions("l_orderkey", "l_linenumber")
+            .persist()
+        )
+        cnts = {
+            r["_p"]: r["count"]
+            for r in parts.groupBy(
+                F.spark_partition_id().alias("_p")
+            ).count().collect()
+        }
+        offs, run = [], 0
+        for p in range(n_parts):
+            offs.append(run)
+            run += cnts.get(p, 0)
+        off_arr = F.array(*[F.lit(int(o)).cast("long") for o in offs])
+        mid = F.monotonically_increasing_id()
+        pid = F.shiftrightunsigned(mid, 33).cast("int")
+        local = mid.bitwiseAND(F.lit((1 << 33) - 1))
+        rank0 = F.element_at(off_arr, pid + 1) + local  # = row_number - 1
+        chunked = parts.withColumn("batch_id", F.floor(rank0 / 1000))
         return chunked.groupBy("batch_id").agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double").alias("sum_qty"),

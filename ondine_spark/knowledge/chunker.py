@@ -43,7 +43,13 @@ def sentence_frame(
     split into word windows of that size (the reference's fixed-window
     fallback for unsplittable text, ondine/knowledge/chunker.py:119-158) —
     still pure array exprs, one nested posexplode."""
-    s = df.select(
+    # spread before the sentence split (r8): downstream per-sentence CPU
+    # (the semantic chunker's md5 bucket sets, token counts) runs BELOW
+    # the first per-doc window exchange, so a single-file local scan
+    # would compute it all on one core (no-op on cluster scans)
+    from ondine_spark.core.partitioning import spread_small
+
+    s = spread_small(df).select(
         F.col(id_col),
         F.posexplode(split_sentences(F.col(text_col))).alias("sent_idx", "sentence"),
     )

@@ -126,7 +126,11 @@ def bm25_frame(
         return df.select(id_col).limit(0).withColumn("score", F.lit(0.0))
     spark = df.sparkSession
     qdf = spark.createDataFrame([(t,) for t in q_terms], ["term"])
-    base = df.select(
+    # single-file local corpora arrive as ONE partition, serializing the
+    # tokenize + postings explode on one core (no-op on cluster scans)
+    from ondine_spark.core.partitioning import spread_small
+
+    base = spread_small(df).select(
         F.col(id_col), tokens(F.col(text_col)).alias("_toks")
     ).withColumn("dl", F.size("_toks"))
     stats = base.agg(
@@ -175,8 +179,13 @@ def ngram_cosine_frame(
     qdf = spark.createDataFrame(
         [(b_, v) for b_, v in sorted(counts.items())], ["bucket", "qtf"]
     )
+    # spread before the char-3gram md5 bucketing — the per-position hash
+    # chain is the CPU-heavy stage and a single-file local corpus would
+    # otherwise run it on one core (no-op on cluster scans)
+    from ondine_spark.core.partitioning import spread_small
+
     buckets = (
-        df.select(
+        spread_small(df).select(
             F.col(id_col),
             F.explode(ngram_buckets(F.col(text_col), dim=dim)).alias("bucket"),
         )

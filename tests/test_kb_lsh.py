@@ -207,11 +207,15 @@ def test_attach_context_auto_routes_by_corpus_size(spark, kb):
         return df._jdf.queryExecution().executedPlan().toString()
 
     small = plan(attach_context(rows, kb, ["q"], top_k=2, method="auto"))
-    assert "MapInPandas" not in small  # 400 chunks → exact join
+    # 400 chunks → exact path; broadcast-sized corpus → its dense kernel
+    # (r8), never the LSH rescore kernel
+    assert "_merge_dot" not in small
+    assert "_score_batches" in small
     try:
         kb._chunk_count = 200_000
         big = plan(attach_context(rows, kb, ["q"], top_k=2, method="auto"))
-        assert "MapInPandas" in big  # forced over threshold → LSH rescore
+        assert "_merge_dot" in big  # forced over threshold → LSH rescore
+        assert "_score_batches" not in big
     finally:
         kb._chunk_count = None
     with pytest.raises(ValueError, match="auto|exact|lsh"):
@@ -266,12 +270,11 @@ def test_pipeline_kb_method_lsh(spark, kb):
         build("exact").response_frame(resume=False)
         ._jdf.queryExecution().executedPlan().toString()
     )
-    # differential: the lsh plan carries the one extra Arrow kernel
-    import re
-
-    n_lsh = len(re.findall(r"MapInPandas", plan_lsh))
-    n_exact = len(re.findall(r"MapInPandas", plan_exact))
-    assert n_lsh > n_exact, f"lsh plan {n_lsh} vs exact plan {n_exact}"
+    # differential by kernel name (r8: the exact path legitimately
+    # carries its own dense MapInPandas below DENSE_AUTO_BYTES, so node
+    # counts no longer discriminate)
+    assert "_merge_dot" in plan_lsh and "_merge_dot" not in plan_exact
+    assert "_score_batches" in plan_exact
 
     res = build("lsh").execute()
     got = {r["qid"]: r["answer"] for r in res.data.collect()}
@@ -283,3 +286,49 @@ def test_pipeline_kb_method_lsh(spark, kb):
 
     with pytest.raises(ValueError, match="auto|exact|lsh"):
         PipelineBuilder(spark).with_knowledge_base(kb.path, ["q"], method="x")
+
+
+def test_dense_impl_bit_identical_to_join(spark, kb):
+    """retrieve_topk(impl='dense') — the r8 broadcast-matrix Arrow kernel
+    — must return the SAME rows as impl='join': identical (row, chunk)
+    sets, bit-identical float64 scores, identical ranks (score desc,
+    chunk_id asc, ties included), for full retrieval and for a real
+    top_k/min_score cut."""
+    rows = spark.createDataFrame(
+        [(f"q{i}", _text(i * 7 % 400) + (" extra" if i % 3 else ""))
+         for i in range(60)],
+        ["_row_id", "q"],
+    )
+    for kwargs in ({"top_k": 10 ** 6, "min_score": 0.0},
+                   {"top_k": 3, "min_score": 0.05}):
+        cols = ["_row_id", "chunk_id", "score", "rank"]
+        j = sorted(
+            (r["_row_id"], r["chunk_id"], r["score"], r["rank"])
+            for r in retrieve_topk(
+                rows, kb, ["q"], impl="join", **kwargs
+            ).select(*cols).collect()
+        )
+        d = sorted(
+            (r["_row_id"], r["chunk_id"], r["score"], r["rank"])
+            for r in retrieve_topk(
+                rows, kb, ["q"], impl="dense", **kwargs
+            ).select(*cols).collect()
+        )
+        assert len(j) > 0
+        assert j == d  # exact equality: float64 scores bit-identical
+
+
+def test_dense_auto_threshold_routes_to_join(spark, kb):
+    """auto falls back to the join shape when the chunk matrix would
+    exceed DENSE_AUTO_BYTES (faked via the memoized count)."""
+    rows = spark.createDataFrame([("q0", _text(3))], ["_row_id", "q"])
+
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    assert "_score_batches" in plan(retrieve_topk(rows, kb, ["q"]))
+    try:
+        kb._chunk_count = 10 ** 7  # 10M × 2048 × 8 B ≫ the 128 MiB budget
+        assert "_score_batches" not in plan(retrieve_topk(rows, kb, ["q"]))
+    finally:
+        kb._chunk_count = None

@@ -386,12 +386,15 @@ def main() -> int:
         )
         return plan_of(p.response_frame(resume=False))
 
-    n_lsh_mip = len(re.findall(r"\(\d+\) MapInPandas", kb_pipeline_plan("lsh")))
-    n_exact_mip = len(
-        re.findall(r"\(\d+\) MapInPandas", kb_pipeline_plan("exact"))
-    )
-    check("kb_lsh.pipeline", n_lsh_mip == n_exact_mip + 1,
-          f"lsh plan {n_lsh_mip} MapInPandas vs exact {n_exact_mip}")
+    # r8: node counts no longer discriminate (the exact path carries its
+    # own dense kernel below DENSE_AUTO_BYTES) — check kernel NAMES: the
+    # LSH rescore kernel only in the lsh plan, the dense exact kernel in
+    # the exact plan
+    plan_lsh, plan_exact = kb_pipeline_plan("lsh"), kb_pipeline_plan("exact")
+    check("kb_lsh.pipeline",
+          "_merge_dot" in plan_lsh and "_merge_dot" not in plan_exact
+          and "_score_batches" in plan_exact,
+          "lsh/exact kernels not routed as expected")
 
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     return 1 if failures else 0

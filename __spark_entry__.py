@@ -351,8 +351,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("doc_id").cast("string"),
             F.lit(" call 0123-456-7890 now"),
         )
+        from ondine_spark.core.partitioning import spread_small
+
         counts = ta.pii_counts(piitext)
-        red = _docs(spark, sf_dir).select(
+        # spread (r8): the PII regex chains are the CPU stage of this
+        # projection; a single-file scan runs them on one core
+        red = spread_small(_docs(spark, sf_dir)).select(
             "doc_id",
             ta.redact_pii(piitext).alias("redacted"),
             *[c.alias(f"n_{k}") for k, c in counts.items()],
@@ -378,8 +382,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_lang_fingerprints(spark, sf_dir):
         """Language-ID + exact/rolling document fingerprints in one
         projection."""
+        from ondine_spark.core.partitioning import spread_small
+
         t = F.col("text")
-        return _docs(spark, sf_dir).select(
+        # spread (r8): the rolling-fingerprint md5 chain over every char
+        # 8-gram is the CPU stage and the single-file scan otherwise runs
+        # it on one core — measured 11.4 s -> 1.9 s at sf0.1
+        return spread_small(_docs(spark, sf_dir)).select(
             "doc_id",
             ta.lang_id(t).alias("lang_pred"),
             ta.fingerprint_exact(t).alias("fp_exact"),

@@ -515,7 +515,12 @@ def dedup_paragraphs(
     frame is ever collected or broadcast.
     """
     out_col = out_col or text_col
-    paras = df.select(
+    # spread (r8): the paragraph explode + md5 normalization is the CPU
+    # stage BELOW the first shuffle — a single-file local corpus would
+    # run it on one core (no-op on cluster scans)
+    from ondine_spark.core.partitioning import spread_small
+
+    paras = spread_small(df).select(
         F.col(id_col).alias("_did"),
         F.posexplode(F.split(F.col(text_col), sep)).alias("_pos", "_para"),
     )
@@ -571,10 +576,14 @@ def excise_duplicate_spans(
     count per doc is small — bounded by duplicated-span count, not text
     length). No corpus-derived set is ever collected or broadcast.
     """
+    from ondine_spark.core.partitioning import spread_small
     from ondine_spark.functions.similarity import word_ngrams_all
 
     out_col = out_col or text_col
     n = span_tokens
+    # spread (r8): the window-hash md5 chain runs below the first
+    # shuffle; single-file local scans would serialize it on one core
+    df = spread_small(df)
     toks = df.select(
         F.col(id_col).alias("_did"),
         F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+"))

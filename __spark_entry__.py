@@ -1107,20 +1107,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q = "spark window query join"
         dense = ngram_cosine_frame(docs, "doc_id", "text", q, dim=2048)
         kw = bm25_frame(docs, "doc_id", "text", q)
-        wd = Window.orderBy(F.desc("score"), "doc_id")
-        dense_r = dense.withColumn("rank", F.row_number().over(wd)).filter(
-            F.col("rank") <= 50
-        )
-        kw_r = kw.withColumn("rank", F.row_number().over(wd)).filter(
-            F.col("rank") <= 50
-        )
+
+        # top-k via orderBy().limit() (TakeOrderedAndProject: per-partition
+        # heads merged on the driver) instead of row_number over a GLOBAL
+        # window — the old plan forced Exchange SinglePartition over every
+        # scored row, serial at any scale (r8; same rank values: the
+        # window over the k survivors re-ranks in the identical order)
+        def top_ranked(frame, k, *order):
+            top = frame.orderBy(*order).limit(k)
+            return top.withColumn(
+                "rank", F.row_number().over(Window.orderBy(*order))
+            )
+
+        dense_r = top_ranked(dense, 50, F.desc("score"), "doc_id")
+        kw_r = top_ranked(kw, 50, F.desc("score"), "doc_id")
         fused = rrf_fuse([dense_r, kw_r], id_col="doc_id")
-        w = Window.orderBy(F.desc("rrf_score"), "doc_id")
-        return (
-            fused.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= 20)
-            .select("doc_id", F.round("rrf_score", 9).alias("rrf_r"), "rank")
-        )
+        return top_ranked(
+            fused, 20, F.desc("rrf_score"), "doc_id"
+        ).select("doc_id", F.round("rrf_score", 9).alias("rrf_r"), "rank")
 
     def q_kb_row_topk(spark, sf_dir):
         """R1 ingest + R3 per-row exact retrieval in one gate: a real

@@ -94,8 +94,11 @@ def _retrieve_topk_dense(
             for lo in range(0, len(pdf), rows_per_block):
                 blk = pdf.iloc[lo : lo + rows_per_block]
                 n = len(blk)
+                # null query → null bucket array (None here): no
+                # candidates, exactly like the old explode
                 lists = [
-                    np.asarray(x, dtype=np.int64) for x in blk["_b"]
+                    np.asarray(x if x is not None else [], dtype=np.int64)
+                    for x in blk["_b"]
                 ]
                 lens = np.fromiter(
                     (a.size for a in lists), dtype=np.int64, count=n

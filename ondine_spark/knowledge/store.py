@@ -124,39 +124,60 @@ def bm25_frame(
     q_terms = sorted({t for t in (query or "").lower().split() if t})
     if not q_terms:
         return df.select(id_col).limit(0).withColumn("score", F.lit(0.0))
-    spark = df.sparkSession
-    qdf = spark.createDataFrame([(t,) for t in q_terms], ["term"])
-    # single-file local corpora arrive as ONE partition, serializing the
-    # tokenize + postings explode on one core (no-op on cluster scans)
+    # r8 rewrite — zero keyed shuffles (was: explode every corpus token →
+    # broadcast-join the query terms → THREE groupBys). Per-term tf is a
+    # per-doc array count (the query has a handful of terms); n_docs,
+    # avgdl and every per-term document frequency come from ONE tiny
+    # global aggregate; the score is a projection against that broadcast
+    # 1-row frame. Same BM25 floats per term; the OR-match sum runs in
+    # fixed sorted-term order (the old groupBy summed in arrival order —
+    # both land on the same 1e-6-rounded values the oracle pins).
     from ondine_spark.core.partitioning import spread_small
 
     base = spread_small(df).select(
         F.col(id_col), tokens(F.col(text_col)).alias("_toks")
     ).withColumn("dl", F.size("_toks"))
-    stats = base.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    def _tf_of(term: str):
+        return F.coalesce(
+            F.size(F.filter("_toks", lambda x: x == F.lit(term))), F.lit(0)
+        ).cast("long")
+
+    tfs = base.select(
+        id_col,
+        "dl",
+        *[_tf_of(t).alias(f"_tf{i}") for i, t in enumerate(q_terms)],
     )
-    postings = (
-        base.select(id_col, "dl", F.explode("_toks").alias("term"))
-        .join(F.broadcast(qdf), on="term")
-        .groupBy(id_col, "dl", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
+    stats = tfs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"_tf{i}") >= 1).cast("long")).alias(f"_df{i}")
+            for i in range(len(q_terms))
+        ],
     )
-    df_per_term = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    scored = postings.join(F.broadcast(df_per_term), on="term").crossJoin(
-        F.broadcast(stats)
-    )
-    idf = F.log(
-        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
-    )
-    tf_part = (F.col("tf") * (k1 + 1)) / (
-        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
-    )
-    return (
-        scored.withColumn("_s", idf * tf_part)
-        .groupBy(id_col)
-        .agg(F.sum("_s").alias("score"))
-    )
+    matched = tfs.where(
+        sum(F.col(f"_tf{i}") for i in range(len(q_terms))) >= 1
+    ).crossJoin(F.broadcast(stats))
+
+    def _term_score(i: int):
+        tf = F.col(f"_tf{i}").cast("double")
+        idf = F.log(
+            (F.col("n_docs") - F.col(f"_df{i}") + 0.5)
+            / (F.col(f"_df{i}") + 0.5)
+            + 1.0
+        )
+        tf_part = (tf * (k1 + 1)) / (
+            tf + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+        )
+        return F.when(F.col(f"_tf{i}") >= 1, idf * tf_part).otherwise(
+            F.lit(0.0)
+        )
+
+    from functools import reduce
+    from operator import add
+
+    score = reduce(add, (_term_score(i) for i in range(len(q_terms))))
+    return matched.select(id_col, score.alias("score"))
 
 
 def ngram_cosine_frame(
@@ -175,36 +196,67 @@ def ngram_cosine_frame(
     if not counts:
         return df.select(id_col).limit(0).withColumn("score", F.lit(0.0))
     qnorm = math.sqrt(sum(v * v for v in counts.values()))
-    spark = df.sparkSession
-    qdf = spark.createDataFrame(
-        [(b_, v) for b_, v in sorted(counts.items())], ["bucket", "qtf"]
-    )
-    # spread before the char-3gram md5 bucketing — the per-position hash
-    # chain is the CPU-heavy stage and a single-file local corpus would
-    # otherwise run it on one core (no-op on cluster scans)
+    # r8 rewrite — ZERO keyed shuffles (was: explode every doc bucket →
+    # groupBy (id, bucket) → two more aggregates + a join). The query
+    # vector is a CONSTANT, so per-doc dot and norm need only the doc's
+    # own bucket array: the md5 ngram hashing stays JVM (the
+    # oracle-portable contract), one Arrow kernel bincounts each doc and
+    # takes dot + norm against the dense query vector. Bit-identical
+    # floats: tf/qtf are exact integers in float64 (products and sums
+    # < 2⁵³ commute exactly), cnorm the same sqrt, and the score the same
+    # _dot / (cnorm · qnorm) division. Docs sharing no bucket (dot 0) are
+    # absent, exactly like the old inner join on bucket.
+    import numpy as np
+
     from ondine_spark.core.partitioning import spread_small
 
-    buckets = (
-        spread_small(df).select(
-            F.col(id_col),
-            F.explode(ngram_buckets(F.col(text_col), dim=dim)).alias("bucket"),
-        )
-        .groupBy(id_col, "bucket")
-        .agg(F.count(F.lit(1)).alias("tf"))
+    qv = np.zeros(dim, dtype=np.float64)
+    for b_, v in counts.items():
+        qv[b_] = v
+
+    base = spread_small(df).select(
+        F.col(id_col), ngram_buckets(F.col(text_col), dim=dim).alias("_b")
     )
-    cnorm = buckets.groupBy(id_col).agg(
-        F.sqrt(F.sum(F.col("tf") * F.col("tf"))).alias("cnorm")
-    )
-    return (
-        buckets.join(F.broadcast(qdf), on="bucket")
-        .groupBy(id_col)
-        .agg(F.sum(F.col("tf") * F.col("qtf")).alias("_dot"))
-        .join(cnorm, on=id_col)
-        .select(
-            id_col,
-            (F.col("_dot") / (F.col("cnorm") * F.lit(qnorm))).alias("score"),
-        )
-    )
+    id_type = dict(base.dtypes)[id_col]
+    out_schema = f"{id_col} {id_type}, score double"
+    rows_per_block = max(1, (1 << 21) // dim)
+
+    def _cosine_batches(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            for lo in range(0, len(pdf), rows_per_block):
+                blk = pdf.iloc[lo : lo + rows_per_block]
+                n = len(blk)
+                # null text → null bucket array (None here); score it as
+                # empty, exactly like the old explode (no rows)
+                lists = [
+                    np.asarray(x if x is not None else [], dtype=np.int64)
+                    for x in blk["_b"]
+                ]
+                lens = np.fromiter(
+                    (a.size for a in lists), dtype=np.int64, count=n
+                )
+                if lens.sum() == 0:
+                    continue
+                flat = np.concatenate([a for a in lists if a.size])
+                row_of = np.repeat(np.arange(n), lens)
+                T = np.zeros((n, dim), dtype=np.float64)
+                np.add.at(T, (row_of, flat), 1.0)
+                dot = T @ qv
+                keep = dot > 0
+                if not keep.any():
+                    continue
+                cnorm = np.sqrt((T[keep] * T[keep]).sum(axis=1))
+                yield pd.DataFrame(
+                    {
+                        id_col: blk[id_col].to_numpy()[keep],
+                        "score": dot[keep] / (cnorm * qnorm),
+                    }
+                )
+
+    return base.mapInPandas(_cosine_batches, schema=out_schema)
 
 
 @dataclass

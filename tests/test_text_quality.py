@@ -192,3 +192,58 @@ def test_bigram_ranks_shuffled_text_worse(spark):
     ug = {r["doc_id"]: r["perplexity"] for r in unigram_perplexity(df, "doc_id", "text").collect()}
     assert bg[99] > bg[0]
     assert abs(ug[99] - ug[0]) < 1e-9
+
+
+def test_lm_perplexities_fused_matches_separate_ops(spark):
+    # r8 optimization: the fused frame takes the bigram model's V from
+    # the unigram vocab subplan instead of a third corpus tokenize —
+    # must be column-for-column identical to joining the two operators.
+    from ondine_spark.operators.text_analysis import (
+        bigram_perplexity,
+        lm_perplexities,
+        unigram_perplexity,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "b a"), (3, "solo"), (4, " "),
+         (5, "the cat sat on the mat"), (6, "mat the on sat cat the")],
+        ["doc_id", "text"],
+    )
+    fused = {r["doc_id"]: r for r in lm_perplexities(df, "doc_id", "text").collect()}
+    uni = {r["doc_id"]: r for r in unigram_perplexity(df, "doc_id", "text").collect()}
+    bi = {r["doc_id"]: r for r in bigram_perplexity(df, "doc_id", "text").collect()}
+    assert set(fused) == set(uni) == set(bi)
+    for d in fused:
+        assert fused[d]["n_tokens"] == uni[d]["n_tokens"]
+        assert fused[d]["n_bigrams"] == bi[d]["n_bigrams"]
+        for got, want in (
+            (fused[d]["cross_entropy_unigram"], uni[d]["cross_entropy"]),
+            (fused[d]["cross_entropy_bigram"], bi[d]["cross_entropy"]),
+        ):
+            if want is None:
+                assert got is None
+            else:
+                assert abs(got - want) < 1e-12
+
+
+def test_bigram_perplexity_vocab_df_seam(spark):
+    # passing the unigram vocab frame must give bit-equal results to the
+    # internal count_distinct tokenize (V is the same integer)
+    from ondine_spark.operators.text_analysis import (
+        _unigram_perplexity_frames,
+        bigram_perplexity,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "x y x"), (2, "y z"), (3, "")], ["doc_id", "text"]
+    )
+    _, vocab = _unigram_perplexity_frames(df, "doc_id", "text")
+    with_seam = {r["doc_id"]: r for r in bigram_perplexity(
+        df, "doc_id", "text", vocab_df=vocab).collect()}
+    without = {r["doc_id"]: r for r in bigram_perplexity(
+        df, "doc_id", "text").collect()}
+    assert set(with_seam) == set(without)
+    for d in with_seam:
+        assert with_seam[d]["n_bigrams"] == without[d]["n_bigrams"]
+        a, b = with_seam[d]["cross_entropy"], without[d]["cross_entropy"]
+        assert (a is None and b is None) or a == b

@@ -243,14 +243,19 @@ def timed_rep(spark, run_once, retries: int = LOAD_RETRIES):
     return rep, result
 
 
-def _history_band(hist_path: str, keys: set, sf: float, last_n: int = 8):
-    """Median + [min,max] band of the last N same-query-set, same-sf
-    sessions — the context a reader needs to tell one slow session from a
-    code regression. Sessions recorded under external host load
-    (``clean: false``) are EXCLUDED: a dirty run is evidence about the
-    box, not the code, and letting it widen the band would make the band
-    unable to flag the next dirty run (r7 verdict #1 — the 62.185 s
-    loaded session must not stretch the [42, 52] clean band)."""
+def _history_band(hist_path: str, keys: set, sf: float, cpus: int,
+                  last_n: int = 8):
+    """Median + [min,max] band of the last N same-query-set, same-sf,
+    same-core-count sessions — the context a reader needs to tell one
+    slow session from a code regression. Sessions recorded under
+    external host load (``clean: false``) are EXCLUDED: a dirty run is
+    evidence about the box, not the code, and letting it widen the band
+    would make the band unable to flag the next dirty run (r7 verdict #1
+    — the 62.185 s loaded session must not stretch the [42, 52] clean
+    band). Runs at a DIFFERENT core count are likewise excluded (r8: the
+    driver also benches at reduced cores to measure scaling — those runs
+    are evidence about scaling, not about drift at the standard width;
+    rows predating the ``cpus`` field were all 32-core sessions)."""
     try:
         with open(hist_path) as fh:
             rows = [json.loads(ln) for ln in fh if ln.strip()]
@@ -261,6 +266,7 @@ def _history_band(hist_path: str, keys: set, sf: float, last_n: int = 8):
         for r in rows
         if set(r.get("queries", {})) == keys and r.get("sf") == sf
         and r.get("clean", True)  # pre-gate rows (no flag) count as clean
+        and int(r.get("cpus", 32)) == cpus
     ]
     vals = [r["value"] for r in same[-last_n:]]
     if not vals:
@@ -520,8 +526,11 @@ def main() -> None:
         "queries": timings,
         "clean": clean,
         "load_gate_ext_cores": LOAD_EXT_CORES,
-        "history": _history_band(hist_path, set(timings), sf),
+        "history": _history_band(
+            hist_path, set(timings), sf, int(cpus) if cpus.isdigit() else 32
+        ),
         "reps": reps_n,
+        "cpus": int(cpus) if cpus.isdigit() else 32,
         "sf": sf,
         **api_calls,
         **prompt_bytes,

@@ -11,7 +11,7 @@ sys.path.insert(0, "/root/repo")
 from bench import _history_band  # noqa: E402
 
 
-def _row(value, clean=None, queries=("q1", "q2"), sf=0.1):
+def _row(value, clean=None, queries=("q1", "q2"), sf=0.1, cpus=None):
     r = {
         "value": value,
         "queries": {q: 1.0 for q in queries},
@@ -19,6 +19,8 @@ def _row(value, clean=None, queries=("q1", "q2"), sf=0.1):
     }
     if clean is not None:
         r["clean"] = clean
+    if cpus is not None:
+        r["cpus"] = cpus
     return r
 
 
@@ -31,7 +33,7 @@ def test_history_band_ignores_dirty_sessions(tmp_path):
         _row(50.0, clean=True),
     ]
     hist.write_text("".join(json.dumps(r) + "\n" for r in rows))
-    band = _history_band(str(hist), {"q1", "q2"}, 0.1)
+    band = _history_band(str(hist), {"q1", "q2"}, 0.1, 32)
     assert band["n"] == 3
     assert band["band"] == [45.0, 50.0]  # 62.2 excluded
     assert band["median"] == 48.0
@@ -43,7 +45,7 @@ def test_history_band_pre_gate_rows_count_as_clean(tmp_path):
     hist = tmp_path / "history.jsonl"
     rows = [_row(40.0), _row(44.0, clean=True), _row(90.0, clean=False)]
     hist.write_text("".join(json.dumps(r) + "\n" for r in rows))
-    band = _history_band(str(hist), {"q1", "q2"}, 0.1)
+    band = _history_band(str(hist), {"q1", "q2"}, 0.1, 32)
     assert band["n"] == 2
     assert band["band"] == [40.0, 44.0]
 
@@ -56,11 +58,28 @@ def test_history_band_filters_by_query_set_and_sf(tmp_path):
         _row(11.0, clean=True, sf=1.0),  # different sf
     ]
     hist.write_text("".join(json.dumps(r) + "\n" for r in rows))
-    band = _history_band(str(hist), {"q1", "q2"}, 0.1)
+    band = _history_band(str(hist), {"q1", "q2"}, 0.1, 32)
     assert band == {"n": 1, "median": 45.0, "band": [45.0, 45.0]}
 
 
 def test_history_band_none_when_no_clean_rows(tmp_path):
     hist = tmp_path / "history.jsonl"
     hist.write_text(json.dumps(_row(62.0, clean=False)) + "\n")
-    assert _history_band(str(hist), {"q1", "q2"}, 0.1) is None
+    assert _history_band(str(hist), {"q1", "q2"}, 0.1, 32) is None
+
+
+def test_history_band_filters_by_core_count(tmp_path):
+    """r8: the driver also benches at reduced cores to measure scaling;
+    those sessions are evidence about scaling, not drift at the standard
+    width. Legacy rows without a cpus field were all 32-core runs."""
+    hist = tmp_path / "history.jsonl"
+    rows = [
+        _row(45.0, clean=True),              # legacy row -> cpus 32
+        _row(47.0, clean=True, cpus=32),
+        _row(120.0, clean=True, cpus=8),     # low-core scaling run
+    ]
+    hist.write_text("".join(json.dumps(r) + "\n" for r in rows))
+    band = _history_band(str(hist), {"q1", "q2"}, 0.1, 32)
+    assert band == {"n": 2, "median": 47.0, "band": [45.0, 47.0]}
+    band8 = _history_band(str(hist), {"q1", "q2"}, 0.1, 8)
+    assert band8 == {"n": 1, "median": 120.0, "band": [120.0, 120.0]}

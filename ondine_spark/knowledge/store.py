@@ -362,8 +362,6 @@ class KnowledgeStore:
             .groupBy("term", "chunk_id")
             .agg(F.count(F.lit(1)).alias("tf"))
         )
-        terms.write.mode(mode).parquet(os.path.join(self.path, "terms"))
-
         buckets = (
             chunks.select(
                 "chunk_id",
@@ -374,7 +372,24 @@ class KnowledgeStore:
             .groupBy("bucket", "chunk_id")
             .agg(F.count(F.lit(1)).alias("tf"))
         )
-        buckets.write.mode(mode).parquet(os.path.join(self.path, "buckets"))
+        # The two index builds read the SAME written chunk table and write
+        # to disjoint paths, so they are independent jobs: submit both and
+        # let the second's tasks back-fill the first's straggler tail
+        # (guide §2.6). Each job's plan — and therefore each index's
+        # content — is exactly what the sequential writes produced.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            futs = [
+                pool.submit(
+                    lambda df=df, name=name: df.write.mode(mode).parquet(
+                        os.path.join(self.path, name)
+                    )
+                )
+                for df, name in ((terms, "terms"), (buckets, "buckets"))
+            ]
+            for f in futs:
+                f.result()
         _write_store_meta(
             self.spark, self.path, {"ngram_dim": self.ngram_dim, "version": 1}
         )

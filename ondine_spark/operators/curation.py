@@ -157,18 +157,28 @@ def dup_ngram_fraction(
         F.col(id_col),
         F.when(F.col("gram").isNull(), None).otherwise(md5_long(F.col("gram"))).alias("g"),
     )
-    freq = (
-        keyed.where(F.col("g").isNotNull())
-        .groupBy("g")
-        .agg(F.count(F.lit(1)).alias("df"))
-    )
-    joined = keyed.join(freq, "g", "left")
+    # r8: df via count-over-window on the gram key instead of a separate
+    # groupBy(g) + join back — the join shape evaluated the gram explode
+    # (the expensive corpus pass) TWICE, once per plan branch, and above
+    # the broadcast threshold would re-shuffle the gram frame a second
+    # time for a sort-merge join. One explode, one keyed exchange; for a
+    # non-null gram, count(*) over its hash partition IS the old freq.df.
+    # Null grams (docs shorter than n words) share one window partition,
+    # so their rows must be masked out of the dup test explicitly — the
+    # old shape got that for free from the left join's null df.
+    w = Window.partitionBy("g")
+    counted = keyed.withColumn("_df", F.count(F.lit(1)).over(w))
     return (
-        joined.groupBy(id_col)
+        counted.groupBy(id_col)
         .agg(
             F.count(F.col("g")).alias("n_grams"),
             F.coalesce(
-                F.sum(F.when(F.col("df") >= 2, 1).otherwise(0)), F.lit(0)
+                F.sum(
+                    F.when(
+                        F.col("g").isNotNull() & (F.col("_df") >= 2), 1
+                    ).otherwise(0)
+                ),
+                F.lit(0),
             ).alias("dup_grams"),
         )
         .withColumn(

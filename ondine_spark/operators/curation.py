@@ -642,39 +642,23 @@ def excise_duplicate_spans(
         .groupBy("_did", "_isl")
         .agg(F.min("_s").alias("_s"), F.max("_e").alias("_e"))
     )
-    # r8: drop covered tokens with a per-doc array filter instead of a
-    # token-level anti range-join. The old shape shuffled every corpus
-    # token TWICE (once into the sort-merge anti join on _did, once into
-    # the rebuild groupBy); now tokens shuffle once into the per-doc
-    # aggregate, the tiny island table joins on the same key (exchange
-    # reused), and coverage is an exists() over the doc's own islands —
-    # interval count per doc stays bounded by its duplicated spans, so
-    # the per-token check is O(islands(doc)). A token survives iff no
-    # island covers its position: exactly the anti-join predicate.
-    isl_arr = islands.groupBy("_did").agg(
-        F.collect_list(F.struct("_s", "_e")).alias("_islands")
+    survivors = toks.join(
+        islands,
+        on=[
+            toks["_did"] == islands["_did"],
+            toks["_pos"] >= islands["_s"],
+            toks["_pos"] < islands["_e"],
+        ],
+        how="left_anti",
     )
-    tok_arr = toks.groupBy("_did").agg(
-        F.array_sort(F.collect_list(F.struct("_pos", "_tok"))).alias("_ts")
-    )
-    rebuilt = tok_arr.join(isl_arr, on="_did", how="left").select(
-        "_did",
+    rebuilt = survivors.groupBy("_did").agg(
         F.array_join(
             F.transform(
-                F.when(F.col("_islands").isNull(), F.col("_ts")).otherwise(
-                    F.filter(
-                        "_ts",
-                        lambda t: ~F.exists(
-                            "_islands",
-                            lambda i: (t["_pos"] >= i["_s"])
-                            & (t["_pos"] < i["_e"]),
-                        ),
-                    )
-                ),
+                F.array_sort(F.collect_list(F.struct("_pos", "_tok"))),
                 lambda s: s["_tok"],
             ),
             " ",
-        ).alias("_rebuilt"),
+        ).alias("_rebuilt")
     )
     others = [c for c in df.columns if c != out_col]
     return df.join(

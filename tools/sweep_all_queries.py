@@ -52,6 +52,12 @@ def main() -> None:
         best = None
         for _ in range(reps):
             spark.catalog.clearCache()
+            # GC-fence each rep like bench.timed_rep: without it the
+            # previous query's heap debt lands on this one's clock (the
+            # un-fenced sweep measured jaccard_pairs at 6.8 s where the
+            # isolated steady state is 1.8-2.0 s)
+            spark._jvm.System.gc()
+            time.sleep(0.2)
             t0 = time.monotonic()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             dt = time.monotonic() - t0

@@ -245,6 +245,49 @@ class ChunkClaims:
             return False  # another stealer renamed it first
         return self.claim(chunk_id)
 
+    def recover(self, chunk_ids, budget_check=None, deadline=None,
+                poll=None):
+        """Post-loop recovery pass (generator): resolve uncommitted
+        claims left by OTHER same-generation workers. Yields every chunk
+        id this caller successfully steals (the caller processes it
+        before the next poll iteration, which also lets remaining leases
+        age); RETURNS (via StopIteration.value / ``yield from``) the ids
+        still unresolved at the deadline.
+
+        r8 verdict #1b: the old pass made ONE instantaneous staleness
+        check per skipped chunk, so a claimant that died within the last
+        ``lease_ttl`` seconds — its claim uncommitted but its lease not
+        yet expired — was reported as a hole even though the lease was
+        about to go stale. Now the pass POLLS until each claim resolves:
+        a committed claim drops out, a stale claim is stolen, and only a
+        claim still fresh at the deadline (its owner is alive and
+        heartbeating — it will commit, or a follow-up run heals it via
+        plain resume semantics) is returned as unresolved. The deadline
+        defaults to 2x lease_ttl from now: an owner already dead when
+        this pass starts has a frozen mtime, so its claim goes stale
+        within lease_ttl — strictly inside the window."""
+        pending = [c for c in chunk_ids if not self.committed(c)]
+        if deadline is None:
+            deadline = time.monotonic() + 2.0 * self.lease_ttl
+        if poll is None:
+            poll = max(0.05, min(0.25, self.lease_ttl / 8.0))
+        while pending:
+            still = []
+            for cid in pending:
+                if self.committed(cid):
+                    continue
+                if budget_check is not None:
+                    budget_check()
+                if self.steal(cid):
+                    yield cid
+                elif not self.committed(cid):
+                    still.append(cid)
+            pending = still
+            if not pending or time.monotonic() >= deadline:
+                break
+            time.sleep(poll)
+        return pending
+
     def unresolved(self) -> list[int]:
         """Chunk ids claimed but not committed — the holes a follow-up
         run (or a stale-steal) must fill."""

@@ -307,11 +307,16 @@ def iter_chunks(
         def _owned_chunks():
             """Chunk ids this worker owns: its claim wins, then — after
             the normal sweep — STALE claims stolen from same-generation
-            workers that died mid-chunk (ChunkClaims docstring).
-            Uncommitted-but-fresh claims are never stolen; they land in
-            ``summary.unresolved_chunks`` (a snapshot at this worker's
-            completion — their owner may still commit them, or a
-            follow-up run heals them via plain resume semantics)."""
+            workers that died mid-chunk (ChunkClaims docstring). The
+            recovery pass POLLS each skipped claim until it resolves
+            (committed, or stale → stolen), bounded by a 2x-lease_ttl
+            deadline (r8 verdict: one instantaneous staleness check
+            reported a just-died claimant's chunk as a hole because its
+            lease hadn't expired yet). Claims still FRESH at the
+            deadline have a live, heartbeating owner; they land in
+            ``summary.unresolved_chunks`` (their owner may still commit
+            them, or a follow-up run heals them via plain resume
+            semantics)."""
             for cid in range(int(n_chunks)):
                 _budget_check()
                 if claims is not None and not claims.claim(cid):
@@ -320,14 +325,10 @@ def iter_chunks(
                 yield cid
             if claims is None:
                 return
-            for cid in skipped:
-                if claims.committed(cid):
-                    continue
-                _budget_check()
-                if claims.steal(cid):
-                    yield cid
-                elif not claims.committed(cid):
-                    summary.unresolved_chunks.append(cid)
+            leftover = yield from claims.recover(
+                skipped, budget_check=_budget_check
+            )
+            summary.unresolved_chunks.extend(leftover)
 
         for cid in _owned_chunks():
             dispatcher.emit(

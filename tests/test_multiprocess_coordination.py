@@ -350,6 +350,68 @@ def test_crashed_claimant_chunk_is_stolen_and_completed(spark, tmp_path):
     assert len(gen_dirs) == 1, gen_dirs  # exactly one stolen claim
 
 
+def _drive(gen):
+    """Run a recover() generator to completion; return (yielded, returned)."""
+    stolen = []
+    while True:
+        try:
+            stolen.append(next(gen))
+        except StopIteration as stop:
+            return stolen, stop.value
+
+
+def test_recover_waits_out_fresh_lease_of_dead_owner(tmp_path):
+    """r8 verdict #1b: a claimant that died < lease_ttl ago leaves an
+    uncommitted claim that is NOT yet stale. The recovery pass must poll
+    until the lease expires and then steal — not report a hole from one
+    instantaneous staleness check."""
+    from ondine_spark.orchestration.coordination import ChunkClaims
+
+    c = ChunkClaims(str(tmp_path), "s", "g", lease_ttl=0.6)
+    # a dead owner's claim: file exists, freshly touched, no heartbeat
+    with open(c._claim_path(0), "w") as f:
+        f.write("99999 0\n")
+    assert not c.stale(0)  # the lease has NOT expired yet
+    t0 = time.time()
+    stolen, leftover = _drive(c.recover([0]))
+    assert stolen == [0] and leftover == []
+    # it actually waited for lease expiry rather than stealing a live lease
+    assert time.time() - t0 >= 0.3
+
+
+def test_recover_sees_late_commit_by_live_owner(tmp_path):
+    """A live-and-slow owner keeps heartbeating and commits mid-pass:
+    recover() must NOT steal, and the chunk must not be unresolved."""
+    import threading
+
+    from ondine_spark.orchestration.coordination import ChunkClaims
+
+    owner = ChunkClaims(str(tmp_path), "s", "g", lease_ttl=0.8)
+    assert owner.claim(0)  # heartbeat thread keeps the lease fresh
+    survivor = ChunkClaims(str(tmp_path), "s", "g", lease_ttl=0.8)
+    threading.Timer(0.5, owner.commit, args=(0,)).start()
+    stolen, leftover = _drive(survivor.recover([0]))
+    assert stolen == [] and leftover == []
+    assert survivor.committed(0)
+
+
+def test_recover_leaves_live_uncommitted_owner_unresolved(tmp_path):
+    """An owner that stays alive (heartbeating) but never commits within
+    the deadline: recover() must give up at ~2x lease_ttl and report the
+    chunk unresolved — never steal a live lease."""
+    from ondine_spark.orchestration.coordination import ChunkClaims
+
+    owner = ChunkClaims(str(tmp_path), "s", "g", lease_ttl=0.8)
+    assert owner.claim(0)  # daemon heartbeat refreshes mtime every ttl/4
+    survivor = ChunkClaims(str(tmp_path), "s", "g", lease_ttl=0.8)
+    t0 = time.time()
+    stolen, leftover = _drive(survivor.recover([0]))
+    elapsed = time.time() - t0
+    assert stolen == [] and leftover == [0]
+    assert elapsed >= 1.5, elapsed  # honoured the 2x-ttl deadline
+    assert os.path.exists(owner._claim_path(0))  # lease never stolen
+
+
 MEMO_WORKER = """
 import json, os, sys, time
 sys.path.insert(0, {repo!r})

@@ -59,7 +59,7 @@ def main() -> None:
     # non-bench oracle gates can be requested explicitly by name
     names += [n for n in subset if n not in names and n in qs]
 
-    out_dir = os.path.join(REPO, "plans", "r08")
+    out_dir = os.path.join(REPO, "plans", os.environ.get("PLANS_TAG", "r09"))
     os.makedirs(out_dir, exist_ok=True)
     for name in names:
         try:

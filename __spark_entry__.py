@@ -42,6 +42,50 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+# FULL transcription of functions/preprocessing.preprocess_text:
+# NFC → category-C chars to space → ®™-strip + curly-quote
+# straighten + zero-width strip → Python-\\w scrub (RE2
+# [^\\p{L}\\p{N}_..] — Python's \\w is isalnum-based, so NO \\p{M}:
+# combining marks are scrubbed) → whitespace collapse (incl. \\p{Z},
+# Python \\s matches NBSP) → word-boundary truncation. Property-
+# tested 0/900 mismatches vs the Python chain on unicode fuzz
+# (tests/test_unicode_parity.py). Standalone (doc_id, clean_text)
+# SELECT — embedded in the prompt_render oracle since the r9 cap swap.
+_PREPROCESS_SQL = """
+    WITH t AS (
+      SELECT doc_id,
+             trim(regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   replace(replace(replace(replace(
+                     regexp_replace(
+                       regexp_replace(nfc_normalize(text),
+                                      '\\p{C}', ' ', 'g'),
+                       '[®™©℗℠]', '', 'g'),
+                   chr(8220), '"'), chr(8221), '"'),
+                   chr(8216), chr(39)), chr(8217), chr(39)),
+                   '[\\x{200b}-\\x{200f}\\x{feff}]', '', 'g'),
+                 '[^\\p{L}\\p{N}_\\s\\p{Z},\\-/\\.\\(\\)&]', ' ', 'g'),
+               '[\\s\\p{Z}]+', ' ', 'g')) AS s
+      FROM documents
+    ), pos AS (
+      SELECT doc_id, s,
+             CASE WHEN length(s) <= 200 THEN NULL
+                  WHEN strpos(reverse(substr(s, 1, 197)), ' ') = 0 THEN 0
+                  ELSE 197 - strpos(reverse(substr(s, 1, 197)), ' ')
+             END AS last_space  -- 0-based index of last space in s[:197]
+      FROM t
+    )
+    SELECT doc_id,
+           CASE WHEN last_space IS NULL THEN s
+                WHEN last_space > 140
+                  THEN rtrim(substr(s, 1, last_space)) || '...'
+                ELSE rtrim(substr(s, 1, 197)) || '...'
+           END AS clean_text
+    FROM pos
+"""
+
+
 # --------------------------------------------------------------------------
 # fixed trained artifacts for the PQ / BPE gates. Oracle SQL must be a
 # constant string per gate (the driver replays it over mutated table
@@ -255,20 +299,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # F1 (format expr, JVM concat) + F2 (jinja2 pandas UDF, '{{'
         # autodetected; n_chars referenced only inside {% if %} so the
         # jinja2.meta variable walk is exercised, not just the {{ }} regex)
+        # + F3 (preprocess/truncate chain) — the standalone
+        # preprocess_truncate gate was merged in here (same per-doc
+        # projection grain, zero-shuffle) in round 9 to free the 50-cap
+        # slot back for strip_boilerplate; swap recorded in
+        # FIXTURES.md/ROUNDLOG.md.
         from ondine_spark.functions.templates import prompt_column
 
         jt = ("Doc {{ doc_id }} [{{ lang }}]"
               "{% if n_chars > 300 %} LONG{% endif %}: {{ text }}")
+        clean = preprocess_udf(max_length=200)
         return _docs(spark, sf_dir).select(
             "doc_id",
             render_format_template("Summarize: {text} [lang={lang}]").alias("prompt"),
             prompt_column(jt).alias("jinja_prompt"),
-        )
-
-    def q_preprocess_truncate(spark, sf_dir):
-        clean = preprocess_udf(max_length=200)
-        return _docs(spark, sf_dir).select(
-            "doc_id", clean(F.col("text")).alias("clean_text")
+            clean(F.col("text")).alias("clean_text"),
         )
 
     # ---- merge / resume / contradiction (J1/J5/A6) -----------------------
@@ -356,16 +401,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         counts = ta.pii_counts(piitext)
         # spread (r8): the PII regex chains are the CPU stage of this
         # projection; a single-file scan runs them on one core
-        red = spread_small(_docs(spark, sf_dir)).select(
+        # back to the pure PII projection (r9): strip_boilerplate has its
+        # own named gate again (the r8 cap squeeze was resolved by merging
+        # preprocess_truncate into prompt_render instead), so the join
+        # and its second corpus scan are gone
+        return spread_small(_docs(spark, sf_dir)).select(
             "doc_id",
             ta.redact_pii(piitext).alias("redacted"),
             *[c.alias(f"n_{k}") for k, c in counts.items()],
         )
-        # consolidated with the boilerplate-strip gate (same per-doc
-        # grain) to stay under the driver's 50-gate cap when the
-        # kb_row_topk gate was added (round 8)
+
+    def q_strip_boilerplate(spark, sf_dir):
         from ondine_spark.operators.curation import remove_boilerplate_lines
 
+        # synthetic docs are single-line, so wrap each in shared template
+        # chrome (same construction in the oracle): the operator must
+        # strip exactly the chrome and return the body untouched
         page = _docs(spark, sf_dir).select(
             "doc_id",
             F.concat(
@@ -374,10 +425,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.lit("\nCopyright 2026 Example Corp"),
             ).alias("page"),
         )
-        stripped = remove_boilerplate_lines(
+        return remove_boilerplate_lines(
             page, "doc_id", "page", max_docs=50
         ).select("doc_id", F.col("page").alias("cleaned"))
-        return red.join(stripped, on="doc_id")
 
     def q_lang_fingerprints(spark, sf_dir):
         """Language-ID + exact/rolling document fingerprints in one
@@ -1282,9 +1332,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ("enrich_modes", q_enrich_modes),
             ("enrich_json_multicol", q_enrich_json_multicol),
             ("enrich_cost_agg", q_enrich_cost_agg),
+            # r9 cap swap: preprocess_truncate merged INTO prompt_render
+            # (same per-doc projection grain) to restore the freed slot
+            # to strip_boilerplate — recorded in FIXTURES.md/ROUNDLOG.md
             ("prompt_render", q_prompt_render),
             ("router_distribution", q_router_distribution),
-            ("preprocess_truncate", q_preprocess_truncate),
             ("merge_resume", q_merge_resume),
             ("contradiction_groups", q_contradiction_groups),
         ],
@@ -1325,7 +1377,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ("decontaminate", q_decontaminate),
             ("sample_mix", q_sample_mix),
             ("pack_sequences", q_pack_sequences),
-                        ("dedup_paragraphs", q_dedup_paragraphs),
+            ("strip_boilerplate", q_strip_boilerplate),
+            ("dedup_paragraphs", q_dedup_paragraphs),
             ("asof_purchases", q_asof_purchases),
             ("range_join_sessions", q_range_join_sessions),
             ("revenue_by_nation", q_revenue_by_nation),
@@ -1610,54 +1663,20 @@ def oracle_sql() -> dict[str, str]:
             FROM resp GROUP BY sentiment
         """,
         # null renders as the string 'None' on BOTH template paths
-        # (Python str.format / jinja2 parity — engine render_format_template)
-        "prompt_render": (
-            "SELECT doc_id, 'Summarize: ' || coalesce(text,'None') || ' [lang=' || "
-            "coalesce(lang,'None') || ']' AS prompt, "
-            "'Doc ' || doc_id || ' [' || coalesce(lang,'None') || ']' || "
-            "CASE WHEN coalesce(n_chars,0) > 300 THEN ' LONG' ELSE '' END || ': ' "
-            "|| coalesce(text,'None') AS jinja_prompt FROM documents"
-        ),
-        # FULL transcription of functions/preprocessing.preprocess_text:
-        # NFC → category-C chars to space → ®™-strip + curly-quote
-        # straighten + zero-width strip → Python-\\w scrub (RE2
-        # [^\\p{L}\\p{N}_..] — Python's \\w is isalnum-based, so NO \\p{M}:
-        # combining marks are scrubbed) → whitespace collapse (incl. \\p{Z},
-        # Python \\s matches NBSP) → word-boundary truncation. Property-
-        # tested 0/900 mismatches vs the Python chain on unicode fuzz
-        # (tests/test_unicode_parity.py).
-        "preprocess_truncate": """
-            WITH t AS (
-              SELECT doc_id,
-                     trim(regexp_replace(
-                       regexp_replace(
-                         regexp_replace(
-                           replace(replace(replace(replace(
-                             regexp_replace(
-                               regexp_replace(nfc_normalize(text),
-                                              '\\p{C}', ' ', 'g'),
-                               '[®™©℗℠]', '', 'g'),
-                           chr(8220), '"'), chr(8221), '"'),
-                           chr(8216), chr(39)), chr(8217), chr(39)),
-                           '[\\x{200b}-\\x{200f}\\x{feff}]', '', 'g'),
-                         '[^\\p{L}\\p{N}_\\s\\p{Z},\\-/\\.\\(\\)&]', ' ', 'g'),
-                       '[\\s\\p{Z}]+', ' ', 'g')) AS s
-              FROM documents
-            ), pos AS (
-              SELECT doc_id, s,
-                     CASE WHEN length(s) <= 200 THEN NULL
-                          WHEN strpos(reverse(substr(s, 1, 197)), ' ') = 0 THEN 0
-                          ELSE 197 - strpos(reverse(substr(s, 1, 197)), ' ')
-                     END AS last_space  -- 0-based index of last space in s[:197]
-              FROM t
-            )
-            SELECT doc_id,
-                   CASE WHEN last_space IS NULL THEN s
-                        WHEN last_space > 140
-                          THEN rtrim(substr(s, 1, last_space)) || '...'
-                        ELSE rtrim(substr(s, 1, 197)) || '...'
-                   END AS clean_text
-            FROM pos
+        # (Python str.format / jinja2 parity — engine render_format_template);
+        # clean_text is the full preprocess/truncate transcription
+        # (_PREPROCESS_SQL) — the standalone preprocess_truncate gate was
+        # merged in here in round 9 (cap swap for strip_boilerplate)
+        "prompt_render": f"""
+            WITH pt AS ({_PREPROCESS_SQL})
+            SELECT d.doc_id,
+                   'Summarize: ' || coalesce(d.text,'None') || ' [lang=' ||
+                     coalesce(d.lang,'None') || ']' AS prompt,
+                   'Doc ' || d.doc_id || ' [' || coalesce(d.lang,'None') || ']' ||
+                     CASE WHEN coalesce(d.n_chars,0) > 300 THEN ' LONG' ELSE '' END
+                     || ': ' || coalesce(d.text,'None') AS jinja_prompt,
+                   pt.clean_text
+            FROM documents d JOIN pt ON pt.doc_id = d.doc_id
         """,
         "merge_resume": (
             "SELECT doc_id, "
@@ -1720,6 +1739,7 @@ def oracle_sql() -> dict[str, str]:
               ON a.doc_id = b.doc_id
         """,
         "redact_pii": _redact_sql(),
+        "strip_boilerplate": _strip_sql(),
         "pack_sequences": f"""
             WITH t AS (
               SELECT doc_id,
@@ -3061,7 +3081,13 @@ def _redact_sql() -> str:
         f"len(regexp_extract_all({x}, '{pat}'))::INT AS n_{name}"
         for name, pat, _ in REDACT_PATTERNS
     )
-    strip = f"""
+    return f"SELECT doc_id, {red} AS redacted, {counts} FROM documents"
+
+
+def _strip_sql() -> str:
+    """Mirror q_strip_boilerplate: template chrome wrap + frequent-line
+    removal (threshold c > 50 docs), rebuilt in original line order."""
+    return f"""
         WITH t AS (
           SELECT doc_id,
                  'Cookie Notice: We Use Cookies' || chr(10) || text
@@ -3091,11 +3117,6 @@ def _redact_sql() -> str:
         SELECT d.doc_id, coalesce(r.cleaned, '') AS cleaned
         FROM documents d LEFT JOIN rebuilt r ON r.doc_id = d.doc_id
     """
-    return (
-        f"SELECT r.doc_id, r.redacted, {', '.join('r.n_' + n for n, _, _ in REDACT_PATTERNS)}, s.cleaned"
-        f" FROM (SELECT doc_id, {red} AS redacted, {counts} FROM documents) r"
-        f" JOIN ({strip}) s ON r.doc_id = s.doc_id"
-    )
 
 
 def _lang_id_sql() -> str:

@@ -21,8 +21,9 @@ import pytest
 import __spark_entry__ as entrymod
 from tools.gen_unicode_data import mutate
 
-# the gates the unicode probe originally broke
-GATES = ["preprocess_truncate", "mm_meta_hist", "mm_frames", "winnow_pairs"]
+# the gates the unicode probe originally broke (the preprocess/truncate
+# surface lives inside prompt_render since the r9 cap swap)
+GATES = ["prompt_render", "mm_meta_hist", "mm_frames", "winnow_pairs"]
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
@@ -79,7 +80,7 @@ def test_preprocess_transcription_property_fuzz():
     \\s includes \\p{Z}, both encoded in the RE2 classes)."""
     from ondine_spark.functions.preprocessing import preprocess_text
 
-    sql = entrymod.oracle_sql()["preprocess_truncate"]
+    sql = entrymod._PREPROCESS_SQL
     con = duckdb.connect()
     rng = random.Random(13)
     samples = [

@@ -157,29 +157,58 @@ def dup_ngram_fraction(
         F.col(id_col),
         F.when(F.col("gram").isNull(), None).otherwise(md5_long(F.col("gram"))).alias("g"),
     )
-    # r8: df via count-over-window on the gram key instead of a separate
-    # groupBy(g) + join back — the join shape evaluated the gram explode
-    # (the expensive corpus pass) TWICE, once per plan branch, and above
-    # the broadcast threshold would re-shuffle the gram frame a second
-    # time for a sort-merge join. One explode, one keyed exchange; for a
-    # non-null gram, count(*) over its hash partition IS the old freq.df.
-    # Null grams (docs shorter than n words) share one window partition,
-    # so their rows must be masked out of the dup test explicitly — the
-    # old shape got that for free from the left join's null df.
-    w = Window.partitionBy("g")
-    counted = keyed.withColumn("_df", F.count(F.lit(1)).over(w))
-    return (
-        counted.groupBy(id_col)
-        .agg(
-            F.count(F.col("g")).alias("n_grams"),
+    # r9 (skew hardening, guide §2.3/§2.5): the r8 count-over-window on
+    # the gram key had NO partial aggregation — every instance of a hot
+    # gram (a corpus-scale stop phrase) landed in ONE window partition,
+    # and AQE skew handling does not apply to windows. Same for the null
+    # grams of every short doc, which shared one window partition.
+    # Rewritten as the unique-complement identity over two plain
+    # aggregations, both of which DO partial (map-side) aggregation, so a
+    # hot key collapses to one partial row per map task before the
+    # shuffle:
+    #   dup_grams(doc) = n_grams(doc) − #{grams unique to the corpus
+    #                                     owned by doc}
+    # A df=1 gram has exactly one owner (per-doc grams are distinct —
+    # word_ngrams dedups), so min(id) over its group IS that owner.
+    # Exactly the old semantics: a non-null gram counts as dup iff its
+    # hash's doc frequency ≥ 2; null grams are excluded from both sides.
+    # The gram map stage (tokenize + explode) is evaluated once per
+    # branch — pure, linearly-scaling map work, the price of removing
+    # the single-reducer hot-key bottleneck (cf. window_chunking's r8
+    # trade). The two groupBy(id) outputs share partitioning, so the
+    # final join adds no exchange.
+    # n_grams needs NO instance rows at all: it is the per-doc gram-array
+    # size (summed per id to keep duplicate-id inputs aggregating exactly
+    # like the old shape), so this branch skips the explode AND the md5 —
+    # the second evaluation of the map stage costs one tokenize, not the
+    # full hash chain.
+    per_doc = (
+        spread_small(df)
+        .select(
+            F.col(id_col),
             F.coalesce(
-                F.sum(
-                    F.when(
-                        F.col("g").isNotNull() & (F.col("_df") >= 2), 1
-                    ).otherwise(0)
-                ),
-                F.lit(0),
-            ).alias("dup_grams"),
+                F.size(word_ngrams(F.col(text_col), n)), F.lit(0)
+            ).alias("_n"),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("_n").cast("bigint").alias("n_grams"))
+    )
+    uniq = (
+        keyed.where(F.col("g").isNotNull())
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("_df"), F.min(id_col).alias(id_col))
+        .where(F.col("_df") == 1)
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("_uniq"))
+    )
+    return (
+        per_doc.join(uniq, on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            F.col("n_grams"),
+            (F.col("n_grams") - F.coalesce(F.col("_uniq"), F.lit(0))).alias(
+                "dup_grams"
+            ),
         )
         .withColumn(
             "dup_frac",

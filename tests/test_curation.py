@@ -416,3 +416,36 @@ def test_shard_for_training_check_unique_and_col_collision(spark):
         r["doc_id"]: (r["shard"], r["pos"])
         for r in shard_for_training(uniq, 4).collect()
     }
+
+
+def test_dup_ngram_fraction_duplicate_ids_merge_like_instances(spark):
+    """r9 internals change (unique-complement aggregation instead of the
+    count-over-window): duplicate ids must still aggregate per id with
+    instance-counting semantics — every row's gram instances count."""
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (1, "a b c x"), (2, "a b c y")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dup_ngram_fraction(df, "doc_id", "text", 3).collect()}
+    # "a b c" occurs in 3 instances (doc 1 twice, doc 2 once) -> dup;
+    # the three "b c ?" grams are corpus-unique
+    assert out[1].n_grams == 4 and out[1].dup_grams == 2
+    assert out[1].dup_frac == 0.5
+    assert out[2].n_grams == 2 and out[2].dup_grams == 1
+
+
+def test_dup_ngram_fraction_plan_is_window_free(spark):
+    """r9 skew hardening: the gram doc-frequency must come from partially
+    aggregating groupBys (hot keys collapse map-side), never a window
+    over the gram key (no partial aggregation — one reducer per hot
+    gram at corpus scale, and AQE skew handling does not cover windows)."""
+    import contextlib
+    import io
+
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        dup_ngram_fraction(df, "doc_id", "text", 3).explain("formatted")
+    plan = buf.getvalue()
+    assert "Window" not in plan, plan
+    assert "HashAggregate" in plan

@@ -171,46 +171,6 @@ def test_estimate_cost(spark):
     assert est["confidence"] == "sample-based"
 
 
-def test_salted_agg_matches_plain(spark):
-    from pyspark.sql import functions as F
-
-    from ondine_spark.core.partitioning import salted_agg
-
-    # one hot key (90% of rows) + long tail
-    rows = [("hot", float(i % 7)) for i in range(900)]
-    rows += [(f"k{i}", float(i)) for i in range(100)]
-    df = spark.createDataFrame(rows, ["k", "v"])
-    got = {
-        r["k"]: (r["n"], r["total"], r["mx"])
-        for r in salted_agg(
-            df, ["k"],
-            {"n": F.count(F.lit(1)), "total": F.sum("v"), "mx": F.max("v")},
-        ).collect()
-    }
-    want = {
-        r["k"]: (r["n"], r["total"], r["mx"])
-        for r in df.groupBy("k").agg(
-            F.count(F.lit(1)).alias("n"), F.sum("v").alias("total"),
-            F.max("v").alias("mx"),
-        ).collect()
-    }
-    assert got == want
-
-
-def test_replicate_dim_join_matches_plain(spark):
-    from ondine_spark.core.partitioning import replicate_dim_join
-
-    fact = spark.createDataFrame(
-        [(i % 3, f"row{i}") for i in range(300)], ["k", "payload"]
-    )
-    dim = spark.createDataFrame([(0, "a"), (1, "b"), (2, "c")], ["k", "attr"])
-    got = replicate_dim_join(fact, dim, "k", n_salts=8)
-    assert got.count() == 300
-    plain = fact.join(dim, on="k")
-    assert got.groupBy("attr").count().orderBy("attr").collect() == \
-        plain.groupBy("attr").count().orderBy("attr").collect()
-
-
 def test_plan_shapes(spark, sf_dir):
     """Plan-hygiene regression net (full audit: tools/plan_audit.py)."""
     import contextlib

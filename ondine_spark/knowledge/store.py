@@ -377,19 +377,31 @@ class KnowledgeStore:
         # let the second's tasks back-fill the first's straggler tail
         # (guide §2.6). Each job's plan — and therefore each index's
         # content — is exactly what the sequential writes produced.
-        from concurrent.futures import ThreadPoolExecutor
+        # InheritableThread (not a bare pool): the caller's Spark local
+        # properties (job group/description/scheduler pool) carry into
+        # both write jobs, so sc.cancelJobGroup() around ingest still
+        # cancels them, and under pinned-thread mode the matching JVM
+        # threads are cleaned up instead of leaking across ingests.
+        from pyspark import InheritableThread
 
-        with ThreadPoolExecutor(max_workers=2) as pool:
-            futs = [
-                pool.submit(
-                    lambda df=df, name=name: df.write.mode(mode).parquet(
-                        os.path.join(self.path, name)
-                    )
-                )
-                for df, name in ((terms, "terms"), (buckets, "buckets"))
-            ]
-            for f in futs:
-                f.result()
+        errs: list[BaseException] = []
+
+        def _write(df: DataFrame, name: str) -> None:
+            try:
+                df.write.mode(mode).parquet(os.path.join(self.path, name))
+            except BaseException as exc:  # surfaced on the caller thread
+                errs.append(exc)
+
+        threads = [
+            InheritableThread(target=_write, args=(df, name))
+            for df, name in ((terms, "terms"), (buckets, "buckets"))
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        if errs:
+            raise errs[0]
         _write_store_meta(
             self.spark, self.path, {"ngram_dim": self.ngram_dim, "version": 1}
         )

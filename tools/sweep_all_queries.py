@@ -65,7 +65,13 @@ def main() -> None:
         out[name] = round(best, 3)
         print(f"{name:28s} {best:7.3f}", flush=True)
 
-    print(json.dumps(dict(sorted(out.items(), key=lambda kv: -kv[1]))))
+    # gc_fenced marks the measurement methodology: reps are GC-fenced
+    # (since r8), so these numbers are NOT comparable to pre-r8 un-fenced
+    # sweep history
+    print(json.dumps({
+        "gc_fenced": True,
+        "queries": dict(sorted(out.items(), key=lambda kv: -kv[1])),
+    }))
     spark.stop()
 
 

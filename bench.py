@@ -243,6 +243,47 @@ def timed_rep(spark, run_once, retries: int = LOAD_RETRIES):
     return rep, result
 
 
+def _median(runs: list[float]) -> float:
+    n = len(runs)
+    return runs[n // 2] if n % 2 else (runs[n // 2 - 1] + runs[n // 2]) / 2
+
+
+def _retry_dirty(spark, reps_n, load_map, timings_map, samples_map,
+                 registry, label=""):
+    """One whole-query retry pass for queries whose final reps stayed
+    loaded (r8, verdict #1): per-rep retries cover second-scale load
+    spikes, but a multi-minute external job dirties every rep of a
+    query — re-measuring those queries once at the END of the run
+    (minutes later, after one settle pause) rescues the record when
+    the load was transient. Replaces timings only if the re-run is
+    fully clean; otherwise the original loaded evidence stands and the
+    artifact flags itself as before."""
+    dirty = sorted(
+        n for n, rs in load_map.items() if any(r["loaded"] for r in rs)
+    )
+    if not dirty:
+        return
+    print(f"# load-gate retry pass over {label}{dirty}", file=sys.stderr)
+    time.sleep(10.0)
+    for name in dirty:
+        retry_reps: list[dict] = []
+        for _ in range(reps_n):
+            rep, _n = timed_rep(spark, registry[name])
+            retry_reps.append(rep)
+            spark.catalog.clearCache()
+        if any(r["loaded"] for r in retry_reps):
+            print(f"#   {name}: still loaded, keeping original reps",
+                  file=sys.stderr)
+            continue
+        runs = sorted(r["sec"] for r in retry_reps)
+        med = _median(runs)
+        print(f"#   {name}: clean re-measure {med:.3f}s "
+              f"(was {timings_map[name]:.3f}s loaded)", file=sys.stderr)
+        timings_map[name] = round(med, 3)
+        samples_map[name] = runs
+        load_map[name] = retry_reps
+
+
 def _history_band(hist_path: str, keys: set, sf: float, cpus: int,
                   last_n: int = 8):
     """Median + [min,max] band of the last N same-query-set, same-sf,
@@ -334,13 +375,30 @@ def main() -> None:
     timings: dict[str, float] = {}
     samples: dict[str, list[float]] = {}
     load: dict[str, list[dict]] = {}
+    # r9 (verdict #2, guide §1.4): a second, ADDITIONS-ONLY metric per
+    # query. count() lets Catalyst prune computed projection columns, so
+    # projection-shaped queries under-measure (lang_fingerprints read
+    # 0.39 s while its true noop-sink cost was 11 s); the noop sink
+    # computes EVERY column of every row. The count() metric, its key
+    # set, the headline total and the history band are untouched — the
+    # noop numbers ride alongside as queries_noop / value_noop /
+    # clean_noop (this replaces tools/sweep_all_queries.py for the bench
+    # set; the sweep tool remains for the non-bench oracle gates).
+    timings_noop: dict[str, float] = {}
+    samples_noop: dict[str, list[float]] = {}
+    load_noop: dict[str, list[dict]] = {}
     # every query's timed closure, for the end-of-run load-retry pass
     once_registry: dict = {}
+    noop_registry: dict = {}
     total = 0.0
     for name in BENCH_QUERIES:
         fn = qs[name]
         if warm_dir != sf_dir:
             fn(spark, warm_dir).count()
+            spark.catalog.clearCache()
+            # the noop plan compiles different generated code than the
+            # pruned count() plan — warm it separately
+            fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
             spark.catalog.clearCache()
         reps: list[dict] = []
         n = 0
@@ -358,7 +416,7 @@ def main() -> None:
             # them so every repetition is timed cold and in isolation
             spark.catalog.clearCache()
         runs = sorted(r["sec"] for r in reps)
-        med = runs[len(runs) // 2] if reps_n % 2 else sum(runs[len(runs) // 2 - 1 : len(runs) // 2 + 1]) / 2
+        med = _median(runs)
         timings[name] = round(med, 3)
         samples[name] = runs
         load[name] = reps
@@ -366,6 +424,25 @@ def main() -> None:
         print(
             f"# {name}: median {med:.3f}s of {[f'{r:.2f}' for r in runs]} "
             f"({n} rows)",
+            file=sys.stderr,
+        )
+        nreps: list[dict] = []
+        for _ in range(reps_n):
+            def _once_noop(fn=fn):
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+            noop_registry[name] = _once_noop
+            rep, _ = timed_rep(spark, _once_noop)
+            nreps.append(rep)
+            spark.catalog.clearCache()
+        nruns = sorted(r["sec"] for r in nreps)
+        nmed = _median(nruns)
+        timings_noop[name] = round(nmed, 3)
+        samples_noop[name] = nruns
+        load_noop[name] = nreps
+        print(
+            f"# {name} [noop]: median {nmed:.3f}s of "
+            f"{[f'{r:.2f}' for r in nruns]}",
             file=sys.stderr,
         )
 
@@ -426,7 +503,7 @@ def main() -> None:
         reps.append(rep)
         spark.catalog.clearCache()
     runs = sorted(r["sec"] for r in reps)
-    dt = runs[len(runs) // 2] if reps_n % 2 else sum(runs[len(runs) // 2 - 1 : len(runs) // 2 + 1]) / 2
+    dt = _median(runs)
     timings["enrich_batched_100k"] = round(dt, 3)
     samples["enrich_batched_100k"] = runs
     load["enrich_batched_100k"] = reps
@@ -437,6 +514,31 @@ def main() -> None:
         f"{n100k / dt:.0f} rows/s)",
         file=sys.stderr,
     )
+    nreps = []
+    for _ in range(reps_n):
+        def _spine_once_noop():
+            (
+                _100k_builder(25).result_frame().select("uid", "sentiment")
+                .write.format("noop").mode("overwrite").save()
+            )
+
+        noop_registry["enrich_batched_100k"] = _spine_once_noop
+        rep, _ = timed_rep(spark, _spine_once_noop)
+        nreps.append(rep)
+        spark.catalog.clearCache()
+    nruns = sorted(r["sec"] for r in nreps)
+    ndt = _median(nruns)
+    timings_noop["enrich_batched_100k"] = round(ndt, 3)
+    samples_noop["enrich_batched_100k"] = nruns
+    load_noop["enrich_batched_100k"] = nreps
+    print(
+        f"# enrich_batched_100k [noop]: median {ndt:.3f}s of "
+        f"{[f'{r:.2f}' for r in nruns]}",
+        file=sys.stderr,
+    )
+    # the two *_exec arms get NO noop twin: execute() is not a DataFrame
+    # action — it already materializes every response column (plus the
+    # stats/quality passes), so count-pruning cannot hide work there
 
     # 2-arm comparison at 100K rows: mega-batched (25 rows/call) vs naive
     # (1 call per row), via execute() so the call-counter accumulator is
@@ -461,9 +563,7 @@ def main() -> None:
             arm_reps.append(rep)
             spark.catalog.clearCache()
         runs = sorted(r["sec"] for r in arm_reps)
-        dt = runs[len(runs) // 2] if reps_n % 2 else sum(
-            runs[len(runs) // 2 - 1 : len(runs) // 2 + 1]
-        ) / 2
+        dt = _median(runs)
         timings[key] = round(dt, 3)
         samples[key] = runs
         load[key] = arm_reps
@@ -476,46 +576,20 @@ def main() -> None:
             file=sys.stderr,
         )
 
-    # One whole-query retry pass for queries whose final reps stayed
-    # loaded (r8, verdict #1): per-rep retries cover second-scale load
-    # spikes, but a multi-minute external job dirties every rep of a
-    # query — re-measuring those queries once at the END of the run
-    # (minutes later, after one settle pause) rescues the record when
-    # the load was transient. Replaced only if the re-run is fully
-    # clean; otherwise the original loaded evidence stands and the
-    # artifact flags itself as before.
-    dirty = sorted(
-        n for n, rs in load.items() if any(r["loaded"] for r in rs)
-    )
-    if dirty:
-        print(f"# load-gate retry pass over {dirty}", file=sys.stderr)
-        time.sleep(10.0)
-        for name in dirty:
-            retry_reps: list[dict] = []
-            for _ in range(reps_n):
-                rep, _n = timed_rep(spark, once_registry[name])
-                retry_reps.append(rep)
-                spark.catalog.clearCache()
-            if any(r["loaded"] for r in retry_reps):
-                print(f"#   {name}: still loaded, keeping original reps",
-                      file=sys.stderr)
-                continue
-            runs = sorted(r["sec"] for r in retry_reps)
-            med = (
-                runs[len(runs) // 2] if reps_n % 2
-                else sum(runs[len(runs) // 2 - 1 : len(runs) // 2 + 1]) / 2
-            )
-            print(f"#   {name}: clean re-measure {med:.3f}s "
-                  f"(was {timings[name]:.3f}s loaded)", file=sys.stderr)
-            timings[name] = round(med, 3)
-            samples[name] = runs
-            load[name] = retry_reps
-        total = sum(timings.values())
+    _retry_dirty(spark, reps_n, load, timings, samples, once_registry)
+    total = sum(timings.values())
+    _retry_dirty(spark, reps_n, load_noop, timings_noop, samples_noop,
+                 noop_registry, label="noop:")
 
     # clean = no query's FINAL (post-retry) reps were recorded under
     # external load; the artifact can no longer mistake a loaded host for
-    # a slow engine without saying so
+    # a slow engine without saying so. clean_noop covers the noop set
+    # separately so a loaded noop rep cannot dirty the count()-metric
+    # history band (and vice versa).
     clean = not any(r["loaded"] for reps in load.values() for r in reps)
+    clean_noop = not any(
+        r["loaded"] for reps in load_noop.values() for r in reps
+    )
     hist_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "benchmarks", "history.jsonl"
     )
@@ -524,6 +598,9 @@ def main() -> None:
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
+        "queries_noop": timings_noop,
+        "value_noop": round(sum(timings_noop.values()), 3),
+        "clean_noop": clean_noop,
         "clean": clean,
         "load_gate_ext_cores": LOAD_EXT_CORES,
         "history": _history_band(
@@ -535,7 +612,8 @@ def main() -> None:
         **api_calls,
         **prompt_bytes,
     }
-    detail = {**compact, "samples": samples, "load": load}
+    detail = {**compact, "samples": samples, "load": load,
+              "samples_noop": samples_noop, "load_noop": load_noop}
     # Per-rep samples + load evidence go to a SIDE FILE and an EARLIER
     # stderr line: round 5's artifact put them on the final line, which
     # outgrew the driver's tail-capture window and left BENCH_r05.json

@@ -83,3 +83,29 @@ def test_history_band_filters_by_core_count(tmp_path):
     assert band == {"n": 2, "median": 47.0, "band": [45.0, 47.0]}
     band8 = _history_band(str(hist), {"q1", "q2"}, 0.1, 8)
     assert band8 == {"n": 1, "median": 120.0, "band": [120.0, 120.0]}
+
+
+def test_median_odd_and_even():
+    from bench import _median
+
+    assert _median([1.0, 2.0, 9.0]) == 2.0
+    assert _median([1.0, 2.0, 3.0, 9.0]) == 2.5
+    assert _median([5.0]) == 5.0
+
+
+def test_bench_source_carries_noop_metric_additions_only():
+    """r8 verdict #2: the noop-sink metric must ride ALONGSIDE the
+    count() metric — same contract line, new keys, old keys untouched
+    (the 8-round history band is keyed on the count metric)."""
+    import inspect
+
+    import bench
+
+    src = inspect.getsource(bench.main)
+    # the additions exist
+    for key in ('"queries_noop"', '"value_noop"', '"clean_noop"'):
+        assert key in src, key
+    # and the original contract keys survive
+    for key in ('"metric"', '"value"', '"unit"', '"queries"', '"sf"'):
+        assert key in src, key
+    assert 'format("noop")' in src

@@ -572,11 +572,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return simhash_pairs(_docs(spark, sf_dir), "doc_id", "text", max_hamming=3)
 
     def _lsh_pairs(spark, sf_dir):
+        # connectivity_only (r9): these pairs exist only to be clustered,
+        # so the kernel emits a per-bucket star forest instead of the full
+        # O(k²) pair set — identical connected components (the heaps
+        # corpus at sf1h emits 11.4M pairs for 50K docs without it,
+        # pushing CC onto the distributed star path). The est_jaccard
+        # surface stays pinned by q_minhash_lsh_pairs, which keeps the
+        # full pair mode.
         from ondine_spark.operators.dedup import minhash_lsh_pairs
 
         return minhash_lsh_pairs(
             _docs(spark, sf_dir), "doc_id", "text",
-            num_hashes=8, bands=4, threshold=0.25,
+            num_hashes=8, bands=4, threshold=0.25, connectivity_only=True,
         )
 
     def q_dup_clusters(spark, sf_dir):

@@ -448,6 +448,7 @@ def minhash_lsh_pairs(
     ngram: int = 3,
     threshold: float | None = None,
     max_bucket_size: int | None = None,
+    connectivity_only: bool = False,
 ) -> DataFrame:
     """Candidate near-dup pairs via LSH banding; optionally verify with the
     MinHash Jaccard estimate (matching rows of the signature).
@@ -455,6 +456,21 @@ def minhash_lsh_pairs(
     bands must divide num_hashes; rows-per-band r = num_hashes/bands gives
     the usual S-curve (collision prob = 1-(1-s^r)^b).
     Output: a, b, est_jaccard (signature agreement rate).
+
+    ``connectivity_only`` (r9, guide §2.3 — shuffle decisions, not
+    payloads): for consumers that only CLUSTER the pairs (connected
+    components, near-dedup keep), the full pair set is massively
+    redundant — a mass-duplicated corpus emits O(k²) pairs per k-doc
+    bucket, all of which collapse into one component anyway (measured:
+    50K docs → 11.4M pairs at the sf1h heaps corpus, pushing CC onto
+    the distributed star path). In this mode the SAME pair detection
+    feeds a bucket-local union-find and only a star forest per
+    bucket-component is emitted — O(k) rows, ``(a, b)`` with no
+    ``est_jaccard``. The union of per-bucket forests preserves each
+    bucket subgraph's connectivity, and the pair graph is exactly the
+    union of bucket subgraphs, so connected_components over the forest
+    is IDENTICAL to connected_components over the full pair set
+    (pinned by tests/test_dedup_clusters.py).
 
     ``max_bucket_size`` is the occupancy guard (SCALE.md sf10 lesson:
     pair enumeration is linear in rows + true pairs ONLY while bucket
@@ -522,6 +538,57 @@ def minhash_lsh_pairs(
             if m.any():
                 outs.append((ids[gi[m]], ids[jj[m]], est[ii[m], jj[m]]))
 
+    def one_bucket_cc(ids, S, band_k, outs):
+        """Connectivity mode: identical pair detection, but the passing
+        pairs of this bucket feed an in-kernel union-find (the same
+        min-hooking + full-shortcutting iteration as the driver CC) and
+        only (root, node) star edges are emitted. Blocks update the
+        parent array incrementally — union is order-independent — so the
+        O(k²) pair volume never materializes anywhere."""
+        if len(ids) < 2:
+            return
+        if max_bucket_size is not None and len(ids) > max_bucket_size:
+            return  # occupancy guard: documented approximation
+        k = len(ids)
+        parent = np.arange(k, dtype=np.int64)
+        block = 1024
+        for i0 in range(0, k, block):
+            eqpos = S[i0 : i0 + block, None, :] == S[None, :, :]
+            est = eqpos.sum(axis=2) / nh
+            band_all = eqpos.reshape(
+                eqpos.shape[0], eqpos.shape[1], nb, r
+            ).all(axis=3)
+            if own:
+                mask = band_all.argmax(axis=2) == band_k
+            else:
+                mask = band_all[:, :, band_k]
+            if thr is not None:
+                mask &= est >= thr
+            ii, jj = np.nonzero(mask)
+            gi = ii + i0
+            m = gi < jj
+            cu, cv = gi[m], jj[m]
+            if not len(cu):
+                continue
+            while True:
+                pu, pv = parent[cu], parent[cv]
+                hi = np.maximum(pu, pv)
+                lo = np.minimum(pu, pv)
+                before = parent.copy()
+                np.minimum.at(parent, hi, lo)
+                while True:
+                    pp = parent[parent]
+                    if np.array_equal(pp, parent):
+                        break
+                    parent = pp
+                if np.array_equal(parent, before):
+                    break
+        non_root = parent != np.arange(k)
+        if non_root.any():
+            # ids sorted ascending -> the min-position root IS the
+            # min-id member; a < b holds for every emitted edge
+            outs.append((ids[parent[non_root]], ids[non_root]))
+
     def gen_pairs(batches):
         """Streaming pass over (band,key)-sorted partitions: group
         boundaries via array compares, per-group numpy — tiny buckets
@@ -539,15 +606,18 @@ def minhash_lsh_pairs(
             starts = np.flatnonzero(newg)
             ends = np.r_[starts[1:], len(ids)]
             outs: list = []
+            bucket_fn = one_bucket_cc if connectivity_only else one_bucket
             for s, e in zip(starts, ends):
-                one_bucket(ids[s:e], S[s:e], int(bandv[s]), outs)
+                bucket_fn(ids[s:e], S[s:e], int(bandv[s]), outs)
             if not outs:
                 return None
-            return pd.DataFrame({
+            cols = {
                 "a": np.concatenate([o[0] for o in outs]),
                 "b": np.concatenate([o[1] for o in outs]),
-                "est_jaccard": np.concatenate([o[2] for o in outs]),
-            })
+            }
+            if not connectivity_only:
+                cols["est_jaccard"] = np.concatenate([o[2] for o in outs])
+            return pd.DataFrame(cols)
 
         carry = None
         for pdf in batches:
@@ -567,12 +637,15 @@ def minhash_lsh_pairs(
             if out is not None:
                 yield out
 
+    schema = (
+        f"a {id_type}, b {id_type}"
+        if connectivity_only
+        else f"a {id_type}, b {id_type}, est_jaccard double"
+    )
     out = (
         band_rows.repartition("band", "key")
         .sortWithinPartitions("band", "key", "_id")
-        .mapInPandas(
-            gen_pairs, schema=f"a {id_type}, b {id_type}, est_jaccard double"
-        )
+        .mapInPandas(gen_pairs, schema=schema)
     )
     if max_bucket_size is not None:
         # capped mode emits per surviving bucket (see ownership note)
@@ -1204,8 +1277,12 @@ def near_dedup(
     sets at runtime, shuffles large ones).
     """
     if method == "minhash":
+        # the pairs exist only to be clustered: star-forest mode keeps
+        # the identical components while a mass-duplicated corpus's
+        # O(k²)-per-bucket pair volume never materializes (r9)
         pairs = minhash_lsh_pairs(
-            df, id_col, text_col, num_hashes, bands, ngram, threshold=threshold
+            df, id_col, text_col, num_hashes, bands, ngram,
+            threshold=threshold, connectivity_only=True,
         )
     elif method == "jaccard":
         pairs = ngram_jaccard_pairs(

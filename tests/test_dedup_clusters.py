@@ -254,3 +254,49 @@ def test_lsh_bucket_occupancy_cap(spark):
     assert capped.filter("a = 100 and b = 101").count() == 1
     # capped output is still unique per pair
     assert capped.count() == capped.dropDuplicates(["a", "b"]).count()
+
+
+def test_connectivity_only_components_identical(spark):
+    """r9: star-forest pair emission (connectivity_only=True) must yield
+    EXACTLY the same connected components as the full pair set — on a
+    corpus with repeated near-dup groups whose docs share several LSH
+    buckets, plus unique docs and cross-group chains."""
+    import random as _r
+
+    from ondine_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+    )
+
+    rng = _r.Random(7)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta"]
+    rows = []
+    did = 0
+    # 6 duplication groups of size 2..12 (big groups make dense buckets)
+    for g in range(6):
+        base = " ".join(rng.choices(words, k=30))
+        for _ in range(2 + 2 * g):
+            text = base if rng.random() < 0.6 else base + " " + rng.choice(words)
+            rows.append((did, text))
+            did += 1
+    for _ in range(25):  # unique tail
+        rows.append((did, " ".join(rng.choices(words, k=12)) + f" uniq{did}"))
+        did += 1
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(num_hashes=8, bands=4, threshold=0.2)
+    full = minhash_lsh_pairs(df, "doc_id", "text", **kw)
+    forest = minhash_lsh_pairs(df, "doc_id", "text", connectivity_only=True, **kw)
+    assert forest.columns == ["a", "b"]
+    # the forest is never larger than the pair set
+    n_full, n_forest = full.count(), forest.count()
+    assert n_forest <= n_full
+    cc_full = {
+        (r.node, r.component)
+        for r in connected_components(full).collect()
+    }
+    cc_forest = {
+        (r.node, r.component)
+        for r in connected_components(forest).collect()
+    }
+    assert cc_full == cc_forest
+    assert len(cc_full) > 10  # the case actually exercised clustering
